@@ -1,0 +1,62 @@
+"""Drive the repo exactly as the spark-graft driver does: a bare
+SparkSession (driver defaults, none of our session.py tuning), import
+``__spark_entry__``, smoke entry(), then run every queries() entry at
+sf0.01 against its oracle_sql() in DuckDB.
+
+Usage: python scripts/driver_mimic.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+from pyspark.sql import SparkSession
+
+from tests.oracle_harness import compare, register_duck_views
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    # the driver's own session: plain defaults per the driver prompt
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as e
+
+    t0 = time.time()
+    rows = e.entry(spark).collect()
+    print(f"entry(): {len(rows)} rows in {time.time() - t0:.2f}s; first={rows[0] if rows else None}")
+
+    con = duckdb.connect()
+    register_duck_views(con, sf_dir)
+    q, o = e.queries(), e.oracle_sql()
+    n_pass = n_fail = 0
+    for name, fn in q.items():
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            if name in o:
+                ok, msg = compare(df, con, o[name])
+            else:
+                ok, msg = df.count() >= 0, "rows-only"
+        except Exception as ex:  # noqa: BLE001
+            ok, msg = False, f"EXCEPTION {type(ex).__name__}: {str(ex)[:200]}"
+        status = "PASS" if ok else "FAIL"
+        n_pass += ok
+        n_fail += not ok
+        print(f"  [{status}] {name} ({time.time() - t0:.2f}s)" + ("" if ok else f" — {msg}"))
+    print(f"{n_pass} pass / {n_fail} fail of {len(q)}")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,142 @@
+"""FTS text analysis — the engine's ``to_tsvector`` / ``plainto_tsquery``.
+
+The reference delegates analysis to PostgreSQL: documents get a
+``content_tsvector`` column maintained by a DB trigger (referenced at
+``src/core/vector_store.py:104-105,144``) and queries go through
+``plainto_tsquery('english', :q)`` (``src/core/vector_store.py:222``),
+which lowercases, strips punctuation, drops stopwords and AND-combines
+the remaining lexemes. The non-negotiable invariant (SURVEY.md §7 risk
+2) is that the query-side and document-side analyzers are the *same
+function* — this module is that single shared implementation.
+
+Implementation notes:
+- Everything here is built-in Catalyst expressions (``lower`` /
+  ``split`` / ``filter``): JVM-side, codegen'd, no Python in the per-row
+  path. On 100 TB the tokenize+match pipeline stays inside one
+  WholeStageCodegen span over the parquet scan.
+- Stemming is intentionally OFF in the default analyzer: it cannot be
+  mirrored in the DuckDB oracle and the synthetic corpus is unstemmed
+  keyword text. A Porter stemmer (pandas-UDF) is available separately in
+  ``stemmer.py`` for parity-minded deployments; enabling it keeps the
+  F1==F3 invariant because both sides flow through ``analyze_terms`` /
+  ``tokens_col``.
+- Each Spark expression has a DuckDB-SQL mirror (``sql_*``) so the
+  driver's oracle can replay the exact semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# A compact, frozen English stopword list (subset of PostgreSQL's english
+# stopword file). Frozen because it is part of the on-disk contract: the
+# same list is inlined into the oracle SQL, and changing it would change
+# stored tsvector-equivalent columns.
+STOPWORDS_EN: tuple[str, ...] = (
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for",
+    "if", "in", "into", "is", "it", "no", "not", "of", "on", "or",
+    "such", "that", "the", "their", "then", "there", "these", "they",
+    "this", "to", "was", "will", "with",
+)
+
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+
+def analyze_terms(text: str) -> list[str]:
+    """Driver-side analyzer for query strings (F1, ``plainto_tsquery``).
+
+    Byte-identical semantics to :func:`tokens_col` (F3): lowercase,
+    split on non-alphanumeric, drop empties and stopwords. Duplicate
+    terms are dropped (plainto_tsquery ANDs a *set* of lexemes).
+    """
+    import re
+
+    toks = [t for t in re.split(TOKEN_SPLIT_RE, text.lower()) if t and t not in STOPWORDS_EN]
+    seen: dict[str, None] = {}
+    for t in toks:
+        seen.setdefault(t, None)
+    return list(seen)
+
+
+def tokens_col(text: Column) -> Column:
+    """Document-side analyzer (F3, ``to_tsvector`` equivalent):
+    ``array<string>`` of normalized lexemes, duplicates preserved (term
+    frequency is recoverable; positions are their array indices)."""
+    toks = F.split(F.lower(text), TOKEN_SPLIT_RE)
+    stop = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    return F.filter(toks, lambda t: (t != F.lit("")) & ~F.array_contains(stop, t))
+
+
+def match_all_terms(tokens: Column, terms: list[str]) -> Column:
+    """P7 — the ``@@ plainto_tsquery`` predicate: the document must
+    contain ALL query lexemes (AND semantics, reference comment at
+    ``src/core/vector_store.py:209``). Empty term list matches nothing,
+    matching PostgreSQL's empty-tsquery behavior for plainto_tsquery."""
+    if not terms:
+        return F.lit(False)
+    pred = F.lit(True)
+    for t in terms:
+        pred = pred & F.array_contains(tokens, F.lit(t))
+    return pred
+
+
+def tf_rank_col(tokens: Column, terms: list[str]) -> Column:
+    """F2(b) — TF rank with PostgreSQL normalization flag 32.
+
+    ``ts_rank_cd(tsvector, query, 32)`` is a cover-density score mapped
+    into (0,1) by ``rank/(rank+1)`` (``src/core/vector_store.py:218``).
+    We keep the declared normalization exactly and substitute a
+    term-frequency base score (sum of per-term occurrence counts):
+    rank-order-equivalent for AND-matched single-field documents, and —
+    unlike cover density — expressible in the DuckDB oracle. The
+    positional cover-density variant lives in ``ranking.py`` (F2a).
+
+    Integer counting + one final double division keeps the value
+    bit-identical across engines (no float accumulation).
+    """
+    def _count(term: str) -> Column:
+        # single-arg lambda: F.filter must see arity 1 (arity 2 means
+        # (element, index) to Spark's higher-order function binder)
+        return F.size(F.filter(tokens, lambda x: x == F.lit(term)))
+
+    raw = None
+    for t in terms:
+        c = _count(t)
+        raw = c if raw is None else raw + c
+    if raw is None:
+        raw = F.lit(0)
+    rawd = raw.cast("double")
+    return rawd / (rawd + F.lit(1.0))
+
+
+# --- DuckDB oracle mirrors ------------------------------------------------
+
+def _sql_stoplist() -> str:
+    return ", ".join(f"'{s}'" for s in STOPWORDS_EN)
+
+
+def sql_tokens_expr(text_sql: str) -> str:
+    """DuckDB expression mirroring :func:`tokens_col`."""
+    return (
+        f"list_filter(regexp_split_to_array(lower({text_sql}), '{TOKEN_SPLIT_RE}'), "
+        f"t -> t <> '' AND t NOT IN ({_sql_stoplist()}))"
+    )
+
+
+def sql_match_expr(tokens_sql: str, terms: list[str]) -> str:
+    """DuckDB expression mirroring :func:`match_all_terms`."""
+    if not terms:
+        return "FALSE"
+    return " AND ".join(f"list_contains({tokens_sql}, '{t}')" for t in terms)
+
+
+def sql_tf_rank_expr(tokens_sql: str, terms: list[str]) -> str:
+    """DuckDB expression mirroring :func:`tf_rank_col`."""
+    if not terms:
+        raw = "0"
+    else:
+        raw = " + ".join(
+            f"len(list_filter({tokens_sql}, x -> x = '{t}'))" for t in terms
+        )
+    return f"(CAST({raw} AS DOUBLE) / (CAST({raw} AS DOUBLE) + 1.0))"

@@ -1,0 +1,385 @@
+"""Registry entries for the LLM-data-pipeline extensions (dedup,
+similarity, text analysis) and the relational operator floor
+(SURVEY.md §7 step 2) over the TPC-H-ish tables."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry import register
+from .sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Relational floor — scans, filters, predicates (S1-S3, P1-P5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "point_lookup",
+    survey_ref="S1,P3",
+    tags=("relational",),
+    oracle="SELECT r_regionkey, r_name FROM region WHERE r_name = 'ASIA'",
+)
+def q_point_lookup(spark, sf_dir):
+    """Collection point-lookup shape (``get_collection``,
+    ``src/core/vector_store.py:44-59``): equality predicate pushed into
+    the scan, 0-or-1 row."""
+    return (
+        load_table(spark, sf_dir, "region")
+        .filter(F.col("r_name") == "ASIA")
+        .select("r_regionkey", "r_name")
+    )
+
+
+@register(
+    "full_scan_list",
+    survey_ref="S2,P1",
+    tags=("relational",),
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+)
+def q_full_scan_list(spark, sf_dir):
+    """Full catalog scan (``list_collections``,
+    ``src/core/vector_store.py:61-72``) with explicit projection."""
+    return (
+        load_table(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+    )
+
+
+@register(
+    "in_list_filter",
+    survey_ref="P4,A3",
+    tags=("relational",),
+    oracle="""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+FROM orders
+WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+)
+def q_in_list_filter(spark, sf_dir):
+    """IN-list predicate (``document_id.in_(...)``,
+    ``src/core/vector_store.py:344-345``) + count-by-status (A3)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .groupBy("o_orderpriority").agg(F.count("*").alias("n"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "json_key_filter",
+    survey_ref="P5,G8",
+    tags=("relational",),
+    oracle="""
+SELECT event_id, event_type, json_extract_string(props, '$.k') AS k
+FROM events
+WHERE json_extract_string(props, '$.k') = '42'
+ORDER BY event_id
+""",
+)
+def q_json_key_filter(spark, sf_dir):
+    """JSON-key metadata filter with string-coerced equality (P5,
+    ``src/core/vector_store.py:289-292``) via ``get_json_object``."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k")
+    return (
+        ev.filter(k == "42")
+        .select("event_id", "event_type", k.alias("k"))
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (J1, J3 analogues) and delete-shaped anti-joins (S6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "semi_join_resolve",
+    survey_ref="J1",
+    tags=("relational",),
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+ORDER BY c_custkey
+""",
+)
+def q_semi_join_resolve(spark, sf_dir):
+    """Collection-resolve semi-join shape (J1): documents ⋉ collections
+    becomes customer ⋉ filtered orders. Broadcast the filtered build
+    side — at 100 TB the dimension stays small, so no shuffle of the
+    probe side."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        cust.join(
+            F.broadcast(orders.select(F.col("o_custkey").alias("c_custkey"))),
+            "c_custkey",
+            "left_semi",
+        )
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "anti_join_delete",
+    survey_ref="S6",
+    tags=("relational",),
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_remaining
+FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM documents WHERE doc_id % 10 = 0)
+""",
+)
+def q_anti_join_delete(spark, sf_dir):
+    """Targeted delete as anti-join rewrite (S6,
+    ``src/core/vector_store.py:360-392``): on immutable parquet, DELETE
+    WHERE id IN (...) is ``left_anti`` + rewrite; here we check the
+    surviving-row count."""
+    docs = load_table(spark, sf_dir, "documents")
+    doomed = docs.filter(F.col("doc_id") % 10 == 0).select("doc_id")
+    return (
+        docs.join(F.broadcast(doomed), "doc_id", "left_anti")
+        .agg(F.count("*").alias("n_remaining"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (A1-A5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "count_per_group",
+    survey_ref="A1,A3",
+    tags=("relational",),
+    oracle="""
+SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+def q_count_per_group(spark, sf_dir):
+    """COUNT(*) per group (A1, ``src/core/vector_store.py:407-411``)
+    plus a distinct count. Partial aggregation (map-side combine) is
+    automatic; only group keys shuffle."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "decimal_exact_revenue",
+    survey_ref="A1,A4",
+    tags=("relational",),
+    oracle="""
+SELECT l_returnflag,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS revenue
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+)
+def q_decimal_exact_revenue(spark, sf_dir):
+    """Monetary aggregate done exactly in integer cents: prices are
+    cents-exact and discounts are percent-exact, so
+    ``round(price*100) * (100 - round(disc*100))`` is an exact integer
+    per row; the integer sum is order-independent (reproducible under
+    any partitioning — unlike a float sum, whose value depends on
+    reduction order) and one final double division yields the value.
+    Float ``round(x, 2)`` half-case behavior differs across engines;
+    integer-cent arithmetic sidesteps it."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round(F.col("l_discount") * 100).cast("long")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.sum(F.round(F.col("l_quantity")).cast("long")).alias("sum_qty"),
+            (F.sum(cents * (100 - disc)) / 10000.0).alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "content_stats",
+    survey_ref="A5",
+    tags=("text",),
+    oracle="""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS content_length,
+       CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT) AS word_count,
+       CAST(len(regexp_split_to_array(text, '\\n')) AS BIGINT) AS line_count
+FROM documents ORDER BY doc_id
+""",
+)
+def q_content_stats(spark, sf_dir):
+    """Per-document content statistics (A5, ``extract_metadata``,
+    ``src/core/document_processor.py:144-150``): length, whitespace
+    word count, line count — pure codegen'd scalar expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("content_length"),
+        F.size(words).cast("long").alias("word_count"),
+        F.size(F.split(F.col("text"), r"\n")).cast("long").alias("line_count"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits / pagination (T1-T4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "topk_by_value",
+    survey_ref="T1",
+    tags=("relational",),
+    oracle="""
+SELECT c_custkey, c_name, c_acctbal FROM customer
+ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 20
+""",
+)
+def q_topk_by_value(spark, sf_dir):
+    """ORDER BY ... LIMIT as true top-k (TakeOrderedAndProject — no
+    global sort; per-partition heaps + driver merge)."""
+    return (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "pagination_offset",
+    survey_ref="T3",
+    tags=("relational",),
+    oracle="""
+SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+ORDER BY o_orderkey ASC LIMIT 50 OFFSET 100
+""",
+)
+def q_pagination_offset(spark, sf_dir):
+    """Deterministic offset/limit pagination (T3 tightened with a total
+    order; the reference paginates unordered,
+    ``src/core/vector_store.py:347-348``)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    return paginate_impl(orders, "o_orderkey", 100, 50)
+
+
+def paginate_impl(df, order_col, offset, limit):
+    from .operators.search import paginate
+
+    return paginate(df, order_col=order_col, offset=offset, limit=limit)
+
+
+@register(
+    "recency_topk",
+    survey_ref="T4",
+    tags=("relational",),
+    oracle="""
+SELECT event_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, event_type FROM events
+ORDER BY ts DESC, event_id ASC LIMIT 100
+""",
+)
+def q_recency_topk(spark, sf_dir):
+    """Sort-by-recency + limit (T4, job listing shape,
+    ``src/core/job_manager.py:131-135``). Timestamps surfaced as epoch
+    millis so both engines hash identical integer values."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.orderBy(F.col("ts").desc(), F.col("event_id").asc())
+        .limit(100)
+        .select(
+            "event_id",
+            F.unix_millis(F.col("ts")).alias("ts_ms"),
+            "event_type",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions (G2, G9)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sha_doc_id",
+    survey_ref="G2",
+    tags=("text",),
+    oracle="""
+SELECT doc_id,
+       substr(sha256(text || '_source:' || source), 1, 16) AS content_id
+FROM documents ORDER BY doc_id LIMIT 100
+""",
+)
+def q_sha_doc_id(spark, sf_dir):
+    """Deterministic content-addressed document id (G2,
+    ``src/core/document_processor.py:31-46``):
+    sha256(content + metadata-suffixes)[:16] — the idempotent-reingest /
+    exact-dedup hook."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.orderBy("doc_id").limit(100)
+        .select(
+            "doc_id",
+            F.substring(
+                F.sha2(F.concat(F.col("text"), F.lit("_source:"), F.col("source")), 256),
+                1, 16,
+            ).alias("content_id"),
+        )
+    )
+
+
+@register(
+    "searchable_text",
+    survey_ref="G9",
+    tags=("text",),
+    oracle="""
+SELECT c_custkey,
+       concat_ws(chr(10) || chr(10),
+         'Name: ' || c_name,
+         'Segment: ' || c_mktsegment,
+         CASE WHEN c_acctbal > 0 THEN 'Balance: ' || CAST(round(c_acctbal, 2) AS VARCHAR) END
+       ) AS searchable_text
+FROM customer ORDER BY c_custkey LIMIT 100
+""",
+)
+def q_searchable_text(spark, sf_dir):
+    """Labelled null-skipping concat (G9, ServiceNow searchable_text
+    synthesis, ``scripts/ingest_servicenow.py:59-80``): ``concat_ws``
+    drops NULL parts natively."""
+    cust = load_table(spark, sf_dir, "customer")
+    bal = F.when(
+        F.col("c_acctbal") > 0,
+        F.concat(F.lit("Balance: "), F.round(F.col("c_acctbal"), 2).cast("string")),
+    )
+    return (
+        cust.orderBy("c_custkey").limit(100)
+        .select(
+            "c_custkey",
+            F.concat_ws(
+                "\n\n",
+                F.concat(F.lit("Name: "), F.col("c_name")),
+                F.concat(F.lit("Segment: "), F.col("c_mktsegment")),
+                bal,
+            ).alias("searchable_text"),
+        )
+    )

@@ -1,0 +1,70 @@
+"""Parquet table sources for the synthetic test corpus.
+
+One parquet file per table under an ``sf_dir`` (see TESTDATA.md).
+In production these would be Delta/partitioned-parquet table roots;
+every reader here goes through ``spark.read.parquet`` so Catalyst
+gets filter pushdown + column pruning for free.
+
+Scale note: ``documents`` at 100 TB would be written partitioned by
+``collection_id`` (the reference filters on it in every query —
+``src/core/vector_store.py:223`` — so partition pruning replaces the
+B-tree index) — see ``catalog.py``. The flat test files carry no
+partitioning; all operators only rely on predicates, never layout.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def sf_dir_from_env(default: str = DEFAULT_SF_DIR) -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", default)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        return _load_events(spark, path)
+    return spark.read.parquet(path)
+
+
+def _load_events(spark: SparkSession, path: str) -> DataFrame:
+    """``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as
+    long (``spark.sql.legacy.parquet.nanosAsLong``) and convert to a
+    proper TimestampType with integer arithmetic (``DIV`` keeps full
+    precision — a double round-trip would corrupt epoch-nano values,
+    which exceed 2^53)."""
+    from pyspark.sql import functions as F
+
+    try:
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts", "").startswith("timestamp"):
+            return df
+    except Exception:
+        pass
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so ``spark.sql`` can be used
+    interchangeably with the DataFrame API (same Catalyst plans)."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
