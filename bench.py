@@ -1,0 +1,75 @@
+"""Benchmark harness (driver contract).
+
+Runs the engine's headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints
+ONE JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Timing excludes JVM/session startup (one warm-up action first) and
+measures each query's full plan→execute→collect wall time.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = (
+    "fts_topk",
+    "fts_match_count_by_lang",
+    "vector_topk",
+    "count_per_group",
+    "decimal_exact_revenue",
+    "semi_join_resolve",
+    "content_stats",
+    "recency_topk",
+)
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+
+    from vector_search_service_spark.registry import all_queries
+    from vector_search_service_spark.session import get_spark
+
+    spark = get_spark("bench")
+    # warm-up: JVM + parquet footer cache, not part of query timing
+    spark.range(1).count()
+
+    specs = all_queries()
+    names = [n for n in HEADLINE if n in specs]
+    # any registered query tagged headline but not in the static list
+    names += [n for n, s in specs.items() if "headline" in s.tags and n not in names]
+
+    # warm-up pass: JIT + codegen + parquet reader init are session
+    # costs, not query costs — a long-lived engine pays them once.
+    for name in names:
+        specs[name].fn(spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = specs[name].fn(spark, sf_dir)
+        n = len(df.collect())
+        timings[name] = round(time.perf_counter() - t0, 4)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 4)
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

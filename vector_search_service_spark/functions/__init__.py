@@ -2,9 +2,11 @@ from .analysis import (
     STOPWORDS_EN,
     analyze_terms,
     tokens_col,
+    raw_tokens_col,
     match_all_terms,
     tf_rank_col,
     sql_tokens_expr,
+    sql_raw_tokens_expr,
     sql_match_expr,
     sql_tf_rank_expr,
 )
@@ -14,9 +16,11 @@ __all__ = [
     "STOPWORDS_EN",
     "analyze_terms",
     "tokens_col",
+    "raw_tokens_col",
     "match_all_terms",
     "tf_rank_col",
     "sql_tokens_expr",
+    "sql_raw_tokens_expr",
     "sql_match_expr",
     "sql_tf_rank_expr",
     "cosine_similarity_col",

@@ -59,13 +59,25 @@ def analyze_terms(text: str) -> list[str]:
     return list(seen)
 
 
+def raw_tokens_col(text: Column) -> Column:
+    """Lowercased split tokens, no stopword pass — the cheap search-time
+    tokenizer. Query-side lexemes (``analyze_terms``) are already
+    non-empty non-stopwords, so match/rank over raw tokens is
+    *provably identical* to match/rank over stopword-filtered tokens,
+    at a fraction of the per-row cost (one split, no set lookups). Use
+    this in the search hot path; use :func:`tokens_col` when
+    materializing the stored tsvector-equivalent column at ingest."""
+    return F.split(F.lower(text), TOKEN_SPLIT_RE)
+
+
 def tokens_col(text: Column) -> Column:
     """Document-side analyzer (F3, ``to_tsvector`` equivalent):
     ``array<string>`` of normalized lexemes, duplicates preserved (term
-    frequency is recoverable; positions are their array indices)."""
-    toks = F.split(F.lower(text), TOKEN_SPLIT_RE)
-    stop = F.array(*[F.lit(s) for s in STOPWORDS_EN])
-    return F.filter(toks, lambda t: (t != F.lit("")) & ~F.array_contains(stop, t))
+    frequency is recoverable; positions are their array indices).
+    Stopword removal via ``isin`` compiles to a hash-set InSet, not a
+    linear array scan."""
+    toks = raw_tokens_col(text)
+    return F.filter(toks, lambda t: (t != F.lit("")) & ~t.isin(*STOPWORDS_EN))
 
 
 def match_all_terms(tokens: Column, terms: list[str]) -> Column:
@@ -122,6 +134,11 @@ def sql_tokens_expr(text_sql: str) -> str:
         f"list_filter(regexp_split_to_array(lower({text_sql}), '{TOKEN_SPLIT_RE}'), "
         f"t -> t <> '' AND t NOT IN ({_sql_stoplist()}))"
     )
+
+
+def sql_raw_tokens_expr(text_sql: str) -> str:
+    """DuckDB expression mirroring :func:`raw_tokens_col`."""
+    return f"regexp_split_to_array(lower({text_sql}), '{TOKEN_SPLIT_RE}')"
 
 
 def sql_match_expr(tokens_sql: str, terms: list[str]) -> str:

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.analysis import analyze_terms, match_all_terms, tf_rank_col, tokens_col
+from ..functions.analysis import analyze_terms, match_all_terms, raw_tokens_col, tf_rank_col
 from ..functions.vectors import cosine_distance_col
 
 
@@ -44,7 +44,11 @@ def fts_search(documents: DataFrame, query: str, *, limit: int = 10,
     is exactly what you want at 100 TB (no global sort, no exchange).
     """
     terms = analyze_terms(query)
-    toks = tokens_col(F.col(text_col))
+    # raw tokens: match/rank against analyzed query terms is identical
+    # on raw vs stopword-filtered tokens (terms are never stopwords),
+    # and one split per row is the whole per-row cost. Codegen CSE
+    # evaluates the shared split once per operator.
+    toks = raw_tokens_col(F.col(text_col))
     out = documents
     if metadata_filter:
         for k, v in metadata_filter.items():

@@ -169,9 +169,9 @@ def q_count_per_group(spark, sf_dir):
     """COUNT(*) per group (A1, ``src/core/vector_store.py:407-411``)
     plus a distinct count. Partial aggregation (map-side combine) is
     automatic; only group keys shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
     return (
-        load_table(spark, sf_dir, "lineitem")
-        .groupBy("l_returnflag", "l_linestatus")
+        li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.count("*").alias("n_rows"),
             F.countDistinct("l_orderkey").alias("n_orders"),

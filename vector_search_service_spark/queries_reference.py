@@ -12,8 +12,8 @@ from pyspark.sql import functions as F
 from .functions.analysis import (
     analyze_terms,
     sql_match_expr,
+    sql_raw_tokens_expr,
     sql_tf_rank_expr,
-    sql_tokens_expr,
 )
 from .operators.search import fts_search, paginate, vector_search
 from .registry import register
@@ -25,7 +25,7 @@ from .sources.tables import load_table
 
 FTS_QUERY = "hash join merge"
 _FTS_TERMS = analyze_terms(FTS_QUERY)
-_TOKS = sql_tokens_expr("text")
+_TOKS = sql_raw_tokens_expr("text")
 
 
 @register(
@@ -93,11 +93,11 @@ GROUP BY lang ORDER BY lang
 def q_fts_match_count_by_lang(spark, sf_dir):
     """Match-set cardinality per language — exercises the analyzer over
     the full corpus with an integer-exact aggregate."""
-    from .functions.analysis import match_all_terms, tokens_col
+    from .functions.analysis import match_all_terms, raw_tokens_col
 
     docs = load_table(spark, sf_dir, "documents")
     return (
-        docs.filter(match_all_terms(tokens_col(F.col("text")), _FTS_TERMS))
+        docs.filter(match_all_terms(raw_tokens_col(F.col("text")), _FTS_TERMS))
         .groupBy("lang").agg(F.count("*").alias("n_match"))
         .orderBy("lang")
     )

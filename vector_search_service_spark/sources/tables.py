@@ -63,6 +63,20 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
 
+def parallelize_scan(df: DataFrame, spark: SparkSession, min_ratio: float = 0.5) -> DataFrame:
+    """Repartition a scan ONLY when the source yields fewer input
+    splits than the cluster has cores (the local test corpus is one
+    single-row-group parquet file per table → 1-task scans). At real
+    scale (many files / row groups) the condition is false and this is
+    a no-op — we never shuffle 100 TB just to repartition; the scan
+    already parallelizes. Use on compute-heavy plans where per-row work
+    dwarfs the one small exchange."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target * min_ratio:
+        return df.repartition(target)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view so ``spark.sql`` can be used
     interchangeably with the DataFrame API (same Catalyst plans)."""
