@@ -1,0 +1,101 @@
+"""Catalog CRUD + cascade + end-to-end ingest (SURVEY.md §3.2)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def catalog(spark, tmp_path):
+    from vector_search_service_spark.catalog import Catalog
+
+    return Catalog(spark, str(tmp_path / "store"))
+
+
+DOCS = [
+    (1, "# Title One\nThe quick brown fox jumps over the lazy dog. " * 40, "src0"),
+    (2, "def main():\n    return 42  # code-ish content here", "src1"),
+    (3, "", "src1"),                     # rejected: empty
+    (4, "short text doc", "src2"),
+]
+
+
+def _raw(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string, source string")
+
+
+def test_collection_crud(catalog):
+    c = catalog.create_collection("alpha", "first", metadata={"k": "v"})
+    assert c["id"] == 1 and c["embedding_dimension"] == 1024
+    assert c["distance_function"] == "cosine"
+    with pytest.raises(ValueError):
+        catalog.create_collection("alpha")
+    c2 = catalog.create_collection("beta")
+    assert c2["id"] == 2
+    assert [x["name"] for x in catalog.list_collections()] == ["alpha", "beta"]
+    assert catalog.get_collection("nope") is None
+    assert catalog.delete_collection("alpha") is True
+    assert catalog.delete_collection("alpha") is False
+    assert [x["name"] for x in catalog.list_collections()] == ["beta"]
+
+
+def test_ingest_and_search_roundtrip(catalog, spark):
+    from vector_search_service_spark.ingest import ingest_into
+    from vector_search_service_spark.operators.search import fts_search
+
+    catalog.create_collection("docs")
+    res = ingest_into(catalog, "docs", _raw(spark), metadata_cols=("source",))
+    assert res["documents_rejected"] == 1
+    assert res["chunks_created"] >= 4  # doc 1 chunks into >1
+
+    stored = catalog.documents("docs")
+    assert stored.count() == res["chunks_created"]
+    # chunk ids follow {doc_id}_chunk_{i}
+    assert stored.filter(F.col("document_id").rlike("_chunk_\\d+$")).count() == stored.count()
+    # metadata map carries chunk provenance + extracted fields
+    row = stored.filter(F.col("doc_metadata.chunk_index") == "0").limit(1).collect()[0]
+    assert row["doc_metadata"]["content_type"] in ("code", "markdown", "html", "text")
+    # stored lexeme column supports search directly
+    hits = fts_search(
+        stored, "quick brown fox", text_col="content", id_col="document_id"
+    )
+    assert hits.count() >= 1
+
+    # targeted delete (S6)
+    victim = stored.limit(1).collect()[0]["document_id"]
+    assert catalog.delete_documents("docs", [victim]) == 1
+    assert catalog.documents("docs").filter(F.col("document_id") == victim).count() == 0
+
+    stats = catalog.collection_stats("docs")
+    assert stats["document_count"] == res["chunks_created"] - 1
+    assert stats["size_bytes"] > 0
+
+
+def test_cascade_delete(catalog, spark):
+    from vector_search_service_spark.ingest import ingest_into
+
+    catalog.create_collection("a")
+    catalog.create_collection("b")
+    ingest_into(catalog, "a", _raw(spark))
+    ingest_into(catalog, "b", _raw(spark))
+    n_b = catalog.documents("b").count()
+    catalog.delete_collection("a")
+    # b untouched, a gone (cascade)
+    assert catalog.documents("b").count() == n_b
+    with pytest.raises(ValueError):
+        catalog.documents("a")
+
+
+def test_metadata_in_doc_id(catalog, spark):
+    from vector_search_service_spark.functions.text import doc_id_col
+
+    df = spark.createDataFrame([("same text", "s1"), ("same text", "s2")], "text string, source string")
+    ids = [
+        r["id"] for r in df.select(
+            doc_id_col(F.col("text"), {"source": F.col("source")}).alias("id")
+        ).collect()
+    ]
+    assert ids[0] != ids[1]  # metadata participates in the hash
+    assert all(len(i) == 16 for i in ids)

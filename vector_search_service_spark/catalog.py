@@ -1,0 +1,214 @@
+"""Collection catalog + mutable document store on immutable parquet.
+
+Mirrors the reference's data model (SURVEY.md §1): a ``collections``
+catalog table and one shared ``documents`` chunk table, documents
+partitioned by ``collection_id``. PostgreSQL features are re-owned
+explicitly:
+
+- uniqueness of collection ``name`` (``src/db/models.py:16``) →
+  existence-check-then-append (S8);
+- FK ``ON DELETE CASCADE`` (``scripts/init-db.sql:20``) → write-path
+  ordering: drop the collection's document partition, then its catalog
+  row (S7);
+- targeted DELETE (S6, ``src/core/vector_store.py:360-392``) →
+  anti-join + dynamic partition overwrite of only the affected
+  partition;
+- GIN/B-tree indexes → hive partitioning on ``collection_id`` (every
+  reference query filters on it, ``src/core/vector_store.py:223``), so
+  partition pruning reads only one collection's files. At 100 TB this
+  is the difference between scanning one collection and scanning the
+  world; within a collection, min/max parquet stats prune further.
+
+Timestamps (`G7`): Spark has no triggers — ``created_at``/``updated_at``
+are set by this writer.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+COLLECTION_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType(), False),
+    T.StructField("name", T.StringType(), False),
+    T.StructField("description", T.StringType(), True),
+    T.StructField("doc_metadata", T.MapType(T.StringType(), T.StringType()), True),
+    T.StructField("embedding_dimension", T.IntegerType(), False),
+    T.StructField("distance_function", T.StringType(), False),
+    T.StructField("created_at", T.TimestampType(), False),
+    T.StructField("updated_at", T.TimestampType(), False),
+])
+
+DOCUMENT_SCHEMA = T.StructType([
+    T.StructField("collection_id", T.LongType(), False),
+    T.StructField("document_id", T.StringType(), False),
+    T.StructField("content", T.StringType(), False),
+    T.StructField("doc_metadata", T.MapType(T.StringType(), T.StringType()), True),
+    T.StructField("content_lexemes", T.ArrayType(T.StringType()), True),
+    T.StructField("embedding", T.ArrayType(T.FloatType()), True),
+    T.StructField("created_at", T.TimestampType(), False),
+    T.StructField("updated_at", T.TimestampType(), False),
+])
+
+
+class Catalog:
+    """Engine-owned table layout under ``root``:
+    ``root/collections/`` (tiny, overwrite-on-change) and
+    ``root/documents/collection_id=<id>/`` (hive-partitioned)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.collections_path = os.path.join(root, "collections")
+        self.documents_path = os.path.join(root, "documents")
+
+    # -- collections (S1, S2, S8) -----------------------------------------
+
+    def _collections_exists(self) -> bool:
+        return os.path.exists(os.path.join(self.collections_path, "_SUCCESS"))
+
+    def collections(self) -> DataFrame:
+        if not self._collections_exists():
+            return self.spark.createDataFrame([], COLLECTION_SCHEMA)
+        return self.spark.read.schema(COLLECTION_SCHEMA).parquet(self.collections_path)
+
+    def get_collection(self, name: str) -> dict | None:
+        rows = self.collections().filter(F.col("name") == name).limit(1).collect()
+        return rows[0].asDict(recursive=True) if rows else None
+
+    def list_collections(self) -> list[dict]:
+        return [r.asDict(recursive=True) for r in self.collections().orderBy("id").collect()]
+
+    def create_collection(self, name: str, description: str | None = None, *,
+                          embedding_dimension: int = 1024,
+                          distance_function: str = "cosine",
+                          metadata: dict[str, str] | None = None) -> dict:
+        """S8 — reference defaults dim=1024 / cosine
+        (``src/core/vector_store.py:15-42``); name uniqueness enforced
+        by check-then-append (single-writer catalog assumption; a real
+        deployment would use Delta MERGE ``whenNotMatchedInsert``)."""
+        existing = self.get_collection(name)
+        if existing is not None:
+            raise ValueError(f"collection {name!r} already exists")
+        cur = self.collections()
+        next_id = (cur.agg(F.coalesce(F.max("id"), F.lit(0)).alias("m")).collect()[0]["m"] or 0) + 1
+        row_df = self.spark.createDataFrame(
+            [(next_id, name, description, metadata or {}, embedding_dimension, distance_function)],
+            T.StructType(COLLECTION_SCHEMA.fields[:6]),
+        ).withColumn("created_at", F.current_timestamp()) \
+         .withColumn("updated_at", F.current_timestamp())
+        self._rewrite_collections(cur.unionByName(row_df))
+        return self.get_collection(name)  # re-read: timestamps materialized
+
+    def delete_collection(self, name: str) -> bool:
+        """S7 — engine-owned cascade: documents partition first, then
+        the catalog row (``src/core/vector_store.py:74-90``)."""
+        coll = self.get_collection(name)
+        if coll is None:
+            return False
+        part_dir = os.path.join(self.documents_path, f"collection_id={coll['id']}")
+        if os.path.exists(part_dir):
+            shutil.rmtree(part_dir)
+        self._rewrite_collections(self.collections().filter(F.col("name") != name))
+        return True
+
+    def _rewrite_collections(self, df: DataFrame) -> None:
+        # tiny catalog table: materialize → atomic-ish swap via temp dir
+        tmp = self.collections_path + ".tmp"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        if os.path.exists(self.collections_path):
+            shutil.rmtree(self.collections_path)
+        os.replace(tmp, self.collections_path)
+
+    # -- documents (S3, S5, S6) -------------------------------------------
+
+    def documents(self, collection_name: str | None = None) -> DataFrame:
+        if not os.path.exists(self.documents_path):
+            return self.spark.createDataFrame([], DOCUMENT_SCHEMA)
+        df = self.spark.read.schema(DOCUMENT_SCHEMA).parquet(self.documents_path)
+        if collection_name is not None:
+            coll = self._resolve(collection_name)
+            # literal partition predicate → partition pruning (J1 done
+            # driver-side, exactly like the reference's two-step resolve)
+            df = df.filter(F.col("collection_id") == coll["id"])
+        return df
+
+    def add_documents(self, collection_name: str, docs: DataFrame) -> int:
+        """S5 — append sink. ``docs`` must carry the DOCUMENT_SCHEMA
+        data columns (minus collection_id/timestamps, added here). The
+        reference's OOM micro-batching (batch_commit_size,
+        ``src/core/vector_store.py:116-164``) is obviated: executors
+        stream partitions to files."""
+        coll = self._resolve(collection_name)
+        out = (
+            docs.withColumn("collection_id", F.lit(coll["id"]).cast("long"))
+                .withColumn("created_at", F.current_timestamp())
+                .withColumn("updated_at", F.current_timestamp())
+        )
+        out = out.select([f.name for f in DOCUMENT_SCHEMA.fields])
+        n = out.count()
+        out.write.mode("append").partitionBy("collection_id").parquet(self.documents_path)
+        return n
+
+    def delete_documents(self, collection_name: str, document_ids: list[str]) -> int:
+        """S6 — targeted delete via anti-join, rewriting ONLY the one
+        collection partition (dynamic overwrite keeps every other
+        partition untouched — at scale, a delete costs one partition's
+        rewrite, not the table's)."""
+        coll = self._resolve(collection_name)
+        cur = self.documents(collection_name)
+        before = cur.count()
+        ids_df = self.spark.createDataFrame(
+            [(d,) for d in document_ids], "document_id string"
+        )
+        remaining = cur.join(F.broadcast(ids_df), "document_id", "left_anti")
+        after = remaining.count()
+        if after == before:
+            return 0
+        with self._dynamic_overwrite():
+            (
+                remaining.withColumn("collection_id", F.lit(coll["id"]).cast("long"))
+                .select([f.name for f in DOCUMENT_SCHEMA.fields])
+                .write.mode("overwrite").partitionBy("collection_id")
+                .parquet(self.documents_path)
+            )
+        return before - after
+
+    def collection_stats(self, collection_name: str) -> dict:
+        """A1 + A2 — document count and storage bytes
+        (``src/core/vector_store.py:394-427``); relation size from the
+        partition's file listing (the ``pg_total_relation_size``
+        stand-in)."""
+        coll = self._resolve(collection_name)
+        n = self.documents(collection_name).count()
+        part_dir = os.path.join(self.documents_path, f"collection_id={coll['id']}")
+        size = 0
+        if os.path.exists(part_dir):
+            for dirpath, _dirs, files in os.walk(part_dir):
+                size += sum(os.path.getsize(os.path.join(dirpath, f)) for f in files)
+        return {"collection": coll["name"], "document_count": n, "size_bytes": size}
+
+    # -- helpers -----------------------------------------------------------
+
+    def _resolve(self, name: str) -> dict:
+        coll = self.get_collection(name)
+        if coll is None:
+            raise ValueError(f"Collection '{name}' not found")
+        return coll
+
+    def _dynamic_overwrite(self):
+        spark = self.spark
+
+        class _Ctx:
+            def __enter__(self):
+                self.prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+                spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+            def __exit__(self, *exc):
+                spark.conf.set("spark.sql.sources.partitionOverwriteMode", self.prev)
+
+        return _Ctx()

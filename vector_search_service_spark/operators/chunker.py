@@ -1,0 +1,143 @@
+"""G3 — fixed-size overlapping chunking with word-boundary snapping.
+
+The reference chunks documents *before* storage (one row per chunk,
+``src/api/documents.py:159-199``) with the loop in
+``src/core/document_processor.py:48-136``. The offsets and per-chunk
+metadata are stored, so the algorithm below reproduces the observable
+behavior exactly (verified by unit tests over the edge cases in
+FIXTURES.md), including its quirks:
+
+- overlap is clamped to ``chunk_size // 2`` (`:65`);
+- when a window end lands mid-content, it snaps to just after the
+  nearest whitespace/punct char at-or-before the end, scanning back at
+  most 100 chars — note the scan *starts at* ``end`` itself, so a
+  boundary char exactly at ``end`` extends the chunk by one char
+  (`:126-136`);
+- chunks are stripped and empty chunks dropped *without* consuming a
+  chunk index (`:89-106`);
+- iteration safety cap of 1000 windows, and a no-advance guard for
+  pathological overlap/boundary combinations (`:71-76,118-121`).
+
+Spark shape: the per-document loop is pure Python over one string —
+inherently row-local, so it runs as an Arrow-batched pandas UDF
+producing ``array<struct>``, exploded to chunk rows. Each document is
+independent: the transform is embarrassingly parallel, no shuffle; at
+100 TB the cost is one Python pass over each text partition
+(~chunk-loop is O(len) per doc) with Arrow doing columnar transfer.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DEFAULT_CHUNK_SIZE = 1000   # DOCUMENT_CHUNK_SIZE, src/config/settings.py:49
+DEFAULT_CHUNK_OVERLAP = 200  # DOCUMENT_CHUNK_OVERLAP, src/config/settings.py:50
+_BOUNDARY_CHARS = set(" \n\t.,;:!?")
+_MAX_WINDOWS = 1000
+
+
+def snap_to_boundary(text: str, pos: int) -> int:
+    """Scan back from ``pos`` (inclusive) up to 100 chars for a
+    whitespace/punct char; return the index just after it, else ``pos``
+    unchanged. Mirrors ``_find_word_boundary`` including the
+    start-at-pos quirk."""
+    lo = max(0, pos - 100)
+    i = pos
+    while i > lo:
+        if text[i] in _BOUNDARY_CHARS:
+            return i + 1
+        i -= 1
+    return pos
+
+
+def chunk_text(content: str, chunk_size: int = DEFAULT_CHUNK_SIZE,
+               overlap: int = DEFAULT_CHUNK_OVERLAP) -> list[dict]:
+    """Split one document into overlapping chunk dicts
+    (content/chunk_index/start_char/end_char/chunk_size/is_first_chunk/
+    is_last_chunk)."""
+    if not content or not content.strip():
+        return []
+    overlap = min(overlap, chunk_size // 2)
+    n = len(content)
+    out: list[dict] = []
+    start = 0
+    idx = 0
+    for _ in range(_MAX_WINDOWS):
+        end = min(start + chunk_size, n)
+        if end < n:
+            end = snap_to_boundary(content, end)
+        piece = content[start:end].strip()
+        if piece:
+            out.append({
+                "content": piece,
+                "chunk_index": idx,
+                "start_char": start,
+                "end_char": end,
+                "chunk_size": len(piece),
+                "is_first_chunk": idx == 0,
+                "is_last_chunk": end >= n,
+            })
+            idx += 1
+        if end >= n:
+            break
+        nxt = end - overlap
+        if nxt <= start:  # no forward progress — bail like the reference
+            break
+        start = nxt
+    return out
+
+
+CHUNK_STRUCT = T.StructType([
+    T.StructField("content", T.StringType(), False),
+    T.StructField("chunk_index", T.IntegerType(), False),
+    T.StructField("start_char", T.IntegerType(), False),
+    T.StructField("end_char", T.IntegerType(), False),
+    T.StructField("chunk_size", T.IntegerType(), False),
+    T.StructField("is_first_chunk", T.BooleanType(), False),
+    T.StructField("is_last_chunk", T.BooleanType(), False),
+])
+
+
+def chunks_udf(chunk_size: int = DEFAULT_CHUNK_SIZE,
+               overlap: int = DEFAULT_CHUNK_OVERLAP):
+    @F.pandas_udf(T.ArrayType(CHUNK_STRUCT))
+    def _chunks(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: chunk_text(t or "", chunk_size, overlap))
+    return _chunks
+
+
+def chunk_documents(df: DataFrame, *, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    chunk_size: int = DEFAULT_CHUNK_SIZE,
+                    overlap: int = DEFAULT_CHUNK_OVERLAP) -> DataFrame:
+    """1 document row in → N chunk rows out (the UDTF shape:
+    array-returning pandas UDF + explode). Chunk id mirrors the
+    reference's ``{doc_id}_chunk_{i}`` (``src/api/documents.py:187``)
+    and ``total_chunks`` its per-document count (`:174-184`)."""
+    chunks = chunks_udf(chunk_size, overlap)(F.col(text_col))
+    exploded = (
+        df.withColumn("_chunks", chunks)
+          .withColumn("total_chunks", F.size("_chunks"))
+          .withColumn("chunk", F.explode("_chunks"))
+          .drop("_chunks", text_col)
+    )
+    return (
+        exploded.select(
+            F.col(id_col),
+            F.concat(F.col(id_col).cast("string"), F.lit("_chunk_"),
+                     F.col("chunk.chunk_index").cast("string")).alias("chunk_id"),
+            F.col("chunk.content").alias("content"),
+            F.col("chunk.chunk_index").alias("chunk_index"),
+            F.col("chunk.start_char").alias("start_char"),
+            F.col("chunk.end_char").alias("end_char"),
+            F.col("chunk.chunk_size").alias("chunk_size"),
+            F.col("chunk.is_first_chunk").alias("is_first_chunk"),
+            F.col("chunk.is_last_chunk").alias("is_last_chunk"),
+            F.col("total_chunks"),
+            *[F.col(c) for c in df.columns if c not in (text_col, id_col)],
+        )
+    )
