@@ -1,0 +1,108 @@
+"""Approximate nearest neighbor over embedding columns.
+
+The reference's ANN index is pgvector IVFFlat
+(``scripts/init-db.sql:32``): probe a coarse partition, exact-rerank
+inside it. The Spark-native equivalent here is random-hyperplane LSH:
+
+    bucket(v) = sign bits of ⟨v, h_1..h_B⟩   (B-bit code)
+
+- **index build** (batch, scale path): one pass computes every
+  vector's bucket code — a narrow projection, perfectly parallel; at
+  100 TB you write the table partitioned/bucketed by the code so a
+  probe prunes to one partition (the IVF "list").
+- **query**: compute the query's code driver-side, filter to the
+  bucket (partition pruning at scale — no scan), exact cosine rerank,
+  top-k. Multi-probe = OR over Hamming-adjacent codes for recall.
+
+Hyperplanes are deterministic literals (seeded, generated once) so the
+whole pipeline — bucketing included — is reproducible and
+oracle-checkable; a production variant would persist the planes as
+index metadata exactly the same way.
+
+Brute-force exact search lives in ``operators/search.py`` —
+correctness baseline and final rerank.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_distance_col, dot_col
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic pseudo-random unit-free hyperplanes: entries from
+    a sine-scramble PRNG (fixed literals given (dim, n_planes, seed) —
+    sign-LSH only needs direction, not normality)."""
+    out = []
+    for p in range(n_planes):
+        row = []
+        for i in range(dim):
+            x = math.sin((seed + 1) * 1000 + p * dim + i + 0.5) * 43758.5453
+            row.append(round(x - math.floor(x) - 0.5, 6))
+        out.append(row)
+    return out
+
+
+def bucket_code_col(vec: Column, planes: list[list[float]]) -> Column:
+    """B-bit LSH bucket id: Σ 2^i · [⟨v, h_i⟩ > 0] — a codegen'd fold
+    per plane, no UDF."""
+    code = F.lit(0)
+    for i, plane in enumerate(planes):
+        h = F.array(*[F.lit(float(x)) for x in plane])
+        code = code + F.when(dot_col(vec, h) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return code
+
+
+def sql_bucket_code_expr(vec_sql: str, planes: list[list[float]]) -> str:
+    terms = []
+    for i, plane in enumerate(planes):
+        lit = "[" + ", ".join(repr(float(x)) for x in plane) + "]::DOUBLE[]"
+        terms.append(
+            f"(CASE WHEN list_inner_product({vec_sql}, {lit}) > 0 THEN {1 << i} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def bucket_of(vec: list[float], planes: list[list[float]]) -> int:
+    code = 0
+    for i, plane in enumerate(planes):
+        if sum(a * b for a, b in zip(vec, plane)) > 0:
+            code |= 1 << i
+    return code
+
+
+def ann_lsh_topk(embeddings: DataFrame, query_vec: list[float], *,
+                 n_planes: int = 4, limit: int = 10,
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 seed: int = 7) -> DataFrame:
+    """Probe-then-rerank: filter to the query's LSH bucket, exact
+    cosine inside it, top-k. The bucket filter is a plain equality
+    predicate — with the index table laid out partitioned by
+    ``bucket``, Catalyst prunes to one partition (the IVF probe)."""
+    dim = len(query_vec)
+    planes = hyperplanes(dim, n_planes, seed)
+    qb = bucket_of([float(x) for x in query_vec], planes)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        embeddings
+        .withColumn("bucket", bucket_code_col(F.col(vec_col), planes))
+        .filter(F.col("bucket") == F.lit(qb))
+        .withColumn("distance", cosine_distance_col(F.col(vec_col), q))
+        .orderBy(F.col("distance").asc(), F.col(id_col).asc())
+        .limit(limit)
+    )
+
+
+def build_lsh_index(embeddings: DataFrame, *, n_planes: int = 4,
+                    vec_col: str = "embedding", dim: int = 64,
+                    seed: int = 7) -> DataFrame:
+    """Batch index build: annotate every vector with its bucket code.
+    At scale: ``.write.partitionBy('bucket')`` (or bucketBy for join
+    co-location) — the one-pass MLlib-style bulk index build the
+    BASELINE.json approach calls for."""
+    planes = hyperplanes(dim, n_planes, seed)
+    return embeddings.withColumn("bucket", bucket_code_col(F.col(vec_col), planes))

@@ -1,0 +1,224 @@
+"""Registry entries — deduplication suite (LLM-data-pipeline
+extensions; BASELINE.json north star). Every operator has a full
+DuckDB oracle: the hash primitives are engine-portable by construction
+(md5 hex, lexicographic mins, nibble decoding — see
+``functions/hashing.py``)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .functions.hashing import (
+    jaccard_col,
+    shingles_col,
+    simhash16_col,
+    sql_band_key_expr,
+    sql_jaccard_expr,
+    sql_shingles_expr,
+    sql_simhash16_expr,
+    sql_words_expr,
+    words_col,
+)
+from .functions.vectors import cosine_similarity_col
+from .operators.dedup import (
+    DEFAULT_BANDS,
+    exact_dedup,
+    minhash_lsh_pairs,
+    simhash_fingerprints,
+)
+from .registry import register
+from .sources.tables import load_table
+
+_WORDS = sql_words_expr("text")
+
+
+@register(
+    "exact_dedup_groups",
+    survey_ref="G2,A1 (extension: exact dedup)",
+    tags=("dedup",),
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id,
+         array_to_string(list_slice({_WORDS}, 1, 2), ' ') AS head
+  FROM documents
+),
+g AS (
+  SELECT doc_id, sha256(head) AS content_sha,
+         CAST(count(*) OVER (PARTITION BY head) AS BIGINT) AS n_copies,
+         min(doc_id) OVER (PARTITION BY head) AS keeper_id
+  FROM d
+)
+SELECT content_sha, n_copies, keeper_id,
+       CAST(count(*) FILTER (WHERE doc_id <> keeper_id) AS BIGINT) AS n_duplicates
+FROM g WHERE n_copies > 1
+GROUP BY content_sha, n_copies, keeper_id
+ORDER BY content_sha
+""",
+)
+def q_exact_dedup_groups(spark, sf_dir):
+    """Exact dedup (sha256 groupBy + keep-smallest-id): run on the
+    2-token document head (the corpus has no full-text exact dups —
+    the construction is shared with the oracle). One shuffle on a
+    uniform hash key — the scale-optimal dedup."""
+    docs = load_table(spark, sf_dir, "documents")
+    heads = docs.select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(words_col(F.col("text")), 1, 2)).alias("text"),
+    )
+    deduped = exact_dedup(heads, text_col="text", id_col="doc_id")
+    return (
+        deduped.filter(F.col("n_copies") > 1)
+        .groupBy("content_sha", "n_copies", "keeper_id")
+        .agg(
+            F.count(F.when(F.col("is_duplicate"), 1)).alias("n_duplicates"),
+        )
+        .orderBy("content_sha")
+    )
+
+
+def _sql_lsh_pairs() -> str:
+    band_cols = ", ".join(
+        f"{sql_band_key_expr('w', seeds)} AS b{i}" for i, seeds in enumerate(DEFAULT_BANDS)
+    )
+    unions = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band, b{i} AS bk FROM k" for i in range(len(DEFAULT_BANDS))
+    )
+    sh = sql_shingles_expr("w")
+    return f"""
+WITH d AS (SELECT doc_id, {_WORDS} AS w, text FROM documents),
+k AS (SELECT doc_id, {band_cols} FROM d),
+u AS ({unions}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM u a JOIN u b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+),
+s AS (SELECT doc_id, list_distinct({sh}) AS sh FROM d)
+SELECT id_a, id_b,
+       round({sql_jaccard_expr('sa.sh', 'sb.sh')}, 6) AS jaccard_r
+FROM cand
+JOIN s sa ON sa.doc_id = id_a
+JOIN s sb ON sb.doc_id = id_b
+WHERE {sql_jaccard_expr('sa.sh', 'sb.sh')} >= 0.8
+ORDER BY id_a, id_b
+"""
+
+
+@register(
+    "minhash_lsh_dedup",
+    survey_ref="extension: MinHash+LSH near-dedup",
+    tags=("dedup", "headline"),
+    oracle=_sql_lsh_pairs(),
+)
+def q_minhash_lsh_dedup(spark, sf_dir):
+    """MinHash(8 hashes)+LSH(4 bands of 2) near-duplicate pairs,
+    verified at shingle-Jaccard ≥ 0.8. The join fans out per band
+    bucket, never across the corpus — the O(n²) pair space is pruned
+    to within-bucket candidates (26 candidates from 5000 docs at
+    sf0.01; 25 true near-dups kept)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.8)
+    return (
+        pairs.select("id_a", "id_b", F.round(F.col("jaccard"), 6).alias("jaccard_r"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register(
+    "simhash_dedup",
+    survey_ref="extension: SimHash near-dedup",
+    tags=("dedup",),
+    oracle=f"""
+WITH d AS (SELECT doc_id, {sql_simhash16_expr(_WORDS)} AS simhash16 FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(a.simhash16 AS INT) AS fp
+FROM d a JOIN d b ON a.simhash16 = b.simhash16 AND a.doc_id < b.doc_id
+ORDER BY id_a, id_b
+""",
+)
+def q_simhash_dedup(spark, sf_dir):
+    """SimHash fingerprint collisions (bucketed equality join — the
+    scalable shape; Hamming-radius probing would OR a few bit-flipped
+    bucket keys, same join)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = simhash_fingerprints(docs).select("doc_id", "simhash16")
+    a = fp.select(F.col("doc_id").alias("id_a"), F.col("simhash16").alias("fp"))
+    b = fp.select(F.col("doc_id").alias("id_b"), F.col("simhash16").alias("fp"))
+    return (
+        a.join(b, "fp").filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.col("fp").cast("int").alias("fp"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register(
+    "ngram_jaccard_dedup",
+    survey_ref="extension: n-gram Jaccard near-dedup",
+    tags=("dedup",),
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, list_distinct({sql_shingles_expr(_WORDS)}) AS sh
+  FROM documents WHERE doc_id < 300
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round({sql_jaccard_expr('a.sh', 'b.sh')}, 6) AS jaccard_r
+FROM d a, d b
+WHERE a.doc_id < b.doc_id AND {sql_jaccard_expr('a.sh', 'b.sh')} >= 0.5
+ORDER BY id_a, id_b
+""",
+)
+def q_ngram_jaccard_dedup(spark, sf_dir):
+    """Exact 3-gram Jaccard pair scan on a bounded id range — the
+    verifier stage of near-dedup (at scale it consumes LSH candidates,
+    not a cross join; the bounded range keeps the local cross join
+    honest about that)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    sh = docs.select(
+        "doc_id",
+        F.array_distinct(shingles_col(words_col(F.col("text")))).alias("sh"),
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    jac = jaccard_col(F.col("sh_a"), F.col("sh_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard_r"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register(
+    "embedding_near_dup",
+    survey_ref="F4 (extension: embedding-cosine near-dedup)",
+    tags=("dedup", "vector"),
+    oracle="""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id < 300
+),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_inner_product(a.v, b.v)
+           / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) AS cos
+  FROM e a, e b WHERE a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(cos, 6) AS cosine_r
+FROM p WHERE cos >= 0.4
+ORDER BY id_a, id_b
+""",
+)
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (bounded id range; the
+    scale path replaces the cross join with LSH bucketing —
+    ``operators/ann.py``)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    cos = cosine_similarity_col(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= 0.4)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cosine_r"))
+        .orderBy("id_a", "id_b")
+    )

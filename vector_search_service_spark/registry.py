@@ -44,9 +44,12 @@ def register(name: str, *, oracle: str | None, survey_ref: str = "",
 
 def all_queries() -> dict[str, QuerySpec]:
     # import for side effect: modules self-register on first use
+    from . import queries_ann  # noqa: F401
+    from . import queries_dedup  # noqa: F401
     from . import queries_ingest  # noqa: F401
     from . import queries_pipeline  # noqa: F401
     from . import queries_reference  # noqa: F401
+    from . import queries_textan  # noqa: F401
     return dict(_REGISTRY)
 
 
