@@ -49,6 +49,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from . import queries_ingest  # noqa: F401
     from . import queries_pipeline  # noqa: F401
     from . import queries_reference  # noqa: F401
+    from . import queries_streaming  # noqa: F401
     from . import queries_textan  # noqa: F401
     return dict(_REGISTRY)
 

@@ -1,0 +1,98 @@
+"""Event-time windowed aggregation (net-new Spark capability, SURVEY.md
+§2.10: the reference has no stream processing).
+
+Each helper is written once and used in BOTH modes: applied to a batch
+DataFrame it is the oracle-checkable query; applied to a
+``readStream`` DataFrame (with the watermark) it is the production
+streaming query — same Catalyst operators, which is the point of
+Structured Streaming. Tests run both and assert equality.
+
+Scale notes: windowed aggregation shuffles on (window, keys); the
+watermark bounds state (late data beyond it is dropped, state for
+closed windows evicted). Session windows use Spark's native
+``session_window`` (gap-merged, stateful in streaming).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_counts(events: DataFrame, *, width: str = "1 hour",
+                    ts_col: str = "ts", watermark: str | None = None) -> DataFrame:
+    """Tumbling event-time windows: count + exact value sum per
+    (window, event_type). Sum is exact integer micro-units (value has
+    ≤6 observed decimals) so the distributed/streaming result is
+    bit-reproducible — see decimal_exact_revenue for the rationale."""
+    df = events
+    if watermark is not None:
+        df = df.withWatermark(ts_col, watermark)
+    micros = F.round(F.col("value") * 1_000_000).cast("long")
+    return (
+        df.groupBy(F.window(F.col(ts_col), width).alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(micros) / 1_000_000.0).alias("sum_value"),
+        )
+        .select(
+            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+            "event_type", "n_events", "sum_value",
+        )
+    )
+
+
+def sliding_user_activity(events: DataFrame, *, width: str = "2 hours",
+                          slide: str = "1 hour", ts_col: str = "ts",
+                          watermark: str | None = None) -> DataFrame:
+    """Sliding windows (each event lands in width/slide windows):
+    distinct active users per window."""
+    df = events
+    if watermark is not None:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.window(F.col(ts_col), width, slide).alias("w"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .select(F.unix_millis(F.col("w.start")).alias("window_start_ms"), "n_users")
+    )
+
+
+def session_windows(events: DataFrame, *, gap: str = "30 minutes",
+                    ts_col: str = "ts", watermark: str | None = None) -> DataFrame:
+    """Per-user gap-based sessionization (``session_window``): events
+    closer than ``gap`` merge into one session."""
+    df = events
+    if watermark is not None:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.session_window(F.col(ts_col), gap).alias("w"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_millis(F.col("w.start")).alias("session_start_ms"),
+            F.unix_millis(F.col("w.end")).alias("session_end_ms"),
+            "n_events",
+        )
+    )
+
+
+def stream_events_from_parquet(spark, sf_dir: str, *, max_files_per_trigger: int = 1) -> DataFrame:
+    """Re-read the events table as a file-source stream (the batch
+    parquet replayed incrementally) — the ingest-as-stream upgrade of
+    Q2. The TIMESTAMP(NANOS) handling mirrors ``sources/tables.py``."""
+    import os
+
+    from ..sources.tables import load_table
+
+    load_table(spark, sf_dir, "events")  # sets nanosAsLong when needed
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    # file streams need a directory source; glob-filter to the one table
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return stream
