@@ -1,0 +1,117 @@
+"""Batch embedding generation (SURVEY.md §2.12 — the deprecated-but-
+in-tree reference path, re-expressed as the BASELINE.json-mandated
+Spark approach: batch generation via pandas UDFs / MLlib-style
+feature hashing).
+
+Two interchangeable implementations of the same deterministic
+hash-embedding "model" (the dependency-free stand-in for
+sentence-transformers — ``src/core/embedding_client.py:103-124``):
+
+1. :func:`hash_embedding_raw_col` — pure Catalyst expressions
+   (feature-hashing trick: token → md5 bucket ± sign), codegen'd,
+   exactly mirrored in DuckDB (hex→int is portable) → oracle-checked.
+2. :func:`hash_embed_model_udf` — iterator pandas UDF that "loads the
+   model once per executor" then embeds Arrow batches: the exact
+   production shape for a real model (swap ``_HashModel`` for
+   sentence-transformers and nothing else changes). Tests assert 1==2.
+
+Scale: embedding 100 TB of text is one narrow projection — no
+shuffle, model loaded once per executor (not per batch), Arrow
+transfer amortized; write back partitioned by the same key as the
+source so the join to attach embeddings is co-located.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .hashing import sql_words_expr, words_col
+
+DEFAULT_DIM = 64
+
+
+def _bucket(tok: Column, dim: int) -> Column:
+    return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long") % dim
+
+
+def _sign(tok: Column) -> Column:
+    return F.when(
+        F.substring(F.md5(tok), 9, 1).isin("1", "3", "5", "7", "9", "b", "d", "f"),
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+
+
+def hash_embedding_raw_col(text: Column, dim: int = DEFAULT_DIM) -> Column:
+    """Unnormalized integer embedding: component j = Σ_tokens
+    (bucket==j)·sign. Integer-exact → cross-engine reproducible; the
+    normalized float vector is this divided by its norm (done at use
+    sites or by the UDF variant)."""
+    pairs = F.transform(
+        words_col(text), lambda t: F.struct(_bucket(t, dim).alias("b"), _sign(t).alias("s"))
+    )
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: F.aggregate(
+            pairs, F.lit(0),
+            lambda acc, p: acc + F.when(p["b"] == j.cast("long"), p["s"]).otherwise(F.lit(0)),
+        ),
+    )
+
+
+def sql_hash_embedding_raw_expr(text_sql: str, dim: int = DEFAULT_DIM) -> str:
+    words = sql_words_expr(text_sql)
+    bucket = f"(('0x' || substr(md5(t), 1, 8))::UBIGINT % {dim})"
+    sign = (
+        "(CASE WHEN substr(md5(t), 9, 1) IN "
+        "('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END)"
+    )
+    return (
+        f"list_transform(range(0, {dim}), j -> CAST(list_sum(list_transform({words}, "
+        f"t -> CASE WHEN {bucket} = CAST(j AS UBIGINT) THEN {sign} ELSE 0 END)) AS INT))"
+    )
+
+
+class _HashModel:
+    """The 'model' — stands in for sentence-transformers; loaded once
+    per executor process by the iterator UDF below."""
+
+    def __init__(self, dim: int):
+        import hashlib
+
+        self.dim = dim
+        self._md5 = hashlib.md5
+
+    def encode_batch(self, texts: list[str]) -> list[list[float]]:
+        import math
+        import re
+
+        out = []
+        for text in texts:
+            vec = [0] * self.dim
+            for tok in re.split("[^a-z0-9]+", (text or "").lower()):
+                if not tok:
+                    continue
+                h = self._md5(tok.encode()).hexdigest()
+                j = int(h[:8], 16) % self.dim
+                vec[j] += 1 if h[8] in "13579bdf" else -1
+            norm = math.sqrt(sum(x * x for x in vec))
+            out.append([x / norm for x in vec] if norm > 0 else [0.0] * self.dim)
+        return out
+
+
+def hash_embed_model_udf(dim: int = DEFAULT_DIM):
+    """Iterator pandas UDF: model constructed ONCE per executor (the
+    expensive load happens outside the batch loop), then every Arrow
+    batch reuses it — the pattern a real transformer model requires."""
+    @F.pandas_udf(T.ArrayType(T.FloatType()))
+    def embed(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        model = _HashModel(dim)  # per-executor load
+        for texts in batches:
+            yield pd.Series(model.encode_batch(texts.tolist()))
+    return embed

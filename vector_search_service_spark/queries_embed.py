@@ -1,0 +1,29 @@
+"""Registry entry — batch embedding generation (§2.12)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .functions.embed import hash_embedding_raw_col, sql_hash_embedding_raw_expr
+from .registry import register
+from .sources.tables import load_table
+
+
+@register(
+    "embed_documents",
+    survey_ref="§2.12 batch embedding generation (BASELINE.json approach)",
+    tags=("vector", "embed"),
+    oracle=f"""
+SELECT doc_id, {sql_hash_embedding_raw_expr('text')} AS emb_raw
+FROM documents ORDER BY doc_id LIMIT 200
+""",
+)
+def q_embed_documents(spark, sf_dir):
+    """Feature-hash embeddings over the corpus (integer raw vectors —
+    the normalized float variant is the pandas-UDF 'model' path,
+    asserted equal in tests). One narrow projection, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.orderBy("doc_id").limit(200)
+        .select("doc_id", hash_embedding_raw_col(F.col("text")).alias("emb_raw"))
+    )

@@ -46,7 +46,9 @@ def all_queries() -> dict[str, QuerySpec]:
     # import for side effect: modules self-register on first use
     from . import queries_ann  # noqa: F401
     from . import queries_dedup  # noqa: F401
+    from . import queries_embed  # noqa: F401
     from . import queries_ingest  # noqa: F401
+    from . import queries_multimodal  # noqa: F401
     from . import queries_pipeline  # noqa: F401
     from . import queries_reference  # noqa: F401
     from . import queries_streaming  # noqa: F401
