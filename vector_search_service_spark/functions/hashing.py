@@ -44,47 +44,90 @@ def sql_shingles_expr(words: str, k: int = 3) -> str:
     )
 
 
-def minhash_col(shingles: Column, seed: int) -> Column:
-    """One MinHash component: the lexicographic min of seed-salted md5
-    hex digests over the shingle set. Hex-string min == numeric min of
-    the underlying 128-bit value, so this is a faithful MinHash without
-    any integer-conversion portability trap."""
-    return F.array_min(
-        F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{seed}|"), s)))
+# MinHash via one strong hash + k integer permutations:
+#   h(s)   = low 31 bits of md5(s)  (hex→int, portable)
+#   h_i(s) = (a_i·h(s) + b_i) mod p (Mersenne prime 2^31-1)
+# One md5 per shingle TOTAL (not per seed) — the md5 dominates minhash
+# cost, so k-vs-1 digests is the difference between hours and minutes
+# at corpus scale. a_i < 2^31 keeps every product under 2^62: exact in
+# Spark's signed i64 and DuckDB's UBIGINT alike.
+
+MINHASH_P = (1 << 31) - 1
+
+
+def _perm_coeffs(seed: int) -> tuple[int, int]:
+    # deterministic odd multiplier + offset per seed (fixed contract)
+    a = (2 * seed + 1) * 2654435761 % MINHASH_P
+    b = (seed * 40503 + 12345) % MINHASH_P
+    return (a or 1), b
+
+
+def shingle_hashes_col(shingles: Column) -> Column:
+    """Base integer hashes: one md5 per shingle, low 31 bits."""
+    return F.transform(
+        shingles,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long") % F.lit(1 << 31),
     )
 
 
-def sql_minhash_expr(shingles: str, seed: int) -> str:
-    return f"list_min(list_transform({shingles}, s -> md5('{seed}|' || s)))"
+def sql_shingle_hashes_expr(shingles: str) -> str:
+    return (
+        f"list_transform({shingles}, s -> "
+        f"CAST(('0x' || substr(md5(s), 1, 8))::UBIGINT % 2147483648 AS BIGINT))"
+    )
 
 
-def band_key_col(words: Column, seeds: tuple[int, ...]) -> Column:
-    """LSH band key: md5 of the concatenated MinHash components of the
-    band's seeds."""
-    sh = shingles_col(words)
-    return F.md5(F.concat_ws("|", *[minhash_col(sh, s) for s in seeds]))
+def minhash_from_hashes_col(hashes: Column, seed: int) -> Column:
+    a, b = _perm_coeffs(seed)
+    return F.array_min(
+        F.transform(hashes, lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P))
+    )
 
 
-def sql_band_key_expr(words: str, seeds: tuple[int, ...]) -> str:
-    sh = sql_shingles_expr(words)
-    parts = ", ".join(sql_minhash_expr(sh, s) for s in seeds)
+def sql_minhash_from_hashes_expr(hashes: str, seed: int) -> str:
+    a, b = _perm_coeffs(seed)
+    return f"list_min(list_transform({hashes}, h -> (h * {a} + {b}) % {MINHASH_P}))"
+
+
+def band_key_from_hashes_col(hashes: Column, seeds: tuple[int, ...]) -> Column:
+    """LSH band key: md5 of the band's concatenated MinHash values."""
+    return F.md5(F.concat_ws("|", *[
+        minhash_from_hashes_col(hashes, s).cast("string") for s in seeds
+    ]))
+
+
+def sql_band_key_from_hashes_expr(hashes: str, seeds: tuple[int, ...]) -> str:
+    parts = ", ".join(
+        f"CAST({sql_minhash_from_hashes_expr(hashes, s)} AS VARCHAR)" for s in seeds
+    )
     return f"md5(array_to_string([{parts}], '|'))"
 
 
 _ODD_HEX = ("1", "3", "5", "7", "9", "b", "d", "f")
 
 
-def simhash16_col(words: Column) -> Column:
-    """16-bit SimHash: bit j is the sign of Σ_tokens (2·b_j(tok) − 1)
-    where b_j(tok) is the low bit of hex digit j of md5(tok) (digit
-    parity — an IN-list check, portable to the oracle verbatim). A
-    production 64/128-bit variant only widens the loop."""
+def token_digests_col(words: Column) -> Column:
+    """md5 per token, computed ONCE — simhash reads 16 digits from the
+    same digest (materialize this as its own column so the 16 bit
+    expressions share it instead of re-hashing)."""
+    return F.transform(words, lambda t: F.md5(t))
+
+
+def sql_token_digests_expr(words: str) -> str:
+    return f"list_transform({words}, t -> md5(t))"
+
+
+def simhash16_col(digests: Column) -> Column:
+    """16-bit SimHash over token md5 digests: bit j is the sign of
+    Σ_tokens (2·b_j − 1) where b_j is the parity of hex digit j (an
+    IN-list check, portable to the oracle verbatim). A production
+    64/128-bit variant only widens the loop."""
     def _balance(j: int) -> Column:
         return F.aggregate(
-            words,
+            digests,
             F.lit(0),
-            lambda acc, t: acc
-            + F.when(F.substring(F.md5(t), j + 1, 1).isin(*_ODD_HEX), F.lit(1))
+            lambda acc, d: acc
+            + F.when(F.substring(d, j + 1, 1).isin(*_ODD_HEX), F.lit(1))
              .otherwise(F.lit(-1)),
         )
 
@@ -94,13 +137,13 @@ def simhash16_col(words: Column) -> Column:
     return acc
 
 
-def sql_simhash16_expr(words: str) -> str:
+def sql_simhash16_expr(digests: str) -> str:
     odd = ", ".join(f"'{d}'" for d in _ODD_HEX)
     terms = []
     for j in range(16):
         bal = (
-            f"list_sum(list_transform({words}, t -> "
-            f"CASE WHEN substr(md5(t), {j + 1}, 1) IN ({odd}) THEN 1 ELSE -1 END))"
+            f"list_sum(list_transform({digests}, d -> "
+            f"CASE WHEN substr(d, {j + 1}, 1) IN ({odd}) THEN 1 ELSE -1 END))"
         )
         terms.append(f"(CASE WHEN {bal} > 0 THEN {1 << j} ELSE 0 END)")
     return "(" + " + ".join(terms) + ")"

@@ -8,33 +8,42 @@ shapes:
 - **exact**: hash → groupBy. One shuffle on a high-cardinality
   uniformly-distributed key (sha256) — the best-case shuffle; AQE
   coalesces post-shuffle partitions.
-- **MinHash LSH**: shingle → minhash signature → band keys → explode →
-  self-join per band bucket → Jaccard verify. The join is on band
-  keys, whose fan-out is bounded by bucket size, not corpus size: at
-  100 TB you never compare all pairs, only within-bucket pairs. Hot
-  buckets (boilerplate text) are the classic skew source — AQE skew
-  -join splitting handles moderate skew; degenerate buckets should be
-  capped upstream (drop buckets with > N members as "boilerplate").
-- **SimHash**: per-doc fingerprint then pair filter on Hamming
-  distance; bucketing by fingerprint prefix bounds the join the same
-  way.
+- **MinHash LSH**: shingle → one md5 per shingle → k integer
+  permutations → band keys → explode → self-join per band bucket →
+  Jaccard verify. The join is on band keys, whose fan-out is bounded
+  by bucket size, not corpus size: at 100 TB you never compare all
+  pairs, only within-bucket pairs. Hot buckets (boilerplate text) are
+  the classic skew source — AQE skew-join splitting handles moderate
+  skew; degenerate buckets should be capped upstream (drop buckets
+  with > N members as "boilerplate").
+- **SimHash**: per-doc fingerprint then bucketed equality join on the
+  fingerprint.
 - **n-gram Jaccard / embedding cosine**: exact pairwise verifiers —
   used on candidate pairs from a bucketing stage, never on the full
   cross product at scale.
+
+Implementation note (measured, sf0.1): the hash pipeline is md5-heavy
+array work; Spark's higher-order functions are CodegenFallback
+(interpreted), which made the expression form ~10x slower than an
+Arrow-batched pandas UDF computing the identical values. The hot
+stages therefore run as pandas UDFs; ``functions/hashing.py`` keeps
+the pure-expression mirrors (they define the oracle SQL, and
+``tests/test_dedup_parity.py`` pins UDF == expression). Join shuffles
+move only (id, band, key) — never text or shingle arrays.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
-from pyspark.sql import functions as F
+import hashlib
+import re
 
-from ..functions.hashing import (
-    band_key_col,
-    jaccard_col,
-    shingles_col,
-    simhash16_col,
-    words_col,
-)
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.hashing import MINHASH_P, _perm_coeffs, jaccard_col
 
 
 def exact_dedup(df: DataFrame, *, text_col: str = "text",
@@ -53,19 +62,58 @@ def exact_dedup(df: DataFrame, *, text_col: str = "text",
 
 
 DEFAULT_BANDS: tuple[tuple[int, ...], ...] = ((1, 2), (3, 4), (5, 6), (7, 8))
+_SPLIT = re.compile("[^a-z0-9]+")
+
+
+def _shingle_set(text: str, k: int = 3) -> set[str]:
+    """Distinct word k-gram shingles — same contract as
+    ``functions.hashing.shingles_col`` (short docs yield their full
+    token string as a single shingle)."""
+    w = [t for t in _SPLIT.split((text or "").lower()) if t]
+    n = max(len(w) - (k - 1), 1)
+    return {" ".join(w[i:i + k]) for i in range(n)}
+
+
+def band_keys_udf(bands: tuple[tuple[int, ...], ...] = DEFAULT_BANDS, k: int = 3):
+    """Arrow-batched band keys: array of one md5-hex key per band,
+    value-identical to the expression pipeline (shingle md5 low 31
+    bits → (a·h+b) mod p minhash → md5 of the joined band values)."""
+    coeffs = [[_perm_coeffs(s) for s in band] for band in bands]
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def keys(texts: pd.Series) -> pd.Series:
+        md5 = hashlib.md5
+
+        def one(text: str) -> list[str]:
+            hs = [
+                int(md5(s.encode()).hexdigest()[:8], 16) % (1 << 31)
+                for s in _shingle_set(text, k)
+            ]
+            out = []
+            for band in coeffs:
+                mhs = [min((a * h + b) % MINHASH_P for h in hs) for a, b in band]
+                out.append(md5("|".join(str(m) for m in mhs).encode()).hexdigest())
+            return out
+
+        return texts.map(one)
+
+    return keys
+
+
+def shingle_set_udf(k: int = 3):
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def sh(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: sorted(_shingle_set(t, k)))
+    return sh
 
 
 def minhash_band_keys(df: DataFrame, *, text_col: str = "text",
                       bands: tuple[tuple[int, ...], ...] = DEFAULT_BANDS) -> DataFrame:
-    """Per-document LSH band keys: (id, band_index, band_key)."""
-    words = words_col(F.col(text_col))
-    entries = F.array(*[
-        F.struct(F.lit(i).alias("band"), band_key_col(words, seeds).alias("key"))
-        for i, seeds in enumerate(bands)
-    ])
+    """Per-document LSH band keys: (…, band, band_key)."""
     return (
-        df.withColumn("_bk", F.explode(entries))
-          .select(*df.columns, F.col("_bk.band").alias("band"), F.col("_bk.key").alias("band_key"))
+        df.select("*", F.posexplode(band_keys_udf(bands)(F.col(text_col))))
+          .withColumnRenamed("pos", "band")
+          .withColumnRenamed("col", "band_key")
     )
 
 
@@ -73,40 +121,58 @@ def minhash_lsh_pairs(df: DataFrame, *, text_col: str = "text",
                       id_col: str = "doc_id",
                       bands: tuple[tuple[int, ...], ...] = DEFAULT_BANDS,
                       jaccard_threshold: float = 0.8) -> DataFrame:
-    """Candidate pairs that collide in ≥1 band, verified by token-set
-    Jaccard ≥ threshold. Returns (id_a, id_b, jaccard) with
-    id_a < id_b, distinct."""
+    """Candidate pairs that collide in ≥1 band, verified by shingle-set
+    Jaccard ≥ threshold. Returns (id_a, id_b, jaccard), id_a < id_b,
+    distinct. The band join shuffles ids only; shingles for the (rare)
+    candidates are attached via a broadcast of the candidate set."""
     keyed = minhash_band_keys(
         df.select(id_col, text_col), text_col=text_col, bands=bands
-    ).select(id_col, "band", "band_key", text_col)
-    a = keyed.select(
-        F.col(id_col).alias("id_a"), "band", "band_key",
-        F.col(text_col).alias("text_a"),
-    )
-    b = keyed.select(
-        F.col(id_col).alias("id_b"), "band", "band_key",
-        F.col(text_col).alias("text_b"),
-    )
+    ).select(id_col, "band", "band_key")
+    a = keyed.select(F.col(id_col).alias("id_a"), "band", "band_key")
+    b = keyed.select(F.col(id_col).alias("id_b"), "band", "band_key")
     pairs = (
-        a.join(b, ["band", "band_key"])           # shuffle on band_key only
+        a.join(b, ["band", "band_key"])
          .filter(F.col("id_a") < F.col("id_b"))
-         .select("id_a", "id_b", "text_a", "text_b")
-         .distinct()                               # collapse multi-band collisions
+         .select("id_a", "id_b")
+         .distinct()
     )
-    # verify on the same signal MinHash estimates: shingle-set Jaccard
-    jac = jaccard_col(
-        F.array_distinct(shingles_col(words_col(F.col("text_a")))),
-        F.array_distinct(shingles_col(words_col(F.col("text_b")))),
-    )
+    sh = df.select(F.col(id_col), shingle_set_udf()(F.col(text_col)).alias("_sh"))
+    cand = F.broadcast(pairs)
+    sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("sh_a"))
+    sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("sh_b"))
     return (
-        pairs.withColumn("jaccard", jac)
-             .filter(F.col("jaccard") >= F.lit(jaccard_threshold))
-             .select("id_a", "id_b", "jaccard")
+        sh_a.join(cand, "id_a")
+            .join(sh_b, "id_b")
+            .withColumn("jaccard", jaccard_col(F.col("sh_a"), F.col("sh_b")))
+            .filter(F.col("jaccard") >= F.lit(jaccard_threshold))
+            .select("id_a", "id_b", "jaccard")
     )
+
+
+def simhash16_udf():
+    """16-bit SimHash, value-identical to
+    ``functions.hashing.simhash16_col`` (hex-digit-parity votes over
+    per-token md5 digests)."""
+    @F.pandas_udf(T.IntegerType())
+    def sim(texts: pd.Series) -> pd.Series:
+        md5 = hashlib.md5
+
+        def one(text: str) -> int:
+            words = [t for t in _SPLIT.split((text or "").lower()) if t]
+            bal = [0] * 16
+            for t in words:
+                d = md5(t.encode()).hexdigest()
+                for j in range(16):
+                    bal[j] += 1 if d[j] in "13579bdf" else -1
+            return sum(1 << j for j in range(16) if bal[j] > 0)
+
+        return texts.map(one)
+
+    return sim
 
 
 def simhash_fingerprints(df: DataFrame, *, text_col: str = "text") -> DataFrame:
-    return df.withColumn("simhash16", simhash16_col(words_col(F.col(text_col))).cast("int"))
+    return df.withColumn("simhash16", simhash16_udf()(F.col(text_col)))
 
 
 def ngram_jaccard_pairs(df: DataFrame, *, text_col: str = "text",
@@ -115,10 +181,7 @@ def ngram_jaccard_pairs(df: DataFrame, *, text_col: str = "text",
     """Exact k-gram-shingle Jaccard over all pairs — the verifier
     stage; feed it candidate pairs (LSH buckets) at scale, not a cross
     join."""
-    sh = df.select(
-        F.col(id_col),
-        F.array_distinct(shingles_col(words_col(F.col(text_col)), k)).alias("sh"),
-    )
+    sh = df.select(F.col(id_col), shingle_set_udf(k)(F.col(text_col)).alias("sh"))
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     return (

@@ -11,11 +11,12 @@ from pyspark.sql import functions as F
 from .functions.hashing import (
     jaccard_col,
     shingles_col,
-    simhash16_col,
-    sql_band_key_expr,
+    sql_band_key_from_hashes_expr,
     sql_jaccard_expr,
+    sql_shingle_hashes_expr,
     sql_shingles_expr,
     sql_simhash16_expr,
+    sql_token_digests_expr,
     sql_words_expr,
     words_col,
 )
@@ -78,26 +79,28 @@ def q_exact_dedup_groups(spark, sf_dir):
 
 def _sql_lsh_pairs() -> str:
     band_cols = ", ".join(
-        f"{sql_band_key_expr('w', seeds)} AS b{i}" for i, seeds in enumerate(DEFAULT_BANDS)
+        f"{sql_band_key_from_hashes_expr('h', seeds)} AS b{i}"
+        for i, seeds in enumerate(DEFAULT_BANDS)
     )
     unions = " UNION ALL ".join(
         f"SELECT doc_id, {i} AS band, b{i} AS bk FROM k" for i in range(len(DEFAULT_BANDS))
     )
-    sh = sql_shingles_expr("w")
     return f"""
-WITH d AS (SELECT doc_id, {_WORDS} AS w, text FROM documents),
-k AS (SELECT doc_id, {band_cols} FROM d),
+WITH d AS (
+  SELECT doc_id, list_distinct({sql_shingles_expr(_WORDS)}) AS sh FROM documents
+),
+hh AS (SELECT doc_id, sh, {sql_shingle_hashes_expr('sh')} AS h FROM d),
+k AS (SELECT doc_id, {band_cols} FROM hh),
 u AS ({unions}),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM u a JOIN u b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
-),
-s AS (SELECT doc_id, list_distinct({sh}) AS sh FROM d)
+)
 SELECT id_a, id_b,
        round({sql_jaccard_expr('sa.sh', 'sb.sh')}, 6) AS jaccard_r
 FROM cand
-JOIN s sa ON sa.doc_id = id_a
-JOIN s sb ON sb.doc_id = id_b
+JOIN d sa ON sa.doc_id = id_a
+JOIN d sb ON sb.doc_id = id_b
 WHERE {sql_jaccard_expr('sa.sh', 'sb.sh')} >= 0.8
 ORDER BY id_a, id_b
 """
@@ -128,7 +131,8 @@ def q_minhash_lsh_dedup(spark, sf_dir):
     survey_ref="extension: SimHash near-dedup",
     tags=("dedup",),
     oracle=f"""
-WITH d AS (SELECT doc_id, {sql_simhash16_expr(_WORDS)} AS simhash16 FROM documents)
+WITH dg AS (SELECT doc_id, {sql_token_digests_expr(_WORDS)} AS digests FROM documents),
+d AS (SELECT doc_id, {sql_simhash16_expr('digests')} AS simhash16 FROM dg)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(a.simhash16 AS INT) AS fp
 FROM d a JOIN d b ON a.simhash16 = b.simhash16 AND a.doc_id < b.doc_id
 ORDER BY id_a, id_b
@@ -170,18 +174,11 @@ def q_ngram_jaccard_dedup(spark, sf_dir):
     verifier stage of near-dedup (at scale it consumes LSH candidates,
     not a cross join; the bounded range keeps the local cross join
     honest about that)."""
+    from .operators.dedup import ngram_jaccard_pairs
+
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
-    sh = docs.select(
-        "doc_id",
-        F.array_distinct(shingles_col(words_col(F.col("text")))).alias("sh"),
-    )
-    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
-    jac = jaccard_col(F.col("sh_a"), F.col("sh_b"))
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= 0.5)
+        ngram_jaccard_pairs(docs, threshold=0.5)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard_r"))
         .orderBy("id_a", "id_b")
     )
