@@ -1,0 +1,84 @@
+"""Service facade — the reference's API behavioral contracts
+(SURVEY.md §3.1-3.3) driven end-to-end through the library surface."""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture()
+def svc(spark, tmp_path):
+    from vector_search_service_spark.service import SearchService
+
+    return SearchService(spark, str(tmp_path / "store"))
+
+
+def test_ingest_autocreates_and_search_roundtrip(svc):
+    res = svc.ingest_document(
+        "The quick brown fox jumps over the lazy dog. " * 60,
+        collection_id="kb", metadata={"title": "Fox", "source": "test"},
+    )
+    assert res["status"] == "success"
+    assert res["chunks_created"] > 1          # real count, not the ref's always-1
+    assert res["embedding_count"] == 0        # FTS path contract
+    assert len(res["document_id"]) == 16      # sha256[:16] content id
+
+    coll = svc.catalog.get_collection("kb")
+    assert coll["doc_metadata"]["search_type"] == "fulltext"  # auto-create
+
+    out = svc.similarity_search("quick brown fox", collection_id="kb", limit=5)
+    assert out["total_found"] >= 1
+    top = out["results"][0]
+    assert 0 < top["score"] < 1
+    assert top["chunk_index"] is not None
+    assert top["metadata"]["document_id"] == res["document_id"]
+    assert out["processing_time_ms"] >= 0
+
+    # min_score filters (declared-but-dropped in the reference; applied here)
+    none = svc.similarity_search("quick brown fox", collection_id="kb", min_score=0.999)
+    assert none["total_found"] == 0
+
+    # limit clamped to 1..100
+    clamped = svc.similarity_search("quick", collection_id="kb", limit=10_000)
+    assert clamped["total_found"] <= 100
+
+
+def test_batch_contracts(svc):
+    # batch requires a pre-existing collection (unlike single-doc)
+    with pytest.raises(LookupError):
+        svc.batch_ingest([{"content": "x"}], collection_id="nope")
+
+    svc.catalog.create_collection("bulk")
+    with pytest.raises(ValueError):
+        svc.batch_ingest([{"content": "x"}] * 51, collection_id="bulk")
+
+    docs = [{"content": f"document number {i} alpha beta"} for i in range(3)]
+    docs.append({"content": "   "})  # invalid → per-doc failure, batch survives
+    res = svc.batch_ingest(docs, collection_id="bulk", processing_mode="async")
+    assert res["documents_queued"] == 4
+    assert res["status_endpoint"].endswith(res["job_id"])
+    done = svc.jobs.wait(res["job_id"])
+    assert done.status.value == "completed"
+    status = svc.job_status(res["job_id"])
+    assert status["progress_percent"] == 100.0
+    assert status["result"] == {"successful": 3, "failed": 1}
+
+    # sync mode returns no job handle (documents.py:274-298 contract)
+    res2 = svc.batch_ingest(docs[:1], collection_id="bulk", processing_mode="sync")
+    assert res2["job_id"] is None and res2["status"] == "completed"
+
+
+def test_document_listing_delete_stats(svc):
+    svc.ingest_document("alpha beta gamma delta " * 10, collection_id="kb2")
+    listing = svc.list_documents("kb2")
+    assert listing and all(len(d["content_preview"]) <= 200 for d in listing)
+
+    victim = listing[0]["id"]
+    res = svc.delete_documents("kb2", [victim, "not-a-real-id"])
+    assert res == {"documents_deleted": 1, "requested_deletions": 2}
+
+    stats = svc.collection_stats("kb2")
+    assert stats["document_count"] == len(listing) - 1
+
+    h = svc.health()
+    assert h["status"] == "healthy" and h["components"]["spark"] == "up"

@@ -169,6 +169,14 @@ class Catalog:
         after = remaining.count()
         if after == before:
             return 0
+        if after == 0:
+            # dynamic overwrite of an EMPTY frame writes no partitions
+            # and would silently leave the old files — drop the
+            # partition directory instead
+            part_dir = os.path.join(self.documents_path, f"collection_id={coll['id']}")
+            if os.path.exists(part_dir):
+                shutil.rmtree(part_dir)
+            return before
         with self._dynamic_overwrite():
             (
                 remaining.withColumn("collection_id", F.lit(coll["id"]).cast("long"))

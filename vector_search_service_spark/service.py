@@ -1,0 +1,219 @@
+"""Service facade — the reference's API surface as a library
+(SURVEY.md §7 step 6: the HTTP layer is an adapter, not the engine; a
+FastAPI front would wrap these 1:1).
+
+Response dicts mirror ``src/api/models.py`` of the reference
+(``SimilaritySearchResponse``, ``DocumentIngestResponse``,
+``BatchIngestResponse``, ``JobStatus``…) and the behavioral contracts
+of ``src/api/search.py`` / ``src/api/documents.py``:
+
+- similarity search: limit clamped 1..100, ``min_score`` and
+  ``metadata_filter`` APPLIED (the reference accepts-and-drops them,
+  SURVEY.md §3.1.4 — implemented as declared), ``chunk_index`` pulled
+  out of metadata, ``processing_time_ms`` measured;
+- single-doc ingest auto-creates the collection with
+  ``search_type: fulltext`` metadata (``src/api/documents.py:104-126``);
+  ``chunks_created`` reports the real count (the reference's always-1
+  bug is not reproduced);
+- batch ingest: pre-existing collection required (404-equivalent),
+  ≤ 50 docs (``max_batch_documents``), sync and async modes, async
+  returning a job handle + status endpoint string.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import SparkSession
+
+from .catalog import Catalog
+from .ingest import ingest_into
+from .operators.search import fts_search
+from .streaming.jobs import JobManager
+
+MAX_BATCH_DOCUMENTS = 50  # src/config/settings.py:53
+DEFAULT_COLLECTION = "default"
+
+
+class SearchService:
+    def __init__(self, spark: SparkSession, data_root: str):
+        self.spark = spark
+        self.catalog = Catalog(spark, data_root)
+        self.jobs = JobManager(spark)
+
+    # -- search (3.1) -------------------------------------------------------
+
+    def similarity_search(self, query: str, *, collection_id: str = DEFAULT_COLLECTION,
+                          limit: int = 10, min_score: float | None = None,
+                          metadata_filter: dict | None = None) -> dict:
+        t0 = time.perf_counter()
+        limit = max(1, min(int(limit), 100))
+        docs = self.catalog.documents(collection_id)
+        if metadata_filter:
+            from pyspark.sql import functions as F
+
+            for k, v in metadata_filter.items():
+                docs = docs.filter(F.col("doc_metadata").getItem(k) == str(v))
+        hits = fts_search(
+            docs, query, limit=limit, text_col="content", id_col="document_id",
+            min_score=min_score,
+        ).collect()
+        results = []
+        for r in hits:
+            meta = dict(r["doc_metadata"] or {})
+            chunk_index = meta.get("chunk_index")
+            results.append({
+                "document_id": r["document_id"],
+                "content": r["content"],
+                "score": float(r["rank"]),
+                "metadata": meta,
+                "chunk_index": int(chunk_index) if chunk_index is not None else None,
+            })
+        return {
+            "query": query,
+            "results": results,
+            "total_found": len(results),
+            "processing_time_ms": int((time.perf_counter() - t0) * 1000),
+        }
+
+    # -- ingest (3.2) -------------------------------------------------------
+
+    def ingest_document(self, content: str, *, collection_id: str = DEFAULT_COLLECTION,
+                        metadata: dict | None = None,
+                        chunk_size: int = 1000, chunk_overlap: int = 200) -> dict:
+        t0 = time.perf_counter()
+        if self.catalog.get_collection(collection_id) is None:
+            # auto-create on first single-doc ingest (documents.py:104-126)
+            self.catalog.create_collection(
+                collection_id, f"Auto-created collection for {collection_id}",
+                metadata={"search_type": "fulltext"},
+            )
+        meta = metadata or {}
+        rows = [(content, *[str(meta[k]) if k in meta else None
+                            for k in ("title", "source", "author", "type")])]
+        raw = self.spark.createDataFrame(
+            rows, "text string, title string, source string, author string, type string"
+        )
+        res = ingest_into(
+            self.catalog, collection_id, raw,
+            metadata_cols=("title", "source", "author", "type"),
+            chunk_size=chunk_size, overlap=chunk_overlap,
+        )
+        if res["chunks_created"] == 0:
+            return {
+                "document_id": "", "chunks_created": 0, "embedding_count": 0,
+                "status": "error",
+                "processing_time_ms": int((time.perf_counter() - t0) * 1000),
+            }
+        doc_id = (
+            self.catalog.documents(collection_id)
+            .orderBy("created_at", ascending=False).limit(1)
+            .collect()[0]["doc_metadata"]["document_id"]
+        )
+        return {
+            "document_id": doc_id,
+            "chunks_created": res["chunks_created"],
+            "embedding_count": 0,  # FTS path, v2.0.0 contract
+            "status": "success",
+            "processing_time_ms": int((time.perf_counter() - t0) * 1000),
+        }
+
+    def batch_ingest(self, documents: list[dict], *,
+                     collection_id: str = DEFAULT_COLLECTION,
+                     processing_mode: str = "async") -> dict:
+        if len(documents) > MAX_BATCH_DOCUMENTS:
+            raise ValueError(
+                f"Batch size {len(documents)} exceeds maximum {MAX_BATCH_DOCUMENTS}"
+            )
+        if self.catalog.get_collection(collection_id) is None:
+            # batch requires a pre-existing collection (documents.py:249-252)
+            raise LookupError(f"Collection '{collection_id}' not found")
+        job = self.jobs.create_job(len(documents))
+
+        def body(j) -> dict:
+            ok = failed = 0
+            for i, doc in enumerate(documents, start=1):
+                try:
+                    r = self.ingest_document(
+                        doc["content"], collection_id=collection_id,
+                        metadata=doc.get("metadata"),
+                        chunk_size=doc.get("chunk_size") or 1000,
+                        chunk_overlap=doc.get("chunk_overlap") or 200,
+                    )
+                    if r["status"] == "success":
+                        ok += 1
+                    else:  # validation rejection = per-doc failure (:465-472)
+                        failed += 1
+                except Exception:  # noqa: BLE001 — per-doc isolation (:465-472)
+                    failed += 1
+                self.jobs.update_progress(j.job_id, i, succeeded=ok, failed=failed)
+            return {"successful": ok, "failed": failed}
+
+        if processing_mode == "sync":
+            self.jobs.run_sync(job, body)
+            return {
+                "job_id": None, "documents_queued": len(documents),
+                "status": "completed", "status_endpoint": None,
+            }
+        self.jobs.submit(job, body)
+        return {
+            "job_id": job.job_id,
+            "documents_queued": len(documents),
+            "status": job.status.value,
+            "status_endpoint": f"/api/v1/collections/{collection_id}/documents/jobs/{job.job_id}",
+        }
+
+    # -- jobs ---------------------------------------------------------------
+
+    def job_status(self, job_id: str) -> dict | None:
+        job = self.jobs.get_job(job_id)
+        return job.to_dict() if job else None
+
+    def list_jobs(self, status: str | None = None, limit: int = 100) -> list[dict]:
+        return [j.to_dict() for j in self.jobs.list_jobs(status=status, limit=limit)]
+
+    def cancel_job(self, job_id: str) -> bool:
+        return self.jobs.cancel_job(job_id)
+
+    # -- documents / collections -------------------------------------------
+
+    def list_documents(self, collection_id: str, *, limit: int = 100,
+                       offset: int = 0) -> list[dict]:
+        from .operators.search import paginate
+
+        page = paginate(
+            self.catalog.documents(collection_id),
+            order_col="document_id", offset=offset, limit=limit,
+        ).collect()
+        return [
+            {
+                "id": r["document_id"],
+                "content_preview": (r["content"] or "")[:200],
+                "metadata": dict(r["doc_metadata"] or {}),
+            }
+            for r in page
+        ]
+
+    def delete_documents(self, collection_id: str, document_ids: list[str]) -> dict:
+        deleted = self.catalog.delete_documents(collection_id, document_ids)
+        return {
+            "documents_deleted": deleted,
+            "requested_deletions": len(document_ids),
+        }
+
+    def collection_stats(self, collection_id: str) -> dict:
+        return self.catalog.collection_stats(collection_id)
+
+    def health(self) -> dict:
+        try:
+            self.spark.range(1).count()
+            spark_ok = True
+        except Exception:  # noqa: BLE001
+            spark_ok = False
+        return {
+            "status": "healthy" if spark_ok else "unhealthy",
+            "service": "vector-search-service-spark",
+            "version": "2.0.0",
+            "components": {"spark": "up" if spark_ok else "down",
+                           "catalog": "up"},
+        }
