@@ -186,6 +186,38 @@ class Catalog:
             )
         return before - after
 
+    def upsert_documents(self, collection_name: str, docs: DataFrame) -> dict:
+        """Merge-by-key (Delta MERGE stand-in on plain parquet): rows
+        whose ``document_id`` already exists replace the stored rows
+        (content-addressed ids make this the idempotent-reingest path);
+        new ids append. One partition rewrite, same cost envelope as a
+        targeted delete."""
+        coll = self._resolve(collection_name)
+        cur = self.documents(collection_name)
+        incoming = (
+            docs.withColumn("collection_id", F.lit(coll["id"]).cast("long"))
+                .withColumn("created_at", F.current_timestamp())
+                .withColumn("updated_at", F.current_timestamp())
+                .select([f.name for f in DOCUMENT_SCHEMA.fields])
+        )
+        n_in = incoming.count()
+        n_before = cur.count()
+        keys = incoming.select("document_id").distinct()
+        kept = cur.join(F.broadcast(keys), "document_id", "left_anti")
+        merged = kept.unionByName(incoming)
+        with self._dynamic_overwrite():
+            (
+                merged.withColumn("collection_id", F.lit(coll["id"]).cast("long"))
+                .select([f.name for f in DOCUMENT_SCHEMA.fields])
+                .write.mode("overwrite").partitionBy("collection_id")
+                .parquet(self.documents_path)
+            )
+        n_after = self.documents(collection_name).count()
+        return {
+            "inserted": n_after - n_before if n_after >= n_before else 0,
+            "updated": n_in - max(n_after - n_before, 0),
+        }
+
     def collection_stats(self, collection_name: str) -> dict:
         """A1 + A2 — document count and storage bytes
         (``src/core/vector_store.py:394-427``); relation size from the

@@ -42,6 +42,61 @@ STOPWORDS_EN: tuple[str, ...] = (
 
 TOKEN_SPLIT_RE = "[^a-z0-9]+"
 
+# Per-language stopword lists (compact, frozen — SURVEY.md §7 risk 2:
+# the multilingual `lang` column motivates per-language analyzers; the
+# reference is english-only via FTS_LANGUAGE,
+# ``src/config/settings.py:21``). Keys follow the corpus lang codes.
+STOPWORDS_BY_LANG: dict[str, tuple[str, ...]] = {
+    "en": (),  # filled below — alias of STOPWORDS_EN
+    "es": ("el", "la", "los", "las", "de", "del", "que", "y", "a", "en",
+           "un", "una", "es", "no", "por", "con", "para", "su", "se", "lo"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "zu",
+           "den", "von", "mit", "auf", "sich", "des", "im", "dem", "es"),
+    "fr": ("le", "la", "les", "des", "et", "est", "une", "un", "du", "de",
+           "en", "que", "qui", "dans", "pour", "pas", "sur", "au", "ce"),
+    "zh": (),  # no stopword removal; CJK needs a segmenter upstream
+}
+
+
+def stopwords_for(lang: str) -> tuple[str, ...]:
+    if lang == "en":
+        return STOPWORDS_EN
+    return STOPWORDS_BY_LANG.get(lang, STOPWORDS_EN)
+
+
+def tokens_for_lang_col(text: Column, lang: Column) -> Column:
+    """Per-row language-aware analyzer: stopword list chosen by the
+    ``lang`` column (the F3 pipeline, language-dispatched). Unknown
+    languages fall back to English."""
+    toks = raw_tokens_col(text)
+
+    def _filtered(stops: tuple[str, ...]) -> Column:
+        # single-arg lambdas only: arity 2 means (element, index) to
+        # Spark's higher-order binder
+        if not stops:
+            return F.filter(toks, lambda t: t != F.lit(""))
+        return F.filter(toks, lambda t: (t != F.lit("")) & ~t.isin(*stops))
+
+    result = _filtered(STOPWORDS_EN)
+    for code in sorted(STOPWORDS_BY_LANG):
+        result = F.when(lang == code, _filtered(stopwords_for(code))).otherwise(result)
+    return result
+
+
+def sql_tokens_for_lang_expr(text_sql: str, lang_sql: str) -> str:
+    raw = f"regexp_split_to_array(lower({text_sql}), '{TOKEN_SPLIT_RE}')"
+
+    def flt(stops: tuple[str, ...]) -> str:
+        if not stops:
+            return f"list_filter({raw}, t -> t <> '')"
+        lst = ", ".join(f"'{s}'" for s in stops)
+        return f"list_filter({raw}, t -> t <> '' AND t NOT IN ({lst}))"
+
+    expr = flt(STOPWORDS_EN)
+    for code in sorted(STOPWORDS_BY_LANG):
+        expr = f"CASE WHEN {lang_sql} = '{code}' THEN {flt(stopwords_for(code))} ELSE {expr} END"
+    return expr
+
 
 def analyze_terms(text: str) -> list[str]:
     """Driver-side analyzer for query strings (F1, ``plainto_tsquery``).
