@@ -1,0 +1,65 @@
+"""Property-based chunker invariants (hypothesis) — the G3 loop must
+hold its contract for arbitrary content/size/overlap, not just the
+fixture cases."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from vector_search_service_spark.operators.chunker import chunk_text
+
+text_st = st.text(
+    alphabet=st.sampled_from(list("ab .,\n\tx")), min_size=0, max_size=3000
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(text=text_st, size=st.integers(5, 400), overlap=st.integers(0, 400))
+def test_chunk_invariants(text, size, overlap):
+    chunks = chunk_text(text, size, overlap)
+    eff_overlap = min(overlap, size // 2)
+
+    if not text.strip():
+        assert chunks == []
+        return
+
+    for i, c in enumerate(chunks):
+        # indices dense and ordered
+        assert c["chunk_index"] == i
+        # offsets within bounds and consistent with stored content
+        assert 0 <= c["start_char"] < c["end_char"] <= len(text) + 1
+        assert c["content"] == text[c["start_char"]:c["end_char"]].strip()
+        assert c["content"] != ""
+        assert c["chunk_size"] == len(c["content"])
+        # window never exceeds chunk_size plus the boundary-at-end quirk
+        assert c["end_char"] - c["start_char"] <= size + 1
+        assert c["is_first_chunk"] == (i == 0)
+
+    if chunks:
+        assert chunks[-1]["is_last_chunk"] or len(chunks) == 1000  # cap case
+
+    # successive windows advance and overlap by exactly eff_overlap
+    for a, b in zip(chunks, chunks[1:]):
+        assert b["start_char"] == a["end_char"] - eff_overlap
+        assert b["start_char"] > a["start_char"]
+
+
+def test_dispatch_distance_all_metrics(spark):
+    from pyspark.sql import functions as F
+
+    from vector_search_service_spark.functions.vectors import dispatch_distance
+
+    df = spark.createDataFrame([([1.0, 0.0], [0.0, 1.0])], "u array<double>, v array<double>")
+    row = df.select(
+        dispatch_distance("cosine", F.col("u"), F.col("v")).alias("cos"),
+        dispatch_distance("dot", F.col("u"), F.col("v")).alias("dot"),
+        dispatch_distance("euclidean", F.col("u"), F.col("v")).alias("euc"),
+    ).collect()[0]
+    assert row["cos"] == 1.0          # orthogonal → distance 1
+    assert row["dot"] == 0.0          # -dot
+    assert abs(row["euc"] - 2 ** 0.5) < 1e-12
+    import pytest
+
+    with pytest.raises(ValueError):
+        dispatch_distance("manhattan", F.col("u"), F.col("v"))

@@ -1,0 +1,70 @@
+"""Registry entry — the end-to-end corpus-curation pipeline: the
+composition a training-data engine exists for. Quality-gate the
+corpus, drop near-duplicates (LSH pairs → keep the smallest id), and
+report what survives — one declarative plan, every stage reused from
+the operator library."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .functions.hashing import sql_words_expr
+from .operators.dedup import minhash_lsh_pairs
+from .operators.textquality import quality_score_col, sql_quality_score_expr
+from .queries_dedup import _sql_lsh_pairs
+from .registry import register
+from .sources.tables import load_table
+
+_QUALITY_MIN = 0.55
+_WORDS = sql_words_expr("text")
+
+
+def _oracle() -> str:
+    lsh = _sql_lsh_pairs().strip().rstrip(";")
+    return f"""
+WITH pairs AS ({lsh}),
+dropped AS (SELECT DISTINCT id_b AS doc_id FROM pairs),
+kept AS (
+  SELECT d.lang, {sql_quality_score_expr('d.text', sql_words_expr('d.text'))} AS q,
+         len({sql_words_expr('d.text')}) AS n_tokens
+  FROM documents d
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+FROM kept WHERE q >= {_QUALITY_MIN}
+GROUP BY lang ORDER BY lang
+"""
+
+
+@register(
+    "curate_corpus",
+    survey_ref="extension composition: quality gate + near-dedup keep-first",
+    tags=("dedup", "textan", "headline"),
+    oracle=_oracle(),
+)
+def q_curate_corpus(spark, sf_dir):
+    """Curated-corpus report: drop the higher id of every verified
+    near-dup pair (keep-first), quality-gate the rest, count surviving
+    docs/tokens per language. The dedup stage shuffles ids only; the
+    drop set broadcasts into the corpus scan (left_anti) — the full
+    pipeline adds ONE extra scan over plain dedup."""
+    docs = load_table(spark, sf_dir, "documents")
+    dropped = (
+        minhash_lsh_pairs(docs, jaccard_threshold=0.8)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    from .functions.hashing import words_col
+
+    words = words_col(F.col("text"))
+    return (
+        docs.join(F.broadcast(dropped), "doc_id", "left_anti")
+        .withColumn("_q", quality_score_col(F.col("text"), words))
+        .filter(F.col("_q") >= _QUALITY_MIN)
+        .select("lang", F.size(words).cast("long").alias("_n"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("_n").alias("n_tokens"))
+        .orderBy("lang")
+    )

@@ -82,6 +82,13 @@ class SearchService:
                         metadata: dict | None = None,
                         chunk_size: int = 1000, chunk_overlap: int = 200) -> dict:
         t0 = time.perf_counter()
+        from .functions.text import RESERVED_METADATA_KEYS
+
+        if metadata is not None and not isinstance(metadata, dict):
+            raise ValueError("Metadata must be a dictionary")
+        for key in RESERVED_METADATA_KEYS:  # P10, document_processor.py:233-236
+            if metadata and key in metadata:
+                raise ValueError(f"Metadata key '{key}' is reserved")
         if self.catalog.get_collection(collection_id) is None:
             # auto-create on first single-doc ingest (documents.py:104-126)
             self.catalog.create_collection(
