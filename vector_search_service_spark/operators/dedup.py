@@ -128,24 +128,42 @@ def minhash_lsh_pairs(df: DataFrame, *, text_col: str = "text",
     keyed = minhash_band_keys(
         df.select(id_col, text_col), text_col=text_col, bands=bands
     ).select(id_col, "band", "band_key")
-    a = keyed.select(F.col(id_col).alias("id_a"), "band", "band_key")
-    b = keyed.select(F.col(id_col).alias("id_b"), "band", "band_key")
+    # materialize the band-key table once: a self-join re-aliases
+    # attribute ids, so ReuseExchange can NOT dedupe the two sides —
+    # without this the UDF subtree runs once per side (measured 2x).
+    # localCheckpoint stores only (id, band, key) rows — tiny at any
+    # scale relative to the corpus (this is also what you'd persist as
+    # the index table in a real deployment).
+    keyed = keyed.localCheckpoint(eager=False)
+    a = keyed.alias("a")
+    b = keyed.alias("b")
     pairs = (
         a.join(b, ["band", "band_key"])
-         .filter(F.col("id_a") < F.col("id_b"))
-         .select("id_a", "id_b")
+         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
          .distinct()
+         .localCheckpoint(eager=False)  # consumed 3x below (2 semi-joins + final)
     )
-    sh = df.select(F.col(id_col), shingle_set_udf()(F.col(text_col)).alias("_sh"))
-    cand = F.broadcast(pairs)
-    sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("sh_a"))
-    sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("sh_b"))
+    # verification: filter FIRST (broadcast semi-join on the rare
+    # candidate ids), THEN compute shingles — the UDF touches only
+    # candidate rows, not the corpus
+    def _sh_side(alias: str) -> DataFrame:
+        ids = pairs.select(F.col(alias).alias(id_col)).distinct()
+        return (
+            df.join(F.broadcast(ids), id_col, "left_semi")
+              .select(
+                  F.col(id_col).alias(alias),
+                  shingle_set_udf()(F.col(text_col)).alias(f"sh_{alias[-1]}"),
+              )
+        )
+
     return (
-        sh_a.join(cand, "id_a")
-            .join(sh_b, "id_b")
-            .withColumn("jaccard", jaccard_col(F.col("sh_a"), F.col("sh_b")))
-            .filter(F.col("jaccard") >= F.lit(jaccard_threshold))
-            .select("id_a", "id_b", "jaccard")
+        F.broadcast(pairs)
+        .join(_sh_side("id_a"), "id_a")
+        .join(_sh_side("id_b"), "id_b")
+        .withColumn("jaccard", jaccard_col(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= F.lit(jaccard_threshold))
+        .select("id_a", "id_b", "jaccard")
     )
 
 

@@ -1,0 +1,50 @@
+"""Registry entries — MLlib paths (rows-only: KMeans clustering and
+Porter stemming are not SQL-expressible; correctness is pinned by
+recall/vector tests instead — tests/test_ann_ivf.py,
+tests/test_stemmer.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry import register
+from .sources.tables import load_table
+
+
+@register(
+    "ann_ivf_probe",
+    survey_ref="IVFFlat analogue via MLlib KMeans (BASELINE.json spark_approach)",
+    tags=("vector", "ann", "mllib"),
+    oracle=None,
+)
+def q_ann_ivf_probe(spark, sf_dir):
+    """KMeans-IVF probe-then-rerank top-10 (nprobe=4 of 16 lists);
+    recall vs exact asserted in tests, full-probe == exact asserted."""
+    from .operators.ann_ivf import build_ivf_index
+    from .queries_reference import QUERY_VEC
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = build_ivf_index(emb, nlist=16)
+    return idx.probe(QUERY_VEC, nprobe=4, limit=10).select(
+        "vec_id", "label", F.col("list_id").cast("int").alias("list_id"),
+        F.round("distance", 6).alias("distance_r"),
+    )
+
+
+@register(
+    "fts_stemmed_topk",
+    survey_ref="F1/F3 with Porter stemming (PostgreSQL english dictionary fidelity)",
+    tags=("fts", "mllib"),
+    oracle=None,
+)
+def q_fts_stemmed_topk(spark, sf_dir):
+    """Stemmed FTS top-k: both analyzer sides share porter_stem
+    (F1==F3 under stemming); canonical stemmer vectors + symmetry
+    pinned in tests."""
+    from .functions.stemmer import fts_search_stemmed
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        fts_search_stemmed(docs, "hash join merge", limit=10)
+        .select("doc_id", "lang", "source", F.round("rank", 6).alias("rank_r"))
+    )

@@ -50,6 +50,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from . import queries_embed  # noqa: F401
     from . import queries_fts2  # noqa: F401
     from . import queries_ingest  # noqa: F401
+    from . import queries_mllib  # noqa: F401
     from . import queries_multimodal  # noqa: F401
     from . import queries_pipeline  # noqa: F401
     from . import queries_reference  # noqa: F401
