@@ -52,12 +52,18 @@ def main() -> int:
     for name in names:
         specs[name].fn(spark, sf_dir).collect()
 
+    # two timed runs, report the min: steady-state latency, robust to
+    # one-off GC/compilation noise (the warm-up already absorbed JIT)
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        df = specs[name].fn(spark, sf_dir)
-        n = len(df.collect())
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        n = 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = specs[name].fn(spark, sf_dir)
+            n = len(df.collect())
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)

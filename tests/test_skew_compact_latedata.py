@@ -1,0 +1,104 @@
+"""Salted aggregation equivalence, catalog compaction, and watermark
+late-data semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_salted_agg_equals_plain(spark):
+    from vector_search_service_spark.operators.skew import salted_group_count_sum
+    from vector_search_service_spark.sources.tables import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    qty = F.round(F.col("l_quantity")).cast("long")
+    plain = {
+        (r["l_returnflag"]): (r["n_rows"], r["s"])
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_rows"), F.sum(qty).alias("s")).collect()
+    }
+    salted = {
+        (r["l_returnflag"]): (r["n_rows"], r["sum_value"])
+        for r in salted_group_count_sum(
+            li, "l_returnflag", qty, salt_buckets=8
+        ).collect()
+    }
+    assert plain == salted  # re-association changes nothing: integer sums
+
+
+def test_compaction(spark, tmp_path):
+    from vector_search_service_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "store"))
+    cat.create_collection("c")
+
+    def rows(i):
+        return spark.createDataFrame(
+            [(f"d{i}", f"content {i}", {}, None, None)],
+            "document_id string, content string, doc_metadata map<string,string>, "
+            "content_lexemes array<string>, embedding array<float>",
+        )
+
+    for i in range(5):  # 5 appends → ≥5 files (streaming-ingest shape)
+        cat.add_documents("c", rows(i))
+    res = cat.compact_collection("c", target_files=1)
+    assert res["files_before"] >= 5
+    assert res["files_after"] == 1
+    assert cat.documents("c").count() == 5  # no rows lost
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """An event older than (max event time − watermark) arriving in a
+    later micro-batch is dropped from append-mode output — the
+    bounded-state contract late data is traded against."""
+    import pandas as pd
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+
+    def drop(name, rows):
+        pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id"])
+        # us precision: pandas defaults to ns, which Spark's reader rejects
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        pdf.to_parquet(inbox / name)
+
+    t = pd.Timestamp("2024-01-01 00:00:00")
+    h = pd.Timedelta(hours=1)
+    # batch 1: events up to 06:00 → watermark becomes 06:00 − 2h = 04:00
+    drop("b1.parquet", [(1, t, 1), (2, t + 3 * h, 1), (3, t + 6 * h, 1)])
+
+    schema = "event_id long, ts timestamp, user_id long"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(inbox))
+    )
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory").queryName("late_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: one on-time event (07:00) and one LATE event (00:30,
+        # far behind the 04:00 watermark)
+        drop("b2.parquet", [(4, t + 7 * h, 1), (5, t + pd.Timedelta(minutes=30), 1)])
+        q.processAllAvailable()
+        # batch 3: advance the watermark far enough to close all windows
+        drop("b3.parquet", [(6, t + 24 * h, 1)])
+        q.processAllAvailable()
+        got = {
+            r["ws"].hour: r["n"] for r in spark.table("late_test").collect()
+        }
+    finally:
+        q.stop()
+    # the late 00:30 event (id=5) must NOT appear: window 0 keeps n=1
+    assert got.get(0) == 1
+    assert got.get(7) == 1  # the on-time batch-2 event did land

@@ -232,6 +232,36 @@ class Catalog:
                 size += sum(os.path.getsize(os.path.join(dirpath, f)) for f in files)
         return {"collection": coll["name"], "document_count": n, "size_bytes": size}
 
+    def compact_collection(self, collection_name: str, *,
+                           target_files: int = 1) -> dict:
+        """Maintenance: rewrite a collection's partition into
+        ``target_files`` files (the OPTIMIZE/compaction pass —
+        streaming ingest appends a file per micro-batch, and at scale
+        the small-file count, not data volume, kills scan planning).
+        Same single-partition rewrite envelope as a targeted delete."""
+        coll = self._resolve(collection_name)
+        part_dir = os.path.join(self.documents_path, f"collection_id={coll['id']}")
+        n_before = 0
+        if os.path.exists(part_dir):
+            n_before = sum(
+                1 for _, _, files in os.walk(part_dir)
+                for f in files if f.endswith(".parquet")
+            )
+        cur = self.documents(collection_name)
+        with self._dynamic_overwrite():
+            (
+                cur.repartition(target_files)
+                .withColumn("collection_id", F.lit(coll["id"]).cast("long"))
+                .select([f.name for f in DOCUMENT_SCHEMA.fields])
+                .write.mode("overwrite").partitionBy("collection_id")
+                .parquet(self.documents_path)
+            )
+        n_after = sum(
+            1 for _, _, files in os.walk(part_dir)
+            for f in files if f.endswith(".parquet")
+        )
+        return {"files_before": n_before, "files_after": n_after}
+
     # -- helpers -----------------------------------------------------------
 
     def _resolve(self, name: str) -> dict:
