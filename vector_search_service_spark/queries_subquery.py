@@ -1,0 +1,240 @@
+"""Registry entries — subquery shapes and analytic windows (§2.3/§2.9
+breadth: EXISTS / NOT EXISTS / scalar-subquery / HAVING compositions
+absent from the reference but table-stakes for a warehouse engine, per
+SURVEY §2.3 "Absent in reference" note).
+
+All money math follows the integer-cents discipline (cross-engine
+bit-equality); quantities are integer-valued in the TPC-H-ish data so
+the Q17-shape threshold is rewritten as pure integer arithmetic."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .registry import register
+from .sources.tables import load_table
+
+
+def _epoch_ms_of_day(col):
+    """Epoch millis of a midnight-aligned TIMESTAMP_NTZ, computed as
+    day arithmetic — timezone-free in both engines (``unix_millis``
+    would interpret NTZ in the session zone, which a bare driver
+    session doesn't pin)."""
+    return (F.datediff(col, F.lit("1970-01-01")).cast("long") * 86400000).alias(
+        "order_ts"
+    )
+
+
+@register(
+    "exists_semi_join",
+    survey_ref="§2.3 EXISTS → left_semi (TPC-H Q4 shape)",
+    tags=("relational",),
+    oracle="""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1994-01-01' AND o_orderdate < TIMESTAMP '1994-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+)
+def q_exists_semi_join(spark, sf_dir):
+    """EXISTS correlated subquery as a left-semi join (the plan
+    PostgreSQL/DuckDB decorrelate to; Spark gets it directly). The
+    date filter pushes into the orders scan; the semi-join build side
+    carries only ``l_orderkey`` — no payload shuffles. At 100 TB both
+    sides shuffle on orderkey once; a bucketed layout on orderkey
+    makes it shuffle-free."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1994-01-01") & (F.col("o_orderdate") < "1994-04-01")
+    )
+    heavy = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 45)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(heavy, orders.o_orderkey == heavy.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "not_exists_anti",
+    survey_ref="§2.3 NOT EXISTS → left_anti (TPC-H Q22 shape)",
+    tags=("relational",),
+    oracle="""
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
+       sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0 AS total_bal
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+""",
+)
+def q_not_exists_anti(spark, sf_dir):
+    """NOT EXISTS as a left-anti join: customers who never ordered,
+    rolled up by segment with exact integer-cent balances. The anti
+    build side is the distinct ``o_custkey`` projection only."""
+    cust = load_table(spark, sf_dir, "customer")
+    buyers = load_table(spark, sf_dir, "orders").select("o_custkey")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    return (
+        cust.join(buyers, cust.c_custkey == buyers.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            (F.sum(cents) / 100.0).alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "scalar_subquery_avg",
+    survey_ref="§2.3 scalar subquery (TPC-H Q17 shape)",
+    tags=("relational",),
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_small,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS small_revenue
+FROM lineitem
+JOIN (SELECT l_partkey AS pk,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY l_partkey) s ON l_partkey = pk
+WHERE 5 * CAST(l_quantity AS BIGINT) * cnt < sq
+""",
+)
+def q_scalar_subquery_avg(spark, sf_dir):
+    """Per-part correlated scalar subquery (``qty < 0.2 * avg(qty)
+    over the part``), decorrelated to aggregate-then-join. The
+    fractional threshold is rewritten to integer arithmetic
+    (``5*qty*cnt < sum``) so both engines compare exactly. The
+    per-part aggregate is tiny relative to the fact table → broadcast
+    back, so lineitem is scanned twice but never shuffled; at 100 TB
+    the first pass is a map-side partial agg and the broadcast stays
+    ~#parts-sized."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("long")
+    stats = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(qty).alias("sq"), F.count("*").alias("cnt")
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return (
+        li.join(F.broadcast(stats), li.l_partkey == stats.pk)
+        .filter(F.lit(5) * qty * F.col("cnt") < F.col("sq"))
+        .agg(
+            F.count("*").alias("n_small"),
+            (F.sum(cents) / 100.0).alias("small_revenue"),
+        )
+    )
+
+
+@register(
+    "having_join_topk",
+    survey_ref="§2.4 HAVING + join-back (TPC-H Q18 shape)",
+    tags=("relational",),
+    oracle="""
+SELECT c_name, o_orderkey, epoch_ms(o_orderdate) AS order_ts, total_qty
+FROM (SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS BIGINT)) > 250) big
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY total_qty DESC, o_orderkey LIMIT 25
+""",
+)
+def q_having_join_topk(spark, sf_dir):
+    """Grouped HAVING filter, joined back to orders+customer for the
+    top heavy orders. The HAVING output is small (hundreds of rows)
+    → it broadcasts into the join-back, so the big tables are read
+    once and never shuffled for the joins."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            _epoch_ms_of_day(F.col("o_orderdate")),
+            "total_qty",
+        )
+        .orderBy(F.col("total_qty").desc(), "o_orderkey")
+        .limit(25)
+    )
+
+
+@register(
+    "multi_distinct_agg",
+    survey_ref="§2.4 distinct aggregates (absent in ref)",
+    tags=("relational",),
+    oracle="""
+SELECT l_returnflag,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+)
+def q_multi_distinct_agg(spark, sf_dir):
+    """Multiple exact DISTINCT aggregates in one pass (Catalyst plans
+    the Expand + two-stage agg). At 100 TB, swap for
+    ``approx_count_distinct`` (HLL, single pass, no Expand blow-up) —
+    the exact form is the oracle-checkable contract here."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count_distinct("l_partkey").alias("n_parts"),
+            F.count_distinct("l_suppkey").alias("n_supps"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "window_lead_lag_cumsum",
+    survey_ref="§2.9 analytic windows: lag/lead/cumulative (net-new)",
+    tags=("relational",),
+    oracle="""
+SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS custkey,
+       epoch_ms(o_orderdate) AS order_ts,
+       CAST(row_number() OVER w AS BIGINT) AS rn,
+       CAST(coalesce(lag(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w, 0) AS BIGINT) AS prev_cents,
+       CAST(coalesce(lead(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w, 0) AS BIGINT) AS next_cents,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+)
+def q_window_lead_lag_cumsum(spark, sf_dir):
+    """Per-customer order timeline: row_number, lag/lead of the
+    previous/next order value, and a running total — one window
+    shuffle (partitionBy custkey) shared by all four functions.
+    Cumulative frame is ROWS (not RANGE) with a unique tie-break so
+    both engines see identical frames. Integer cents throughout."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_orderkey",
+        F.col("o_custkey").cast("long").alias("custkey"),
+        _epoch_ms_of_day(F.col("o_orderdate")),
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.coalesce(F.lag(cents).over(w), F.lit(0)).cast("long").alias("prev_cents"),
+        F.coalesce(F.lead(cents).over(w), F.lit(0)).cast("long").alias("next_cents"),
+        F.sum(cents).over(wcum).cast("long").alias("cum_cents"),
+    )

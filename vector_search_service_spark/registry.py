@@ -58,6 +58,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from . import queries_relational2  # noqa: F401
     from . import queries_skew  # noqa: F401
     from . import queries_streaming  # noqa: F401
+    from . import queries_subquery  # noqa: F401
     from . import queries_tpch  # noqa: F401
     from . import queries_textan  # noqa: F401
     return dict(_REGISTRY)
