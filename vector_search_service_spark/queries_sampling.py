@@ -1,0 +1,130 @@
+"""Registry entries — deterministic sampling and sharding (LLM
+training-data pipeline ops, driver mandate).
+
+Random sampling (``df.sample`` / ``TABLESAMPLE``) is not
+cross-engine-reproducible, so every operator here is *hash-based*:
+md5 of a stable key drives the decision, which makes splits (a)
+oracle-checkable, (b) stable under re-runs and repartitioning — the
+property a 100 TB train/val/test split actually needs (a re-ingested
+document lands in the same split forever).
+
+Portable-hash discipline (see tests/test_oracle_parity.py history):
+md5 hex is identical lowercase in both engines; the first 8 hex chars
+→ integer via Spark ``conv(x,16,10)`` == DuckDB ``('0x'||x)::UBIGINT``."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .registry import register
+from .sources.tables import load_table
+
+
+def _hash_bucket(col, mod: int):
+    """Deterministic bucket in [0, mod) from md5 of the string form."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long") % mod
+    )
+
+
+@register(
+    "hash_split_train_test",
+    survey_ref="LLM-pipeline: deterministic train/val/test split",
+    tags=("pipeline",),
+    oracle="""
+SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars
+FROM (SELECT lang, n_chars,
+             CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid' ELSE 'test' END AS split
+      FROM (SELECT lang, n_chars,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 AS b
+            FROM documents))
+GROUP BY split, lang ORDER BY split, lang
+""",
+)
+def q_hash_split_train_test(spark, sf_dir):
+    """80/10/10 split keyed on md5(doc_id): a narrow map-only
+    projection (no shuffle until the reporting groupBy), stable under
+    any partitioning — the split column can be written once at ingest
+    and used as a partition key downstream."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = _hash_bucket(F.col("doc_id"), 100)
+    split = (
+        F.when(b < 80, "train").when(b < 90, "valid").otherwise("test").alias("split")
+    )
+    return (
+        docs.select(split, "lang", F.col("n_chars").cast("long").alias("n_chars"))
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+@register(
+    "per_stratum_sample",
+    survey_ref="LLM-pipeline: deterministic per-stratum top-K sample",
+    tags=("pipeline",),
+    oracle="""
+SELECT lang, doc_id
+FROM (SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents)
+WHERE rn <= 20 ORDER BY lang, doc_id
+""",
+)
+def q_per_stratum_sample(spark, sf_dir):
+    """K=20 documents per language, chosen by md5 order — a
+    deterministic stand-in for stratified random sampling (the hash
+    is uniform, so it IS a uniform sample, just reproducible). One
+    window shuffle on the stratum key; at 100 TB prefer a two-phase
+    variant (per-partition top-K then global top-K) which Spark's
+    ``row_number`` + AQE already approximates."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("lang", "doc_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 20)
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    )
+
+
+@register(
+    "ntile_shards",
+    survey_ref="LLM-pipeline: ntile sharding for export",
+    tags=("pipeline",),
+    oracle="""
+SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS min_id, CAST(max(doc_id) AS BIGINT) AS max_id
+FROM (SELECT doc_id, CAST(ntile(16) OVER (ORDER BY doc_id) AS BIGINT) AS shard
+      FROM documents)
+GROUP BY shard ORDER BY shard
+""",
+)
+def q_ntile_shards(spark, sf_dir):
+    """Equal-size shard assignment (ntile over a unique key) — the
+    export-sharding primitive. ntile's single global sort is the
+    anti-pattern at 100 TB; the docstring contract here is the
+    semantics, and the scale path is range-partitioning
+    (``repartitionByRange``) which yields the same balanced shards
+    without one-task sorting. Both engines define ntile identically
+    (larger buckets first)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy("doc_id")
+    return (
+        docs.select("doc_id", F.ntile(16).over(w).cast("long").alias("shard"))
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("shard")
+    )

@@ -54,8 +54,10 @@ def all_queries() -> dict[str, QuerySpec]:
     from . import queries_multimodal  # noqa: F401
     from . import queries_pipeline  # noqa: F401
     from . import queries_quantile  # noqa: F401
+    from . import queries_rangejoin  # noqa: F401
     from . import queries_reference  # noqa: F401
     from . import queries_relational2  # noqa: F401
+    from . import queries_sampling  # noqa: F401
     from . import queries_skew  # noqa: F401
     from . import queries_streaming  # noqa: F401
     from . import queries_subquery  # noqa: F401
