@@ -60,6 +60,44 @@ def test_vector_topk_plan(spark):
     assert "BatchScan" in plan or "Scan parquet" in plan
 
 
+def test_range_join_is_equi_join_not_nested_loop(spark):
+    """The bucketed range join must plan as a hash/sort-merge
+    equi-join; a BroadcastNestedLoopJoin here means the bucketing
+    regressed and the query is O(n²) at scale."""
+    from vector_search_service_spark.queries_rangejoin import q_range_join_pairs
+
+    plan = explain_str(q_range_join_pairs(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan
+
+
+def test_scalar_subquery_aggregate_broadcasts(spark):
+    """Q17 shape: the per-part aggregate must broadcast back into the
+    fact scan — a shuffled join here re-shuffles the fact table."""
+    from vector_search_service_spark.queries_subquery import q_scalar_subquery_avg
+
+    assert "BroadcastHashJoin" in explain_str(q_scalar_subquery_avg(spark, SF_SMOKE))
+
+
+def test_exists_and_not_exists_join_shapes(spark):
+    from vector_search_service_spark.queries_subquery import (
+        q_exists_semi_join,
+        q_not_exists_anti,
+    )
+
+    assert "LeftSemi" in explain_str(q_exists_semi_join(spark, SF_SMOKE))
+    assert "LeftAnti" in explain_str(q_not_exists_anti(spark, SF_SMOKE))
+
+
+def test_hash_split_prunes_read_schema(spark):
+    """The split assignment is a narrow projection: only the three
+    referenced columns may be read from parquet."""
+    from vector_search_service_spark.queries_sampling import q_hash_split_train_test
+
+    cols = read_schema_columns(q_hash_split_train_test(spark, SF_SMOKE))
+    assert cols == {"doc_id", "lang", "n_chars"}
+
+
 def test_partition_pruning_on_catalog_store(spark, tmp_path):
     """documents partitioned by collection_id → a collection filter
     scans only that partition (PartitionFilters, not data filters)."""
