@@ -28,6 +28,9 @@ HEADLINE = (
     "semi_join_resolve",
     "content_stats",
     "recency_topk",
+    "scalar_subquery_avg",
+    "range_join_pairs",
+    "hash_split_train_test",
 )
 
 
