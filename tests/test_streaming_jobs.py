@@ -105,6 +105,93 @@ def test_stateful_running_count(spark, tmp_path):
     assert got == want
 
 
+def test_streaming_dedup_equals_batch_distinct(spark, tmp_path):
+    """dropDuplicatesWithinWatermark across micro-batches: the same
+    file replayed twice (at-least-once delivery) collapses to exactly
+    the batch-distinct row set. Watermark exceeds the data's time span
+    so nothing is dropped as late — the test isolates dedup state."""
+    from vector_search_service_spark.sources.tables import load_table
+    from vector_search_service_spark.streaming.windows import dedup_events
+
+    ev = load_table(spark, SF_SMOKE, "events").select("event_id", "ts", "user_id")
+    src = tmp_path / "dup_events"
+    ev.coalesce(1).write.mode("overwrite").parquet(str(src / "copy1"))
+    ev.coalesce(1).write.mode("append").parquet(str(src / "copy2"))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    out = dedup_events(stream, watermark="2000 hours")
+    q = (
+        out.writeStream.format("memory").queryName("mem_dedup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = _collect_sorted(spark.table("mem_dedup"), ["event_id"])
+    finally:
+        q.stop()
+    want = _collect_sorted(dedup_events(ev), ["event_id"])
+    assert got == want
+    assert len(got) == ev.count()  # the duplicate replay fully collapsed
+
+
+def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
+    """Stream-stream inner join with an event-time bound: views joined
+    to the same user's clicks within 48h, both sides streaming —
+    result set identical to the batch theta join from the same
+    helper."""
+    from vector_search_service_spark.sources.tables import load_table
+    from vector_search_service_spark.streaming.windows import click_after_view_pairs
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    src = tmp_path / "events_plain"
+    ev.coalesce(1).write.mode("overwrite").parquet(str(src))
+
+    def stream():
+        return (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+
+    views_s = stream().filter(F.col("event_type") == "view")
+    clicks_s = stream().filter(F.col("event_type") == "click")
+    out = click_after_view_pairs(
+        views_s, clicks_s, within="48 hours", watermark="2000 hours"
+    )
+    cols = ["user_id", "view_id", "click_id", "view_ms", "click_ms"]
+    q = (
+        out.writeStream.format("memory").queryName("mem_ssjoin")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssjoin"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = _collect_sorted(spark.table("mem_ssjoin"), cols)
+    finally:
+        q.stop()
+    want = _collect_sorted(
+        click_after_view_pairs(
+            ev.filter(F.col("event_type") == "view"),
+            ev.filter(F.col("event_type") == "click"),
+            within="48 hours",
+        ),
+        cols,
+    )
+    assert got == want
+    assert len(got) > 0
+
+
 def test_job_lifecycle(spark):
     from vector_search_service_spark.streaming.jobs import JobManager, JobStatus
 

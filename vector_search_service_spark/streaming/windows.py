@@ -76,6 +76,62 @@ def session_windows(events: DataFrame, *, gap: str = "30 minutes",
     )
 
 
+def dedup_events(events: DataFrame, *, keys: tuple[str, ...] = ("event_id",),
+                 ts_col: str = "ts", watermark: str | None = None) -> DataFrame:
+    """Exactly-once event dedup. Batch: plain ``dropDuplicates`` (a
+    hash aggregate on the key). Streaming: ``dropDuplicatesWithinWatermark``
+    — state holds one entry per key and the watermark bounds how long
+    a key is remembered, which is the knob that keeps state finite on
+    an unbounded stream (the at-least-once → exactly-once bridge for
+    the Q2 ingest path)."""
+    if watermark is not None:
+        return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            list(keys)
+        )
+    return events.dropDuplicates(list(keys))
+
+
+def click_after_view_pairs(views: DataFrame, clicks: DataFrame, *,
+                           within: str = "1 hour",
+                           watermark: str | None = None) -> DataFrame:
+    """Stream-stream (or batch-batch) interval join: for each view,
+    the same user's clicks within ``within`` afterwards. The join
+    condition carries an explicit event-time bound, which is what
+    lets Structured Streaming evict join state (without it a
+    stream-stream inner join would buffer forever). Batch mode is the
+    same bucketless theta join Catalyst plans from the identical
+    expression — one function, both modes."""
+    v = views.select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    if watermark is not None:
+        v = v.withWatermark("v_ts", watermark)
+        c = c.withWatermark("c_ts", watermark)
+    return (
+        v.join(
+            c,
+            F.expr(
+                f"v_user = c_user AND c_ts > v_ts"
+                f" AND c_ts <= v_ts + INTERVAL {within}"
+            ),
+        )
+        .select(
+            F.col("v_user").alias("user_id"),
+            "view_id",
+            "click_id",
+            F.unix_millis("v_ts").alias("view_ms"),
+            F.unix_millis("c_ts").alias("click_ms"),
+        )
+    )
+
+
 def stream_events_from_parquet(spark, sf_dir: str, *, max_files_per_trigger: int = 1) -> DataFrame:
     """Re-read the events table as a file-source stream (the batch
     parquet replayed incrementally) — the ingest-as-stream upgrade of
