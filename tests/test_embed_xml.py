@@ -81,3 +81,65 @@ def test_xml_source_and_searchable_text(spark, tmp_path):
     assert r2["category"] == "network"
     assert "Root Cause: firewall" in r2["searchable_text"]
     assert "\n\n" in r2["searchable_text"]
+
+
+def test_embed_client_fallback_chain(spark):
+    """SURVEY §2.12 fallback semantics: remote-if-configured, failure
+    → local (silently), dimension follows the active backend; the
+    stubbed transport exercises the failure path deterministically."""
+    from vector_search_service_spark.functions.embed_client import (
+        LOCAL_DIM,
+        REMOTE_DIM,
+        EmbeddingClient,
+    )
+
+    # no remote configured → local from the start
+    local_only = EmbeddingClient()
+    assert local_only.dimension() == LOCAL_DIM
+    assert local_only.health()["backend"] == "local"
+    vecs = local_only.encode_batch(["alpha beta", "gamma"])
+    assert len(vecs) == 2 and len(vecs[0]) == LOCAL_DIM
+
+    # remote configured but transport stubbed → advertises remote dim,
+    # falls back to local on first call
+    client = EmbeddingClient("https://example.invalid/embed")
+    assert client.dimension() == REMOTE_DIM
+    out = client.encode_batch(["alpha beta"])
+    assert len(out[0]) == LOCAL_DIM and client.used_fallback
+    assert client.health() == {
+        "backend": "local",
+        "dimension": LOCAL_DIM,
+        "remote_configured": True,
+        "fell_back": True,
+    }
+
+    # healthy injected transport → remote result, no fallback
+    def fake_remote(texts, dim):
+        return [[0.5] * dim for _ in texts]
+
+    ok = EmbeddingClient("https://example.invalid/embed", transport=fake_remote)
+    assert len(ok.encode_batch(["x"])[0]) == REMOTE_DIM and not ok.used_fallback
+
+
+def test_embed_client_udf_matches_local_model(spark):
+    """The per-executor client UDF (fallback path) produces exactly
+    the local hash-model vectors."""
+    from vector_search_service_spark.functions.embed import hash_embed_model_udf
+    from vector_search_service_spark.functions.embed_client import (
+        LOCAL_DIM,
+        EmbeddingClient,
+        embed_with_client_udf,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "hash join merge"), (2, "broadcast exchange shuffle")], "id long, text string"
+    )
+    via_client = embed_with_client_udf(
+        lambda: EmbeddingClient("https://example.invalid/embed")
+    )
+    got = {r["id"]: r["v"] for r in df.select("id", via_client("text").alias("v")).collect()}
+    want = {
+        r["id"]: r["v"]
+        for r in df.select("id", hash_embed_model_udf(LOCAL_DIM)("text").alias("v")).collect()
+    }
+    assert got == want
