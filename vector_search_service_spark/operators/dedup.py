@@ -199,8 +199,14 @@ def ngram_jaccard_pairs(df: DataFrame, *, text_col: str = "text",
     """Exact k-gram-shingle Jaccard over all pairs — the verifier
     stage; feed it candidate pairs (LSH buckets) at scale, not a cross
     join."""
+    # deliberately NOT cached: measured (local[32], sf0.01) the double
+    # UDF run costs ~1s while InMemoryTableScan under the nested-loop
+    # join costs ~8s — recompute wins
     sh = df.select(F.col(id_col), shingle_set_udf(k)(F.col(text_col)).alias("sh"))
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    # the nested-loop pair join streams the left side: spread it across
+    # cores (the single-file testdata otherwise yields ONE task doing
+    # all |a|·|b|/2 jaccard evaluations)
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")).repartition(32)
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))

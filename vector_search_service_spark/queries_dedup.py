@@ -219,3 +219,49 @@ def q_embedding_near_dup(spark, sf_dir):
         .select("id_a", "id_b", F.round("cos", 6).alias("cosine_r"))
         .orderBy("id_a", "id_b")
     )
+
+
+@register(
+    "dedup_components",
+    survey_ref="extension: dedup cluster assignment (connected components)",
+    tags=("dedup",),
+    oracle=f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, list_distinct({sql_shingles_expr(_WORDS)}) AS sh
+  FROM documents WHERE doc_id < 500
+),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM d a, d b
+  WHERE a.doc_id < b.doc_id AND {sql_jaccard_expr('a.sh', 'b.sh')} >= 0.3
+),
+e AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
+n AS (SELECT DISTINCT u AS node FROM e),
+reach(node, m) AS (
+  SELECT node, node FROM n
+  UNION
+  SELECT r.node, e.v FROM reach r JOIN e ON e.u = r.m
+)
+SELECT comp_id, CAST(count(*) AS BIGINT) AS n_docs, CAST(max(node) AS BIGINT) AS max_id
+FROM (SELECT node, min(m) AS comp_id FROM reach GROUP BY node)
+GROUP BY comp_id ORDER BY comp_id
+""",
+)
+def q_dedup_components(spark, sf_dir):
+    """Near-dup pairs are not transitive — keep-one-per-cluster needs
+    the transitive closure. Pairs (3-gram Jaccard ≥ 0.3 on a bounded
+    id range) → iterative min-label propagation
+    (``operators/components.py``) → cluster rollup. The oracle is an
+    independent recursive-CTE reachability computation, so the
+    fixpoint itself is cross-checked, not just the pair input."""
+    from .operators.dedup import ngram_jaccard_pairs
+    from .operators.components import connected_components
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    pairs = ngram_jaccard_pairs(docs, threshold=0.3).select("id_a", "id_b")
+    cc = connected_components(pairs)
+    return (
+        cc.groupBy(F.col("component").alias("comp_id"))
+        .agg(F.count("*").alias("n_docs"), F.max("node").alias("max_id"))
+        .orderBy("comp_id")
+    )
