@@ -87,3 +87,31 @@ def test_snap_scan_window_is_100():
     assert snap_to_boundary(text, 999) == 901
     text2 = "a" * 899 + " " + "a" * 201  # boundary at 899: one past the window
     assert snap_to_boundary(text2, 999) == 999
+
+
+def test_udtf_chunker_matches_pandas_path(spark):
+    """The native UDTF (LATERAL table function) and the pandas-UDF +
+    explode path must emit identical chunk rows — one core
+    (chunk_text), two execution surfaces."""
+    from vector_search_service_spark.operators.chunker import (
+        chunk_documents,
+        chunk_documents_sql,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma. " * 40),
+            (2, "short"),
+            (3, ""),
+            (4, "x" * 2500),
+        ],
+        "doc_id long, text string",
+    )
+    cols = ["doc_id", "chunk_index", "content", "start_char", "end_char"]
+    got = sorted(
+        tuple(r) for r in chunk_documents_sql(spark, df).select(*cols).collect()
+    )
+    want = sorted(
+        tuple(r) for r in chunk_documents(df).select(*cols).collect()
+    )
+    assert got == want and len(got) > 4

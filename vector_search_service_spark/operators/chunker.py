@@ -141,3 +141,45 @@ def chunk_documents(df: DataFrame, *, text_col: str = "text",
             *[F.col(c) for c in df.columns if c not in (text_col, id_col)],
         )
     )
+
+
+def make_chunker_udtf(chunk_size: int = DEFAULT_CHUNK_SIZE,
+                      overlap: int = DEFAULT_CHUNK_OVERLAP):
+    """Native Python UDTF (Spark 4, §2.11): the chunker as a true
+    table function — 1 row in, N rows out, no intermediate array
+    column or explode. Same ``chunk_text`` core as the pandas-UDF
+    path, so the two are parity-tested against each other; the
+    pandas path remains the throughput choice (Arrow batches), the
+    UDTF is the composable SQL surface (``LATERAL chunk(...)``)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType=(
+        "chunk_index int, content string, start_char int, end_char int, "
+        "chunk_size int, is_first_chunk boolean, is_last_chunk boolean"
+    ))
+    class _Chunker:
+        def eval(self, text: str):
+            for ch in chunk_text(text or "", chunk_size, overlap):
+                yield (
+                    ch["chunk_index"], ch["content"], ch["start_char"],
+                    ch["end_char"], ch["chunk_size"],
+                    ch["is_first_chunk"], ch["is_last_chunk"],
+                )
+
+    return _Chunker
+
+
+def chunk_documents_sql(spark, df: DataFrame, *, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        chunk_size: int = DEFAULT_CHUNK_SIZE,
+                        overlap: int = DEFAULT_CHUNK_OVERLAP) -> DataFrame:
+    """The UDTF surface end-to-end: register + LATERAL join in SQL.
+    Returns the same logical result as :func:`chunk_documents`
+    (modulo the derived chunk_id/total_chunks, which stay
+    DataFrame-side)."""
+    spark.udtf.register("chunk_udtf", make_chunker_udtf(chunk_size, overlap))
+    df.createOrReplaceTempView("_docs_to_chunk")
+    return spark.sql(
+        f"SELECT d.{id_col}, c.* FROM _docs_to_chunk d, "
+        f"LATERAL chunk_udtf(d.{text_col}) c"
+    )
