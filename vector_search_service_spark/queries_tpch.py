@@ -155,3 +155,51 @@ def q_multilang_token_stats(spark, sf_dir):
         .agg(F.sum("_n").alias("n_tokens"), F.count("*").alias("n_docs"))
         .orderBy("lang")
     )
+
+
+@register(
+    "tpch_q1_full",
+    survey_ref="A1/A4 full pricing-summary shape (TPC-H Q1)",
+    tags=("relational",),
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base_price,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS sum_disc_price,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) / count(*) AS avg_qty,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 / count(*) AS avg_price,
+       sum(CAST(round(l_discount * 100) AS BIGINT)) / 100.0 / count(*) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+def q_tpch_q1_full(spark, sf_dir):
+    """The full pricing-summary report (Q1): one scan, map-side
+    partial aggregation, a single 6-group shuffle. Every money/avg
+    column is an exact integer sum with the divisions applied once at
+    the end, in the same order in both engines — the reproducibility
+    discipline that also makes the 1000-executor result independent
+    of partitioning."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.round(F.col("l_quantity")).cast("long")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round(F.col("l_discount") * 100).cast("long")
+    n = F.count("*")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).alias("sum_qty"),
+            (F.sum(cents) / 100.0).alias("sum_base_price"),
+            (F.sum(cents * (100 - disc)) / 10000.0).alias("sum_disc_price"),
+            (F.sum(qty).cast("double") / n).alias("avg_qty"),
+            (F.sum(cents) / 100.0 / n).alias("avg_price"),
+            (F.sum(disc) / 100.0 / n).alias("avg_disc"),
+            n.cast("long").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
