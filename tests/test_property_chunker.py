@@ -37,7 +37,16 @@ def test_chunk_invariants(text, size, overlap):
         assert c["is_first_chunk"] == (i == 0)
 
     if chunks:
-        assert chunks[-1]["is_last_chunk"] or len(chunks) == 1000  # cap case
+        # the last *emitted* chunk carries the flag unless (a) the
+        # 1000-window safety cap fired, or (b) only whitespace remained
+        # after it — that tail window strips to empty and is dropped
+        # (reference loop semantics; unreachable through ingest, where
+        # G1 preprocessing trims trailing whitespace before chunking)
+        assert (
+            chunks[-1]["is_last_chunk"]
+            or len(chunks) == 1000
+            or text[chunks[-1]["end_char"]:].strip() == ""
+        )
 
     # successive windows advance and overlap by exactly eff_overlap
     for a, b in zip(chunks, chunks[1:]):

@@ -213,3 +213,37 @@ def q_asof_join_events(spark, sf_dir):
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "cube_counts",
+    survey_ref="§2.4 (grouping sets: CUBE, net-new)",
+    tags=("relational",),
+    oracle="""
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY returnflag, linestatus
+""",
+)
+def q_cube_counts(spark, sf_dir):
+    """CUBE over both dimensions (all 2^2 grouping sets — adds the
+    per-linestatus marginals ROLLUP omits) in one pass: Catalyst's
+    Expand feeds a single shuffle, same as ROLLUP."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("l_quantity")).cast("long")).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
