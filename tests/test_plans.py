@@ -113,3 +113,50 @@ def test_partition_pruning_on_catalog_store(spark, tmp_path):
     df = cat.documents("a")
     plan = explain_str(df)
     assert "PartitionFilters" in plan and "collection_id" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_bucketed_join_is_exchange_free(spark, tmp_path):
+    """Co-bucketed tables (same bucket count, bucketed on the join
+    key) must sort-merge in place: NO Exchange anywhere in the plan —
+    the 100 TB fact-fact join strategy (operators/bucketing.py)."""
+    from vector_search_service_spark.operators.bucketing import bucketed_pair
+
+    orders = load_table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_orderpriority")
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
+    ot, lt = bucketed_pair(
+        spark, orders, li, tag="plantest",
+        left_key="o_orderkey", right_key="l_orderkey", num_buckets=4,
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = lt.join(ot, lt.l_orderkey == ot.o_orderkey)
+        plan = explain_str(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan          # zero shuffles: co-located
+        # groupBy on the bucket key rides the same partitioning — still none
+        agg = joined.groupBy("o_orderkey").count()
+        assert "Exchange" not in explain_str(agg)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucket_pruning_on_key_equality(spark):
+    """Equality on the bucket key scans 1/N buckets (hash analogue of
+    partition pruning, for high-cardinality keys)."""
+    from pyspark.sql import functions as F
+    from vector_search_service_spark.operators.bucketing import write_bucketed
+
+    orders = load_table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_orderpriority")
+    t = write_bucketed(orders, spark, name="vss_bk_prune_test",
+                       bucket_col="o_orderkey", num_buckets=4)
+    # a bare filter has no join/agg to feed, so the planner's
+    # auto-bucketed-scan turns bucketing off; force it to see pruning
+    conf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    old = spark.conf.get(conf)
+    spark.conf.set(conf, "false")
+    try:
+        plan = explain_str(t.filter(F.col("o_orderkey") == 7))
+        assert "SelectedBucketsCount: 1 out of 4" in plan
+    finally:
+        spark.conf.set(conf, old)

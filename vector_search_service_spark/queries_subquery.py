@@ -238,3 +238,66 @@ def q_window_lead_lag_cumsum(spark, sf_dir):
         F.coalesce(F.lead(cents).over(w), F.lit(0)).cast("long").alias("next_cents"),
         F.sum(cents).over(wcum).cast("long").alias("cum_cents"),
     )
+
+
+@register(
+    "sole_fault_supplier",
+    survey_ref="§2.3 double-correlated EXISTS + NOT EXISTS (TPC-H Q21 shape)",
+    tags=("relational",),
+    oracle="""
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 10
+""",
+)
+def q_sole_fault_supplier(spark, sf_dir):
+    """Q21 shape (the hardest TPC-H decorrelation; 'late' adapted to
+    ``l_returnflag = 'R'`` — this corpus has no receipt/commit dates):
+    suppliers who were the SOLE returned-flag supplier in a
+    multi-supplier finished order. Both correlated subqueries become
+    joins on the SAME key (l_orderkey) with the ``<>`` correlation as
+    a join residual: left_semi against all-lineitems, left_anti
+    against returned-lineitems — so the whole query is one shuffle
+    family on orderkey (the semi, the anti, and the base all co-
+    partition; AQE reuses the exchange), then a broadcast of the tiny
+    supplier dimension, a count, and a 10-row top-k."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+
+    l1 = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
+    )
+    base = (
+        l1.join(orders, l1.l_orderkey == orders.o_orderkey, "left_semi")
+        .join(l2, (F.col("l_orderkey") == F.col("k2"))
+              & (F.col("l_suppkey") != F.col("s2")), "left_semi")
+        .join(l3, (F.col("l_orderkey") == F.col("k3"))
+              & (F.col("l_suppkey") != F.col("s3")), "left_anti")
+    )
+    return (
+        base.join(F.broadcast(sup), base.l_suppkey == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(10)
+    )
