@@ -1,0 +1,180 @@
+"""Registry entries — corpus-hygiene operators a production
+training-data pipeline runs before (and after) dedup: boilerplate
+detection via n-gram heavy hitters, benchmark decontamination via
+n-gram overlap against an eval set, and PII scrubbing.
+
+Not in the reference (its pipeline stops at chunk+embed ingest,
+``src/core/document_processor.py``); these extend the LLM-pipeline
+suite (COVERAGE.md "LLM-pipeline extensions") with the curation steps
+published pipelines (C4, RefinedWeb, Dolma) treat as mandatory."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .functions.hashing import sql_shingles_expr, sql_words_expr
+from .registry import register
+from .sources.tables import load_table
+
+_WORDS = sql_words_expr("text")
+
+# deterministic synthetic eval split: ~1% of docs by id hash-mod
+_EVAL_MOD = 97
+# decontamination uses long n-grams (published pipelines use 8-13);
+# 3-grams would flag everything in a small-vocab corpus
+_DECON_K = 8
+
+_EMAIL_RE = r"[a-z0-9._]+@[a-z0-9.-]+"
+_IP_RE = r"[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+"
+
+
+@register(
+    "boilerplate_ngrams",
+    survey_ref="extension: boilerplate detection (doc-frequency heavy hitters)",
+    tags=("textan", "dedup"),
+    oracle=f"""
+SELECT ngram, CAST(count(*) AS BIGINT) AS n_docs
+FROM (SELECT doc_id, unnest(list_distinct({sql_shingles_expr(_WORDS)})) AS ngram
+      FROM documents)
+GROUP BY ngram
+ORDER BY n_docs DESC, ngram
+LIMIT 20
+""",
+)
+def q_boilerplate_ngrams(spark, sf_dir):
+    """Top-20 3-gram shingles by DOCUMENT frequency (distinct per doc,
+    so a phrase repeated inside one doc counts once): the boilerplate
+    candidates an LSH-dedup pass should cap or strip upstream
+    (operators/dedup.py docstring). explode → partial-count → one
+    (ngram) shuffle of counts → 20-row top-k; text never shuffles."""
+    from .operators.dedup import shingle_set_udf
+
+    docs = load_table(spark, sf_dir, "documents")
+    # Arrow-batched shingle set (distinct per doc), not the expression
+    # mirror: Spark HOFs are CodegenFallback/interpreted, and this
+    # explodes EVERY doc's shingles (operators/dedup.py measured ~10x)
+    sh = shingle_set_udf(3)(F.col("text"))
+    return (
+        docs.select(F.explode(sh).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(F.col("n_docs").desc(), "ngram")
+        .limit(20)
+    )
+
+
+@register(
+    "decontaminate_overlap",
+    survey_ref="extension: benchmark decontamination (n-gram overlap vs eval set)",
+    tags=("textan", "dedup"),
+    oracle=f"""
+WITH eval_sh AS (
+  SELECT DISTINCT unnest({sql_shingles_expr(_WORDS, _DECON_K)}) AS sh
+  FROM documents WHERE doc_id % {_EVAL_MOD} = 0
+),
+corpus AS (
+  SELECT doc_id, lang, unnest(list_distinct({sql_shingles_expr(_WORDS, _DECON_K)})) AS sh
+  FROM documents WHERE doc_id % {_EVAL_MOD} <> 0
+),
+contaminated AS (
+  SELECT DISTINCT doc_id, lang FROM corpus
+  WHERE sh IN (SELECT sh FROM eval_sh)
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_contaminated
+FROM contaminated GROUP BY lang ORDER BY lang
+""",
+)
+def q_decontaminate_overlap(spark, sf_dir):
+    """Benchmark-contamination sweep: flag training docs sharing any
+    8-gram with the (synthetic, id-hash-selected) eval set. The eval
+    shingle set is small by construction (~1% of docs) and BROADCASTS
+    into a semi-join against the exploded corpus shingles — at 100 TB
+    the corpus never shuffles; each partition checks its own shingles
+    against the broadcast set. Published pipelines (GPT-3 appendix C,
+    Dolma) use exactly this shape with 8-13-gram overlap."""
+    from .operators.dedup import shingle_set_udf
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_set_udf(_DECON_K)(F.col("text"))  # Arrow-batched (see above)
+    is_eval = (F.col("doc_id") % _EVAL_MOD) == 0
+    eval_sh = (
+        docs.filter(is_eval)
+        .select(F.explode(sh).alias("sh"))
+        .distinct()
+    )
+    corpus = docs.filter(~is_eval).select(
+        "doc_id", "lang", F.explode(sh).alias("sh")
+    )
+    return (
+        corpus.join(F.broadcast(eval_sh), "sh", "left_semi")
+        .select("doc_id", "lang")
+        .distinct()
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_contaminated"))
+        .orderBy("lang")
+    )
+
+
+@register(
+    "pii_scrub",
+    survey_ref="extension: PII redaction (email/IP scrub with audit counts)",
+    tags=("textan",),
+    oracle=f"""
+WITH synth AS (
+  SELECT lang,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.7' AS raw
+  FROM documents
+),
+scrubbed AS (
+  SELECT lang, raw,
+         regexp_replace(regexp_replace(raw, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                        '{_IP_RE}', '<IP>', 'g') AS clean,
+         len(regexp_extract_all(raw, '{_EMAIL_RE}')) AS n_em,
+         len(regexp_extract_all(raw, '{_IP_RE}')) AS n_ip
+  FROM synth
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_em) AS BIGINT) AS n_emails,
+       CAST(sum(n_ip) AS BIGINT) AS n_ips,
+       CAST(sum(len(raw) - len(clean)) AS BIGINT) AS chars_removed
+FROM scrubbed GROUP BY lang ORDER BY lang
+""",
+)
+def q_pii_scrub(spark, sf_dir):
+    """PII scrub with an audit trail: redact emails and IPv4s, report
+    per-language match counts and bytes removed. The corpus carries no
+    PII, so each row deterministically APPENDS a synthetic
+    email+IP derived from its id — both engines construct and scrub
+    the same strings, proving the redaction regexes and the audit
+    arithmetic end-to-end. Pure expressions (regexp_replace /
+    regexp_count in the scan stage): at 100 TB this is a map-only
+    pass, one shuffle of 5 rows of partial counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"), F.lit(" contact user"),
+        F.col("doc_id").cast("string"), F.lit("@example.com or 10.0."),
+        (F.col("doc_id") % 256).cast("string"), F.lit(".7"),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(raw, _EMAIL_RE, "<EMAIL>"), _IP_RE, "<IP>"
+    )
+    return (
+        docs.select(
+            "lang",
+            F.length(raw).alias("_lr"),
+            F.length(clean).alias("_lc"),
+            F.regexp_count(raw, F.lit(_EMAIL_RE)).alias("_ne"),
+            F.regexp_count(raw, F.lit(_IP_RE)).alias("_ni"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_ne").cast("long").alias("n_emails"),
+            F.sum("_ni").cast("long").alias("n_ips"),
+            F.sum(F.col("_lr") - F.col("_lc")).cast("long").alias("chars_removed"),
+        )
+        .orderBy("lang")
+    )
