@@ -31,6 +31,9 @@ HEADLINE = (
     "scalar_subquery_avg",
     "range_join_pairs",
     "hash_split_train_test",
+    "sole_fault_supplier",
+    "decontaminate_overlap",
+    "timeseries_gapfill",
 )
 
 
