@@ -82,3 +82,55 @@ def test_document_listing_delete_stats(svc):
 
     h = svc.health()
     assert h["status"] == "healthy" and h["components"]["spark"] == "up"
+
+
+def test_collections_crud_and_search_surface(svc):
+    # create → info (real counts) → list → delete force-gate (the
+    # reference's api/collections.py + GET /search/collections are
+    # mock/TODO; here the same shapes run for real over the Catalog)
+    created = svc.create_collection("docs", "real collection", metadata={"team": "ml"})
+    assert created["status"] == "created" and created["name"] == "docs"
+
+    svc.ingest_document("alpha beta gamma " * 80, collection_id="docs")
+    info = svc.get_collection_info("docs")
+    assert info["document_count"] > 0          # real chunk count, not mock
+    assert info["embedding_count"] == 0        # FTS-path contract
+    assert info["metadata"]["team"] == "ml"
+    assert svc.get_collection_info("missing") is None
+
+    listed = svc.search_collections()
+    assert listed["total_count"] == len(listed["collections"]) >= 1
+    assert any(c["name"] == "docs" for c in listed["collections"])
+
+    with pytest.raises(ValueError):            # non-empty requires force
+        svc.delete_collection("docs")
+    out = svc.delete_collection("docs", force=True)
+    assert out["status"] == "deleted" and out["force_delete"] is True
+    assert svc.get_collection_info("docs") is None
+    assert svc.delete_collection("docs") is None  # already gone
+
+
+def test_batch_search_real_results(svc):
+    svc.ingest_document("spark shuffle exchange partition " * 50, collection_id="kb2")
+    svc.ingest_document("python pandas arrow batch " * 50, collection_id="kb2")
+    out = svc.batch_search(
+        ["spark shuffle", "pandas arrow", "no such terms zzz"],
+        collection_id="kb2", limit=5,
+    )
+    assert out["queries_processed"] == 3 and out["status"] == "completed"
+    assert out["results"][0]["total_found"] >= 1      # real hits, not mock
+    assert out["results"][1]["results"][0]["score"] > 0
+    assert out["results"][2]["total_found"] == 0       # and real misses
+
+
+def test_job_results_surface(svc):
+    svc.catalog.create_collection("jr")
+    res = svc.batch_ingest(
+        [{"content": f"job result doc {i} " * 30} for i in range(2)],
+        collection_id="jr", processing_mode="async",
+    )
+    svc.jobs.wait(res["job_id"])
+    out = svc.job_results(res["job_id"])
+    assert out["status"] == "completed"
+    assert out["results"] == {"successful": 2, "failed": 0}
+    assert svc.job_results("nope") is None

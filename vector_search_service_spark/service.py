@@ -170,7 +170,109 @@ class SearchService:
             "status_endpoint": f"/api/v1/collections/{collection_id}/documents/jobs/{job.job_id}",
         }
 
+    def batch_search(self, queries: list[str], *,
+                     collection_id: str = DEFAULT_COLLECTION, limit: int = 10,
+                     metadata_filter: dict | None = None) -> dict:
+        """``POST /search/batch`` — implemented for REAL (the reference
+        endpoint returns mock data, ``src/api/search.py`` "TODO:
+        Implement actual batch search logic"); response mirrors
+        ``BatchSearchResponse`` (``src/api/models.py:75-81``). Each
+        query is its own top-k (k × partitions rows move, per query);
+        a 100-TB deployment batching thousands of queries would
+        instead join a broadcast query-term table against the postings
+        index (operators/fts_index.py) in one plan."""
+        import uuid
+
+        t0 = time.perf_counter()
+        results = [
+            self.similarity_search(
+                q, collection_id=collection_id, limit=limit,
+                metadata_filter=metadata_filter,
+            )
+            for q in queries
+        ]
+        return {
+            "job_id": str(uuid.uuid4()),
+            "queries_processed": len(results),
+            "results": results,
+            "processing_time_ms": int((time.perf_counter() - t0) * 1000),
+            "status": "completed",
+        }
+
+    def search_collections(self) -> dict:
+        """``GET /search/collections`` — real listing (reference
+        returns mock rows); shape per ``CollectionListResponse``."""
+        infos = [self.get_collection_info(c["name"]) for c in self.catalog.list_collections()]
+        return {"collections": infos, "total_count": len(infos)}
+
+    # -- collections CRUD (reference api/collections.py is mock/TODO;
+    #    implemented for real over the Catalog, shapes per models.py) --------
+
+    def create_collection(self, name: str, description: str | None = None,
+                          metadata: dict | None = None) -> dict:
+        coll = self.catalog.create_collection(
+            name, description,
+            metadata={str(k): str(v) for k, v in (metadata or {}).items()},
+        )
+        return {
+            "collection_id": str(coll["id"]), "name": coll["name"],
+            "status": "created", "created_at": coll["created_at"],
+        }
+
+    def get_collection_info(self, collection_id: str) -> dict | None:
+        """``CollectionInfo`` with REAL counts (document_count =
+        chunks, embedding_count = 0 on the FTS path — the v2.0.0
+        migration contract, same as ingest's ``embedding_count``)."""
+        coll = self.catalog.get_collection(collection_id)
+        if coll is None:
+            return None
+        stats = self.catalog.collection_stats(collection_id)
+        return {
+            "id": str(coll["id"]), "name": coll["name"],
+            "description": coll.get("description"),
+            "document_count": stats["document_count"],
+            "embedding_count": 0,
+            "created_at": coll["created_at"], "updated_at": coll["updated_at"],
+            "metadata": dict(coll.get("doc_metadata") or {}),
+        }
+
+    def delete_collection(self, collection_id: str, force: bool = False) -> dict | None:
+        """Real cascade delete (S7). ``force`` gate: a non-empty
+        collection requires force=True (the reference's declared-but-
+        mock contract, ``api/collections.py:119-124``)."""
+        from datetime import datetime, timezone
+
+        coll = self.catalog.get_collection(collection_id)
+        if coll is None:
+            return None
+        n_docs = self.catalog.collection_stats(collection_id)["document_count"]
+        if n_docs and not force:
+            raise ValueError(
+                f"Collection '{collection_id}' has {n_docs} documents; "
+                "pass force=True to cascade-delete"
+            )
+        self.catalog.delete_collection(collection_id)
+        return {
+            "message": f"Collection {collection_id} deleted successfully",
+            "collection_id": collection_id,
+            "status": "deleted",
+            "timestamp": datetime.now(timezone.utc).isoformat(),
+            "force_delete": force,
+        }
+
     # -- jobs ---------------------------------------------------------------
+
+    def job_results(self, job_id: str) -> dict | None:
+        """``GET /jobs/{id}/results`` — real results of a terminal job
+        (mock in the reference, ``src/api/jobs.py``): the accumulated
+        per-batch counts; None while still running (the 202 case)."""
+        job = self.jobs.get_job(job_id)
+        if job is None:
+            return None
+        d = job.to_dict()
+        if d["status"] not in ("completed", "failed", "cancelled"):
+            return {"job_id": job_id, "status": d["status"], "results": None}
+        return {"job_id": job_id, "status": d["status"], "results": d["result"]}
 
     def job_status(self, job_id: str) -> dict | None:
         job = self.jobs.get_job(job_id)
