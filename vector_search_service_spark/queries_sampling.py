@@ -128,3 +128,54 @@ def q_ntile_shards(spark, sf_dir):
         )
         .orderBy("shard")
     )
+
+
+@register(
+    "mixture_token_sample",
+    survey_ref="LLM-pipeline: mixture-weighted downsampling (equal per-language budget)",
+    tags=("pipeline",),
+    oracle="""
+WITH tot AS (
+  SELECT lang, CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS tot
+  FROM documents GROUP BY lang
+),
+mn AS (SELECT min(tot) AS mn FROM tot),
+s AS (
+  SELECT d.lang, CAST(d.n_chars AS BIGINT) AS nc
+  FROM documents d JOIN tot USING (lang) CROSS JOIN mn
+  WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT % 1000000 AS BIGINT) * tot
+        < mn * 1000000
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nc) AS BIGINT) AS n_chars_sampled
+FROM s GROUP BY lang ORDER BY lang
+""",
+)
+def q_mixture_token_sample(spark, sf_dir):
+    """Rebalance a multilingual corpus to a uniform mixture: each
+    language is hash-downsampled to ≈ the smallest language's char
+    budget (rate = min_total/lang_total). All arithmetic is integer
+    cross-multiplication (``h*tot < mn*1e6``) — no float rates, so
+    the sample is bit-stable across engines, partitionings and
+    re-runs (a doc stays in/out of the mixture forever). Plan: tiny
+    per-lang totals broadcast back into a map-only filter over the
+    corpus scan; one reporting groupBy. At 100 TB: totals are 5 rows;
+    the corpus never shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    tot = (
+        docs.groupBy("lang")
+        .agg(F.sum(F.col("n_chars").cast("long")).alias("tot"))
+    )
+    mn = tot.agg(F.min("tot").alias("mn"))
+    rates = tot.crossJoin(F.broadcast(mn))
+    h = _hash_bucket(F.col("doc_id"), 1_000_000)
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .filter(h * F.col("tot") < F.col("mn") * 1_000_000)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("n_chars").cast("long")).alias("n_chars_sampled"),
+        )
+        .orderBy("lang")
+    )
