@@ -160,3 +160,20 @@ def test_bucket_pruning_on_key_equality(spark):
         assert "SelectedBucketsCount: 1 out of 4" in plan
     finally:
         spark.conf.set(conf, old)
+
+
+def test_shuffle_hash_hint_avoids_sort(spark):
+    """Mid-size build sides: SHUFFLE_HASH skips both sort passes of
+    SMJ (hash the smaller shuffled side per partition) — the knob for
+    fact⋈mid-dim joins where neither broadcast nor bucketing applies."""
+    orders = load_table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = li.join(orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey)
+        plan = explain_str(j)
+        assert "ShuffledHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
