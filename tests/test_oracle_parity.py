@@ -42,3 +42,23 @@ def test_registry_consistency():
     o = e.oracle_sql()
     assert set(o) <= set(q)
     assert len(q) > 0
+
+
+@pytest.mark.parametrize("spec", _specs(), ids=lambda s: s.name)
+def test_no_complex_output_columns(spark, spec):
+    """Driver invariant: every oracle-checked query must emit only
+    scalar columns — the driver's canonicalizer sorts a pandas frame
+    and dies on unhashable array/map/struct cells (the round-1
+    embed_documents failure). Rows-only entries are exempt (the
+    driver never hashes them) but we keep them scalar too where easy."""
+    if spec.oracle is None:
+        return
+    from pyspark.sql import types as T
+
+    df = spec.fn(spark, SF_ORACLE)
+    bad = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    assert not bad, f"{spec.name}: complex-typed output columns {bad}"
