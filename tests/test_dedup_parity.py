@@ -86,3 +86,65 @@ def test_connected_components_chain_and_isolated_pair(spark):
         r["node"]: r["component"] for r in connected_components(pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 7: 7, 9: 7}
+
+# -- hot-bucket cap (VERDICT r1 #3) ------------------------------------------
+
+
+def _skewed_corpus(spark, n_boiler=1000):
+    """1k identical boilerplate docs + two genuine near-dup pairs +
+    distinct filler. Without a cap the boilerplate bucket alone yields
+    n·(n-1)/2 candidate pairs."""
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "mu nu xi omicron pi rho sigma tau upsilon phi chi")
+    near_a = base + " psi"
+    near_b = base + " omega"  # one word of 22 differs: Jaccard = 19/21
+    rows = [(i, boiler) for i in range(n_boiler)]
+    rows += [(10_000, near_a), (10_001, near_b)]
+    rows += [
+        (20_000 + i, f"unique document number {i} with totally distinct words w{i}a w{i}b w{i}c w{i}d")
+        for i in range(20)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_lsh_hot_bucket_cap_bounds_pairs(spark):
+    from vector_search_service_spark.operators.dedup import (
+        lsh_hot_buckets,
+        minhash_band_keys,
+        minhash_lsh_pairs,
+    )
+
+    docs = _skewed_corpus(spark)
+    pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.8, max_bucket_size=500).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    # the 1000-member boilerplate bucket is sidelined: zero pairs from
+    # it; the genuine near-dup pair survives untouched
+    assert got == {(10_000, 10_001)}
+
+    # the sidelined buckets are reported as a boilerplate signal
+    keyed = minhash_band_keys(docs.select("doc_id", "text")).select(
+        "doc_id", "band", "band_key"
+    )
+    hot = lsh_hot_buckets(keyed, max_bucket_size=500).collect()
+    assert len(hot) == 4  # one per band — all 1000 docs identical
+    assert all(r["n_members"] == 1000 for r in hot)
+
+
+def test_lsh_cap_noop_on_non_degenerate_corpus(spark):
+    """On a corpus with no hot buckets the cap changes nothing."""
+    from vector_search_service_spark.operators.dedup import minhash_lsh_pairs
+    from vector_search_service_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, jaccard_threshold=0.8).collect()
+    }
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(
+            docs, jaccard_threshold=0.8, max_bucket_size=None
+        ).collect()
+    }
+    assert capped == uncapped and len(capped) > 0

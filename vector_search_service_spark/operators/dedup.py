@@ -117,14 +117,40 @@ def minhash_band_keys(df: DataFrame, *, text_col: str = "text",
     )
 
 
+DEFAULT_MAX_BUCKET = 500
+
+
+def lsh_hot_buckets(keyed: DataFrame, *, max_bucket_size: int = DEFAULT_MAX_BUCKET) -> DataFrame:
+    """Degenerate LSH buckets: ``(band, band_key, n_members)`` for
+    buckets over the cap. Within-bucket pair count is quadratic in
+    bucket size, so one boilerplate key (license headers, templated
+    pages) at 100 TB turns the band self-join into an n² explosion no
+    amount of AQE skew-splitting can shrink. These keys are both the
+    thing to exclude from the join AND a boilerplate-detection signal
+    (cf. ``boilerplate_ngrams``). groupBy count is map-side combinable:
+    the shuffle moves one row per distinct key, not per member."""
+    return (
+        keyed.groupBy("band", "band_key")
+             .agg(F.count("*").alias("n_members"))
+             .filter(F.col("n_members") > max_bucket_size)
+    )
+
+
 def minhash_lsh_pairs(df: DataFrame, *, text_col: str = "text",
                       id_col: str = "doc_id",
                       bands: tuple[tuple[int, ...], ...] = DEFAULT_BANDS,
-                      jaccard_threshold: float = 0.8) -> DataFrame:
+                      jaccard_threshold: float = 0.8,
+                      max_bucket_size: int | None = DEFAULT_MAX_BUCKET) -> DataFrame:
     """Candidate pairs that collide in ≥1 band, verified by shingle-set
     Jaccard ≥ threshold. Returns (id_a, id_b, jaccard), id_a < id_b,
     distinct. The band join shuffles ids only; shingles for the (rare)
-    candidates are attached via a broadcast of the candidate set."""
+    candidates are attached via a broadcast of the candidate set.
+
+    Buckets with more than ``max_bucket_size`` members are dropped
+    before the self-join (hot-bucket cap): identical/boilerplate text
+    at scale makes one band key quadratic, and exact-dup content is
+    exact_dedup's job anyway. ``None`` disables the cap (tests only —
+    never at scale)."""
     keyed = minhash_band_keys(
         df.select(id_col, text_col), text_col=text_col, bands=bands
     ).select(id_col, "band", "band_key")
@@ -135,6 +161,12 @@ def minhash_lsh_pairs(df: DataFrame, *, text_col: str = "text",
     # scale relative to the corpus (this is also what you'd persist as
     # the index table in a real deployment).
     keyed = keyed.localCheckpoint(eager=False)
+    if max_bucket_size is not None:
+        hot = lsh_hot_buckets(keyed, max_bucket_size=max_bucket_size)
+        keyed = keyed.join(
+            F.broadcast(hot.select("band", "band_key")),
+            ["band", "band_key"], "left_anti",
+        )
     a = keyed.alias("a")
     b = keyed.alias("b")
     pairs = (
@@ -202,11 +234,17 @@ def ngram_jaccard_pairs(df: DataFrame, *, text_col: str = "text",
     # deliberately NOT cached: measured (local[32], sf0.01) the double
     # UDF run costs ~1s while InMemoryTableScan under the nested-loop
     # join costs ~8s — recompute wins
+    from ..sources.tables import parallelize_scan
+
     sh = df.select(F.col(id_col), shingle_set_udf(k)(F.col(text_col)).alias("sh"))
     # the nested-loop pair join streams the left side: spread it across
     # cores (the single-file testdata otherwise yields ONE task doing
-    # all |a|·|b|/2 jaccard evaluations)
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")).repartition(32)
+    # all |a|·|b|/2 jaccard evaluations); parallelize_scan is a no-op
+    # when the scan already has >= cluster-parallelism input splits
+    a = parallelize_scan(
+        sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")),
+        df.sparkSession,
+    )
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))

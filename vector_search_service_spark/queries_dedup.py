@@ -23,6 +23,7 @@ from .functions.hashing import (
 from .functions.vectors import cosine_similarity_col
 from .operators.dedup import (
     DEFAULT_BANDS,
+    DEFAULT_MAX_BUCKET,
     exact_dedup,
     minhash_lsh_pairs,
     simhash_fingerprints,
@@ -91,7 +92,13 @@ WITH d AS (
 ),
 hh AS (SELECT doc_id, sh, {sql_shingle_hashes_expr('sh')} AS h FROM d),
 k AS (SELECT doc_id, {band_cols} FROM hh),
-u AS ({unions}),
+u0 AS ({unions}),
+-- hot-bucket cap (mirrors operators/dedup.py DEFAULT_MAX_BUCKET):
+-- buckets over the cap are boilerplate, excluded from the pair join
+cold AS (
+  SELECT band, bk FROM u0 GROUP BY band, bk HAVING count(*) <= {DEFAULT_MAX_BUCKET}
+),
+u AS (SELECT u0.* FROM u0 JOIN cold USING (band, bk)),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM u a JOIN u b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
