@@ -110,15 +110,36 @@ def chunks_udf(chunk_size: int = DEFAULT_CHUNK_SIZE,
     return _chunks
 
 
+def chunks_udf_per_row():
+    """Per-document chunk parameters (batch ingest carries
+    ``chunk_size``/``chunk_overlap`` per row): same ``chunk_text``
+    core, sizes read from columns instead of closure constants."""
+    @F.pandas_udf(T.ArrayType(CHUNK_STRUCT))
+    def _chunks(texts: pd.Series, sizes: pd.Series, overlaps: pd.Series) -> pd.Series:
+        return pd.Series([
+            chunk_text(t or "", int(s), int(o))
+            for t, s, o in zip(texts, sizes, overlaps)
+        ], index=texts.index)
+    return _chunks
+
+
 def chunk_documents(df: DataFrame, *, text_col: str = "text",
                     id_col: str = "doc_id",
-                    chunk_size: int = DEFAULT_CHUNK_SIZE,
-                    overlap: int = DEFAULT_CHUNK_OVERLAP) -> DataFrame:
+                    chunk_size: int | Column = DEFAULT_CHUNK_SIZE,
+                    overlap: int | Column = DEFAULT_CHUNK_OVERLAP) -> DataFrame:
     """1 document row in → N chunk rows out (the UDTF shape:
     array-returning pandas UDF + explode). Chunk id mirrors the
     reference's ``{doc_id}_chunk_{i}`` (``src/api/documents.py:187``)
-    and ``total_chunks`` its per-document count (`:174-184`)."""
-    chunks = chunks_udf(chunk_size, overlap)(F.col(text_col))
+    and ``total_chunks`` its per-document count (`:174-184`).
+    ``chunk_size``/``overlap`` accept Columns for per-row overrides."""
+    if isinstance(chunk_size, Column) or isinstance(overlap, Column):
+        size_col = chunk_size if isinstance(chunk_size, Column) else F.lit(chunk_size)
+        over_col = overlap if isinstance(overlap, Column) else F.lit(overlap)
+        chunks = chunks_udf_per_row()(
+            F.col(text_col), size_col.cast("int"), over_col.cast("int")
+        )
+    else:
+        chunks = chunks_udf(chunk_size, overlap)(F.col(text_col))
     exploded = (
         df.withColumn("_chunks", chunks)
           .withColumn("total_chunks", F.size("_chunks"))

@@ -78,50 +78,84 @@ class SearchService:
 
     # -- ingest (3.2) -------------------------------------------------------
 
+    METADATA_KEYS = ("title", "source", "author", "type")
+
+    def _batch_frame(self, documents: list[dict]):
+        """One DataFrame for a whole batch: per-document metadata and
+        chunk-parameter columns. Returns ``(raw_df_or_None,
+        prefailed)`` — docs whose metadata fails driver-side
+        validation (reserved keys, non-dict) become per-doc failures
+        without poisoning the batch (documents.py:465-472)."""
+        from .functions.text import RESERVED_METADATA_KEYS
+
+        rows, prefailed = [], {}
+        for i, doc in enumerate(documents):
+            meta = doc.get("metadata")
+            if meta is not None and not isinstance(meta, dict):
+                prefailed[i] = "Metadata must be a dictionary"
+                continue
+            bad = next((k for k in RESERVED_METADATA_KEYS if meta and k in meta), None)
+            if bad is not None:  # P10, document_processor.py:233-236
+                prefailed[i] = f"Metadata key '{bad}' is reserved"
+                continue
+            meta = meta or {}
+            rows.append((
+                i, doc.get("content"),
+                *[str(meta[k]) if k in meta else None for k in self.METADATA_KEYS],
+                int(doc.get("chunk_size") or 1000),
+                int(doc.get("chunk_overlap") or 200),
+            ))
+        if not rows:
+            return None, prefailed
+        raw = self.spark.createDataFrame(
+            rows,
+            "_idx int, text string, title string, source string, "
+            "author string, type string, _chunk_size int, _chunk_overlap int",
+        )
+        return raw, prefailed
+
+    def _ingest_frame(self, raw, collection_id: str) -> list[dict]:
+        from pyspark.sql import functions as F
+
+        res = ingest_into(
+            self.catalog, collection_id, raw,
+            metadata_cols=self.METADATA_KEYS,
+            chunk_size=F.col("_chunk_size"), overlap=F.col("_chunk_overlap"),
+            idx_col="_idx",
+        )
+        return res["documents"]
+
     def ingest_document(self, content: str, *, collection_id: str = DEFAULT_COLLECTION,
                         metadata: dict | None = None,
                         chunk_size: int = 1000, chunk_overlap: int = 200) -> dict:
         t0 = time.perf_counter()
-        from .functions.text import RESERVED_METADATA_KEYS
-
-        if metadata is not None and not isinstance(metadata, dict):
-            raise ValueError("Metadata must be a dictionary")
-        for key in RESERVED_METADATA_KEYS:  # P10, document_processor.py:233-236
-            if metadata and key in metadata:
-                raise ValueError(f"Metadata key '{key}' is reserved")
+        raw, prefailed = self._batch_frame([{
+            "content": content, "metadata": metadata,
+            "chunk_size": chunk_size, "chunk_overlap": chunk_overlap,
+        }])
+        if prefailed:  # single-doc contract: invalid metadata raises (400)
+            raise ValueError(prefailed[0])
         if self.catalog.get_collection(collection_id) is None:
             # auto-create on first single-doc ingest (documents.py:104-126)
             self.catalog.create_collection(
                 collection_id, f"Auto-created collection for {collection_id}",
                 metadata={"search_type": "fulltext"},
             )
-        meta = metadata or {}
-        rows = [(content, *[str(meta[k]) if k in meta else None
-                            for k in ("title", "source", "author", "type")])]
-        raw = self.spark.createDataFrame(
-            rows, "text string, title string, source string, author string, type string"
-        )
-        res = ingest_into(
-            self.catalog, collection_id, raw,
-            metadata_cols=("title", "source", "author", "type"),
-            chunk_size=chunk_size, overlap=chunk_overlap,
-        )
-        if res["chunks_created"] == 0:
+        doc = self._ingest_frame(raw, collection_id)[0]
+        if doc["error"] is not None:
             return {
                 "document_id": "", "chunks_created": 0, "embedding_count": 0,
-                "status": "error",
+                "status": "failed",  # DocumentIngestResponse vocabulary
                 "processing_time_ms": int((time.perf_counter() - t0) * 1000),
             }
-        doc_id = (
-            self.catalog.documents(collection_id)
-            .orderBy("created_at", ascending=False).limit(1)
-            .collect()[0]["doc_metadata"]["document_id"]
-        )
         return {
-            "document_id": doc_id,
-            "chunks_created": res["chunks_created"],
+            # content-addressed id straight from the plan (G2) — never
+            # re-read from the table (created_at ordering races under
+            # concurrent writers and costs a scan)
+            "document_id": doc["document_id"],
+            "chunks_created": doc["chunks_created"],
             "embedding_count": 0,  # FTS path, v2.0.0 contract
-            "status": "success",
+            "status": "completed",  # documents.py:215 contract
             "processing_time_ms": int((time.perf_counter() - t0) * 1000),
         }
 
@@ -138,22 +172,16 @@ class SearchService:
         job = self.jobs.create_job(len(documents))
 
         def body(j) -> dict:
-            ok = failed = 0
-            for i, doc in enumerate(documents, start=1):
-                try:
-                    r = self.ingest_document(
-                        doc["content"], collection_id=collection_id,
-                        metadata=doc.get("metadata"),
-                        chunk_size=doc.get("chunk_size") or 1000,
-                        chunk_overlap=doc.get("chunk_overlap") or 200,
-                    )
-                    if r["status"] == "success":
-                        ok += 1
-                    else:  # validation rejection = per-doc failure (:465-472)
-                        failed += 1
-                except Exception:  # noqa: BLE001 — per-doc isolation (:465-472)
-                    failed += 1
-                self.jobs.update_progress(j.job_id, i, succeeded=ok, failed=failed)
+            # ONE distributed write for the whole batch (SURVEY §3.3):
+            # per-doc isolation is the rejected side-output inside the
+            # plan, not a driver loop of per-doc Spark jobs
+            raw, prefailed = self._batch_frame(documents)
+            per_doc = self._ingest_frame(raw, collection_id) if raw is not None else []
+            ok = sum(1 for d in per_doc if d["error"] is None)
+            failed = len(prefailed) + sum(1 for d in per_doc if d["error"] is not None)
+            self.jobs.update_progress(
+                j.job_id, len(documents), succeeded=ok, failed=failed
+            )
             return {"successful": ok, "failed": failed}
 
         if processing_mode == "sync":
