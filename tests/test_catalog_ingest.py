@@ -99,3 +99,57 @@ def test_metadata_in_doc_id(catalog, spark):
     ]
     assert ids[0] != ids[1]  # metadata participates in the hash
     assert all(len(i) == 16 for i in ids)
+
+
+def test_catalog_versioned_swap_and_lock(spark, tmp_path):
+    """VERDICT r1 #9: a live catalog exists at every instant (versioned
+    dirs + atomic pointer flip) and a second writer fails loudly on the
+    advisory lock instead of corrupting the swap."""
+    import pytest
+
+    from vector_search_service_spark.catalog import Catalog
+
+    root = tmp_path / "swapstore"
+    cat = Catalog(spark, str(root))
+    cat.create_collection("a")
+    cat.create_collection("b")
+    assert {c["name"] for c in cat.list_collections()} == {"a", "b"}
+    assert (root / "collections.current").read_text().startswith("collections_v")
+
+    lock = root / "catalog.lock"
+    lock.write_text("999999")
+    with pytest.raises(RuntimeError, match="locked by another writer"):
+        cat.create_collection("c")
+    lock.unlink()
+    cat.create_collection("c")
+    assert {c["name"] for c in cat.list_collections()} == {"a", "b", "c"}
+    # superseded versions pruned (current + one previous kept at most)
+    vdirs = [d for d in root.iterdir() if d.name.startswith("collections_v")]
+    assert len(vdirs) <= 2
+
+
+def test_catalog_concurrent_thread_creates(spark, tmp_path):
+    """In-process mutations serialize on the catalog mutex: parallel
+    creates from job threads all land, with unique ids."""
+    import threading
+
+    from vector_search_service_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "mtstore"))
+    errs = []
+
+    def mk(n):
+        try:
+            cat.create_collection(f"c{n}")
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=mk, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    colls = cat.list_collections()
+    assert sorted(c["name"] for c in colls) == [f"c{i}" for i in range(4)]
+    assert len({c["id"] for c in colls}) == 4

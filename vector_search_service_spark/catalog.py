@@ -25,8 +25,10 @@ are set by this writer.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import shutil
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -65,16 +67,31 @@ class Catalog:
         self.root = root
         self.collections_path = os.path.join(root, "collections")
         self.documents_path = os.path.join(root, "documents")
+        self._pointer_path = os.path.join(root, "collections.current")
+        # in-process mutation serialization: the service's async batch
+        # jobs share one Catalog across threads (ADVICE r1) — re-entrant
+        # so create_collection can call _rewrite_collections under it
+        self._mutex = threading.RLock()
 
     # -- collections (S1, S2, S8) -----------------------------------------
 
+    def _current_collections_dir(self) -> str:
+        """Resolve the live catalog version via the pointer file; fall
+        back to the legacy unversioned layout."""
+        if os.path.exists(self._pointer_path):
+            with open(self._pointer_path) as f:
+                return os.path.join(self.root, f.read().strip())
+        return self.collections_path
+
     def _collections_exists(self) -> bool:
-        return os.path.exists(os.path.join(self.collections_path, "_SUCCESS"))
+        return os.path.exists(os.path.join(self._current_collections_dir(), "_SUCCESS"))
 
     def collections(self) -> DataFrame:
         if not self._collections_exists():
             return self.spark.createDataFrame([], COLLECTION_SCHEMA)
-        return self.spark.read.schema(COLLECTION_SCHEMA).parquet(self.collections_path)
+        return self.spark.read.schema(COLLECTION_SCHEMA).parquet(
+            self._current_collections_dir()
+        )
 
     def get_collection(self, name: str) -> dict | None:
         rows = self.collections().filter(F.col("name") == name).limit(1).collect()
@@ -91,38 +108,90 @@ class Catalog:
         (``src/core/vector_store.py:15-42``); name uniqueness enforced
         by check-then-append (single-writer catalog assumption; a real
         deployment would use Delta MERGE ``whenNotMatchedInsert``)."""
-        existing = self.get_collection(name)
-        if existing is not None:
-            raise ValueError(f"collection {name!r} already exists")
-        cur = self.collections()
-        next_id = (cur.agg(F.coalesce(F.max("id"), F.lit(0)).alias("m")).collect()[0]["m"] or 0) + 1
-        row_df = self.spark.createDataFrame(
-            [(next_id, name, description, metadata or {}, embedding_dimension, distance_function)],
-            T.StructType(COLLECTION_SCHEMA.fields[:6]),
-        ).withColumn("created_at", F.current_timestamp()) \
-         .withColumn("updated_at", F.current_timestamp())
-        self._rewrite_collections(cur.unionByName(row_df))
-        return self.get_collection(name)  # re-read: timestamps materialized
+        with self._mutex:  # check-then-append is atomic in-process
+            existing = self.get_collection(name)
+            if existing is not None:
+                raise ValueError(f"collection {name!r} already exists")
+            cur = self.collections()
+            next_id = (cur.agg(F.coalesce(F.max("id"), F.lit(0)).alias("m")).collect()[0]["m"] or 0) + 1
+            row_df = self.spark.createDataFrame(
+                [(next_id, name, description, metadata or {}, embedding_dimension, distance_function)],
+                T.StructType(COLLECTION_SCHEMA.fields[:6]),
+            ).withColumn("created_at", F.current_timestamp()) \
+             .withColumn("updated_at", F.current_timestamp())
+            self._rewrite_collections(cur.unionByName(row_df))
+            return self.get_collection(name)  # re-read: timestamps materialized
 
     def delete_collection(self, name: str) -> bool:
         """S7 — engine-owned cascade: documents partition first, then
         the catalog row (``src/core/vector_store.py:74-90``)."""
-        coll = self.get_collection(name)
-        if coll is None:
-            return False
-        part_dir = os.path.join(self.documents_path, f"collection_id={coll['id']}")
-        if os.path.exists(part_dir):
-            shutil.rmtree(part_dir)
-        self._rewrite_collections(self.collections().filter(F.col("name") != name))
-        return True
+        with self._mutex:
+            coll = self.get_collection(name)
+            if coll is None:
+                return False
+            part_dir = os.path.join(self.documents_path, f"collection_id={coll['id']}")
+            if os.path.exists(part_dir):
+                shutil.rmtree(part_dir)
+            self._rewrite_collections(self.collections().filter(F.col("name") != name))
+            return True
+
+    @contextlib.contextmanager
+    def _write_lock(self):
+        """Catalog mutation guard: in-process RLock (the service's own
+        job threads serialize) + an advisory cross-process lock file so
+        a SECOND writer process fails loudly instead of corrupting the
+        swap (single-writer is the documented contract; Delta/Iceberg
+        commit protocols are the real-cluster upgrade)."""
+        with self._mutex:
+            lock = os.path.join(self.root, "catalog.lock")
+            os.makedirs(self.root, exist_ok=True)
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                raise RuntimeError(
+                    f"catalog at {self.root!r} is locked by another writer "
+                    f"({lock} exists); concurrent catalog mutation is not "
+                    "supported on plain parquet — remove the stale lock if "
+                    "no other writer is alive"
+                ) from None
+            try:
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                yield
+            finally:
+                with contextlib.suppress(FileNotFoundError):
+                    os.remove(lock)
 
     def _rewrite_collections(self, df: DataFrame) -> None:
-        # tiny catalog table: materialize → atomic-ish swap via temp dir
-        tmp = self.collections_path + ".tmp"
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        if os.path.exists(self.collections_path):
-            shutil.rmtree(self.collections_path)
-        os.replace(tmp, self.collections_path)
+        """Versioned swap: write ``collections_v{n+1}``, then flip the
+        pointer file atomically (os.replace of a one-line file). A
+        reader always sees a complete live version — there is no window
+        with no catalog on disk (the old rmtree→replace scheme had
+        one), and a crash mid-rewrite leaves the previous version
+        live. Old versions are pruned after the flip."""
+        with self._write_lock():
+            cur = self._current_collections_dir()
+            base = os.path.basename(cur)
+            ver = int(base.rsplit("_v", 1)[1]) if "_v" in base else 0
+            new_name = f"collections_v{ver + 1}"
+            new_dir = os.path.join(self.root, new_name)
+            df.coalesce(1).write.mode("overwrite").parquet(new_dir)
+            tmp_ptr = self._pointer_path + ".tmp"
+            with open(tmp_ptr, "w") as f:
+                f.write(new_name)
+            os.replace(tmp_ptr, self._pointer_path)
+            # prune superseded versions (and the legacy flat dir),
+            # keeping the immediately-previous one so a reader that
+            # resolved the pointer just before the flip still completes
+            for entry in os.listdir(self.root):
+                full = os.path.join(self.root, entry)
+                if entry in (new_name, base) or not os.path.isdir(full):
+                    continue
+                if entry == "collections" or (
+                    entry.startswith("collections_v")
+                    and entry.rsplit("_v", 1)[1].isdigit()
+                ):
+                    shutil.rmtree(full, ignore_errors=True)
 
     # -- documents (S3, S5, S6) -------------------------------------------
 
