@@ -27,24 +27,42 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+# tsrank.c: static const float weights[] = {0.1, 0.2, 0.4, 1.0} —
+# unlabeled tsvector positions carry label 'D', weight 0.1
+PG_WEIGHT_D = 0.1
+
+
 def cover_density_score(tokens: list[str], terms: list[str]) -> float:
-    """Sum of 1/width over minimal covers; 0.0 when any term is absent."""
+    """PostgreSQL ``calc_rank_cd`` cover sum for an unlabeled, unweighted
+    tsvector (``src/backend/utils/adt/tsrank.c``): each minimal cover
+    contributes ``Cpos / (1 + nNoise)`` where, with every entry at the
+    default 'D' weight, ``Cpos = n_entries / (n_entries / 0.1) = 0.1``
+    and ``nNoise`` is the count of non-query-term positions inside the
+    cover (cover width − query-term entries). 0.0 when any term is
+    absent. Known PG anchor values: adjacent pair → 0.1, pair separated
+    by one noise word → 0.05, lone single-term occurrence → 0.1."""
+    import bisect
+
     terms_set = set(terms)
     if not terms_set:
         return 0.0
     positions = [(i, t) for i, t in enumerate(tokens) if t in terms_set]
     if not positions:
         return 0.0
+    pos_only = [p for p, _ in positions]
     latest: dict[str, int] = {}
     score = 0.0
-    for pos, term in positions:
+    for idx, (pos, term) in enumerate(positions):
         latest[term] = pos
         if len(latest) == len(terms_set):
             start = min(latest.values())
             width = pos - start + 1
-            score += 1.0 / width
+            n_entries = idx - bisect.bisect_left(pos_only, start) + 1
+            n_noise = width - n_entries
+            score += PG_WEIGHT_D / (1 + n_noise)
             # a minimal cover is consumed: drop its leftmost term so the
-            # next cover must re-find it
+            # next cover must re-find it (tsrank.c restarts Cover() at
+            # the entry after the cover's begin)
             for t, p in list(latest.items()):
                 if p == start:
                     del latest[t]
