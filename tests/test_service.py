@@ -56,7 +56,7 @@ def test_batch_contracts(svc):
     docs.append({"content": "   "})  # invalid → per-doc failure, batch survives
     res = svc.batch_ingest(docs, collection_id="bulk", processing_mode="async")
     assert res["documents_queued"] == 4
-    assert res["status_endpoint"].endswith(res["job_id"])
+    assert res["status_endpoint"] == f"/api/v1/jobs/{res['job_id']}/status"
     done = svc.jobs.wait(res["job_id"])
     assert done.status.value == "completed"
     status = svc.job_status(res["job_id"])

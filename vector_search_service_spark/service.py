@@ -146,6 +146,7 @@ class SearchService:
             return {
                 "document_id": "", "chunks_created": 0, "embedding_count": 0,
                 "status": "failed",  # DocumentIngestResponse vocabulary
+                "error": doc["error"],
                 "processing_time_ms": int((time.perf_counter() - t0) * 1000),
             }
         return {
@@ -195,7 +196,8 @@ class SearchService:
             "job_id": job.job_id,
             "documents_queued": len(documents),
             "status": job.status.value,
-            "status_endpoint": f"/api/v1/collections/{collection_id}/documents/jobs/{job.job_id}",
+            # literal reference contract (src/api/documents.py:271)
+            "status_endpoint": f"/api/v1/jobs/{job.job_id}/status",
         }
 
     def batch_search(self, queries: list[str], *,
