@@ -177,3 +177,18 @@ def test_shuffle_hash_hint_avoids_sort(spark):
         assert "SortMergeJoin" not in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_sequence_packing_is_pure_codegen_single_data_shuffle(spark):
+    """Packing = window cumsum + explode arithmetic: no Python eval
+    node anywhere, and the only data shuffle is the shard-key hash
+    exchange for the window (plus the final presentation sort)."""
+    from vector_search_service_spark.queries_pretrain import q_sequence_pack_spans
+
+    df = q_sequence_pack_spans(spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert "EvalPython" not in plan and "ArrowEval" not in plan
+    # formatted mode prints each node twice (tree + details): 2 exchanges
+    # = window hashpartition + orderBy range, nothing else
+    assert explain_str(df, "simple").count("Exchange") <= 2
+    assert "Window" in plan and "Generate" in plan
