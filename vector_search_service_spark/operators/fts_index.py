@@ -44,6 +44,46 @@ def build_inverted_index(documents: DataFrame, *, text_col: str = "text",
     )
 
 
+DEFAULT_LEXEME_BUCKETS = 64
+
+
+def write_inverted_index(index: DataFrame, path: str, *,
+                         n_buckets: int = DEFAULT_LEXEME_BUCKETS) -> None:
+    """Persist the posting table in the 100 TB layout: hive-partitioned
+    by ``lex_bucket = xxhash64(lexeme) mod n`` (a real corpus has
+    millions of distinct lexemes — hash buckets keep the directory
+    count fixed while still letting a query prune to |terms| buckets),
+    sorted by lexeme within each file so min/max stats prune inside a
+    bucket too."""
+    (
+        index.withColumn("lex_bucket", F.pmod(F.xxhash64("lexeme"), F.lit(n_buckets)))
+             .repartition("lex_bucket")
+             .sortWithinPartitions("lexeme")
+             .write.mode("overwrite").partitionBy("lex_bucket").parquet(path)
+    )
+
+
+def read_posting_lists(spark, path: str, terms: list[str], *,
+                       n_buckets: int = DEFAULT_LEXEME_BUCKETS) -> DataFrame:
+    """Load ONLY the posting lists for ``terms``: literal IN-filter on
+    the partition key (partition pruning reads |buckets(terms)| of
+    ``n_buckets`` directories) plus the lexeme filter pushed to the
+    remaining files' row groups."""
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, lexeme string")
+    term_rows = spark.createDataFrame([(t,) for t in terms], "lexeme string")
+    buckets = sorted({
+        r["b"] for r in term_rows.withColumn(
+            "b", F.pmod(F.xxhash64("lexeme"), F.lit(n_buckets))
+        ).collect()
+    })
+    return (
+        spark.read.parquet(path)
+             .filter(F.col("lex_bucket").isin(buckets) & F.col("lexeme").isin(terms))
+             .drop("lex_bucket")
+    )
+
+
 def fts_search_indexed(documents: DataFrame, index: DataFrame, query: str, *,
                        limit: int = 10, text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:

@@ -1,0 +1,107 @@
+"""Registry entries — sketch/approximate aggregates with tolerance
+oracles (the 100 TB tier of exact ops already in the registry:
+``countDistinct`` → HyperLogLog++, ``percentile`` → KLL/GK).
+
+Sketch values are engine-specific, so they can't be hash-matched
+against DuckDB directly. Instead the QUERY ships its own acceptance
+check: it emits the exact answer (oracle-checkable) next to a boolean
+"sketch within declared tolerance of exact" column, and the oracle
+emits the exact answer next to literal TRUE. A sketch drifting out of
+tolerance flips the boolean and fails the driver's hash compare — the
+tolerance contract itself is what's pinned. Sketches are deterministic
+for fixed input, so the comparison is stable run-to-run.
+
+Scale note: these single-pass, mergeable, fixed-size-state aggregates
+are exactly what replaces the exact ops at 100 TB — countDistinct
+rewrites to expand+double-agg (two shuffles, exact-size state), HLL is
+one shuffle of constant-size sketches; exact percentile materializes
+every group value, KLL keeps a bounded summary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry import register
+from .sources.tables import load_table
+
+
+@register(
+    "sketch_distinct_tolerance",
+    survey_ref="extension: HyperLogLog++ distinct-count tier (A-family at 100 TB)",
+    tags=("sketch",),
+    oracle="""
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS hll_within_5pct
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
+def q_sketch_distinct_tolerance(spark, sf_dir):
+    """Distinct users per event type: exact countDistinct next to
+    approx_count_distinct(rsd=2%), asserting the sketch lands within
+    5% of truth. One aggregation pass computes both (the HLL buffer
+    and the distinct-expand share the shuffle)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+          .agg(
+              F.countDistinct("user_id").alias("exact_users"),
+              F.approx_count_distinct("user_id", 0.02).alias("_hll"),
+          )
+          .select(
+              "event_type", "exact_users",
+              (F.abs(F.col("_hll") - F.col("exact_users"))
+               <= 0.05 * F.col("exact_users")).alias("hll_within_5pct"),
+          )
+          .orderBy("event_type")
+    )
+
+
+@register(
+    "sketch_quantile_tolerance",
+    survey_ref="extension: approximate-percentile tier (quantile_stats at 100 TB)",
+    tags=("sketch",),
+    oracle="""
+SELECT event_type,
+       CAST(quantile_cont(v, 0.5) AS DOUBLE) AS exact_p50,
+       CAST(quantile_cont(v, 0.95) AS DOUBLE) AS exact_p95,
+       TRUE AS p50_within_tol, TRUE AS p95_within_tol
+FROM (SELECT event_type, CAST(round(value * 1000) AS BIGINT) AS v FROM events)
+GROUP BY event_type ORDER BY event_type
+""",
+)
+def q_sketch_quantile_tolerance(spark, sf_dir):
+    """Per-type value percentiles: exact interpolated percentile
+    (integer milli-units — cross-engine-identical interpolation) next
+    to percentile_approx at accuracy 10000. The sketch's guarantee is
+    RANK error (it returns an observed order statistic within ~1/acc
+    of the target rank — not an interpolated value), so the acceptance
+    check is a rank window: the approx value must lie between the
+    exact percentiles at p ± 0.03."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.round(F.col("value") * 1000).cast("long")
+
+    def pct(p: float):
+        return F.percentile("v", F.lit(p))
+
+    agg = (
+        ev.select("event_type", v.alias("v"))
+          .groupBy("event_type")
+          .agg(
+              pct(0.5).alias("exact_p50"),
+              pct(0.95).alias("exact_p95"),
+              F.percentile_approx("v", F.lit(0.5), F.lit(10000)).alias("_a50"),
+              F.percentile_approx("v", F.lit(0.95), F.lit(10000)).alias("_a95"),
+              pct(0.47).alias("_lo50"), pct(0.53).alias("_hi50"),
+              pct(0.92).alias("_lo95"), pct(0.98).alias("_hi95"),
+          )
+    )
+    return (
+        agg.select(
+            "event_type", "exact_p50", "exact_p95",
+            (F.col("_a50").between(F.col("_lo50"), F.col("_hi50"))).alias("p50_within_tol"),
+            (F.col("_a95").between(F.col("_lo95"), F.col("_hi95"))).alias("p95_within_tol"),
+        )
+        .orderBy("event_type")
+    )

@@ -61,10 +61,12 @@ def all_queries() -> dict[str, QuerySpec]:
     from . import queries_reference  # noqa: F401
     from . import queries_relational2  # noqa: F401
     from . import queries_sampling  # noqa: F401
+    from . import queries_sketch  # noqa: F401
     from . import queries_skew  # noqa: F401
     from . import queries_streaming  # noqa: F401
     from . import queries_subquery  # noqa: F401
     from . import queries_tpch  # noqa: F401
+    from . import queries_tpch2  # noqa: F401
     from . import queries_textan  # noqa: F401
     from . import queries_timeseries  # noqa: F401
     return dict(_REGISTRY)
