@@ -38,3 +38,15 @@ def test_percentile_approx_close_to_exact(spark):
         (F.max(cents) - F.min(cents)).alias("s")
     ).collect()[0]["s"]
     assert abs(row["approx"] - row["exact"]) <= 0.01 * spread
+
+
+def test_quantized_topk_recall_vs_exact(spark):
+    """int8 quantization + 50-candidate rerank must recover the exact
+    brute-force top-10 (recall on the synthetic corpus is a fixed,
+    checkable number — here 100%)."""
+    from vector_search_service_spark.queries_ann import q_quantized_vector_topk
+    from vector_search_service_spark.queries_reference import q_vector_topk
+
+    quant = [r["vec_id"] for r in q_quantized_vector_topk(spark, SF_SMOKE).collect()]
+    exact = [r["vec_id"] for r in q_vector_topk(spark, SF_SMOKE).collect()]
+    assert quant == exact

@@ -93,3 +93,109 @@ def q_ann_bucket_histogram(spark, sf_dir):
 from .registry import _REGISTRY  # noqa: E402
 
 _REGISTRY["ann_lsh_topk"].oracle = _ann_oracle()
+
+
+# -- int8 scalar quantization (the 4x-smaller scan tier) ---------------------
+
+_Q_CAND = 50
+
+
+def _quantize(vec: list[float]) -> tuple[list[int], float]:
+    """floor(x·s + 0.5) with s = 127/max|x| — the explicitly-defined
+    round-half-up both engines reproduce verbatim (engine round()
+    differs: Spark HALF_UP, Python banker's)."""
+    import math
+
+    s = 127.0 / max(abs(x) for x in vec)
+    return [math.floor(x * s + 0.5) for x in vec], s
+
+
+@register(
+    "quantized_vector_topk",
+    survey_ref="F4,T2 (extension: int8 scalar-quantized probe + exact rerank)",
+    tags=("vector", "ann", "headline"),
+    oracle=None,  # set below (needs the quantized query literal)
+)
+def q_quantized_vector_topk(spark, sf_dir):
+    """Scalar-quantized vector search: per-vector int8 codes
+    (q_i = floor(x_i·s + 0.5), s = 127/max|x|) make the hot scan read
+    8-bit codes instead of float32 — 4x less IO at 100 TB — and score
+    with an exact INTEGER dot product (cross-engine bit-stable);
+    descale by s_doc·s_query for the approximate cosine numerator,
+    take the top-50 candidates, exact-rerank in full precision, return
+    the top-10. Everything is deterministic arithmetic, so even this
+    approximate path has a full value-level oracle."""
+    from .queries_reference import QUERY_VEC
+
+    qv, qs = _quantize(QUERY_VEC)
+    qnorm = sum(x * x for x in QUERY_VEC) ** 0.5
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    maxabs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.lit(127.0) / maxabs
+    qdoc = F.transform(v, lambda x: F.floor(x * scale + F.lit(0.5)))
+    int_dot = F.aggregate(
+        F.zip_with(qdoc, F.lit(qv).cast("array<long>"), lambda a, b: a * b),
+        F.lit(0).cast("long"), lambda acc, x: acc + x,
+    )
+    approx_cos = (int_dot.cast("double") / (scale * F.lit(qs))) \
+        / (F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)) * F.lit(qnorm))
+
+    cand = (
+        emb.select("vec_id", "embedding", approx_cos.alias("approx"))
+           .orderBy(F.col("approx").desc(), F.col("vec_id").asc())
+           .limit(_Q_CAND)
+    )
+    from .functions.vectors import cosine_similarity_col
+    from .queries_reference import QUERY_VEC as _qv_again  # noqa: F401
+
+    exact = cosine_similarity_col(
+        F.transform(F.col("embedding"), lambda x: x.cast("double")),
+        F.lit([float(x) for x in QUERY_VEC]),
+    )
+    return (
+        cand.withColumn("cos", exact)
+            .select("vec_id", F.round("cos", 6).alias("cos_r"),
+                    F.round("approx", 6).alias("approx_r"))
+            .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+            .limit(10)
+    )
+
+
+def _quantized_oracle() -> str:
+    from .queries_reference import _QV_SQL, QUERY_VEC
+
+    qv, qs = _quantize(QUERY_VEC)
+    qnorm = sum(x * x for x in QUERY_VEC) ** 0.5
+    qlit = "[" + ", ".join(str(x) for x in qv) + "]"
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+m AS (SELECT vec_id, v, 127.0 / list_max(list_transform(v, x -> abs(x))) AS s FROM e),
+qd AS (
+  SELECT vec_id, v, s,
+         list_transform(range(1, len(v) + 1),
+                        i -> CAST(floor(v[i] * s + 0.5) AS BIGINT) * ({qlit}[i]))
+           AS prods
+  FROM m
+),
+a AS (
+  SELECT vec_id, v,
+         (CAST(list_sum(prods) AS DOUBLE) / (s * {qs!r}))
+           / (sqrt(list_inner_product(v, v)) * {qnorm!r}) AS approx
+  FROM qd
+),
+cand AS (SELECT * FROM a ORDER BY approx DESC, vec_id ASC LIMIT {_Q_CAND}),
+r AS (
+  SELECT vec_id, approx,
+         list_inner_product(v, {_QV_SQL})
+           / (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product({_QV_SQL}, {_QV_SQL})))
+           AS cos
+  FROM cand
+)
+SELECT vec_id, round(cos, 6) AS cos_r, round(approx, 6) AS approx_r
+FROM r ORDER BY cos DESC, vec_id ASC LIMIT 10
+"""
+
+
+_REGISTRY["quantized_vector_topk"].oracle = _quantized_oracle()
