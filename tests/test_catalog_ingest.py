@@ -153,3 +153,50 @@ def test_catalog_concurrent_thread_creates(spark, tmp_path):
     colls = cat.list_collections()
     assert sorted(c["name"] for c in colls) == [f"c{i}" for i in range(4)]
     assert len({c["id"] for c in colls}) == 4
+
+
+def test_maintained_postings_index(spark, tmp_path):
+    """Auto-maintained GIN parity: every document mutation co-mutates
+    the postings table, and the indexed search path returns exactly
+    the scan path's results at every step."""
+    from vector_search_service_spark.service import SearchService
+
+    plain = SearchService(spark, str(tmp_path / "plain"))
+    indexed = SearchService(spark, str(tmp_path / "indexed"), maintain_fts_index=True)
+
+    docs = [
+        ("spark shuffle exchange partition pruning " * 20, "a"),
+        ("python arrow batch pandas vectorized " * 20, "b"),
+        ("spark arrow interop columnar batches " * 20, "c"),
+    ]
+    for text, _ in docs:
+        plain.ingest_document(text, collection_id="kb")
+        indexed.ingest_document(text, collection_id="kb")
+
+    def hits(svc, q):
+        return [(r["document_id"], round(r["score"], 9))
+                for r in svc.similarity_search(q, collection_id="kb")["results"]]
+
+    for q in ("spark arrow", "shuffle", "pandas arrow batch", "absent zzz"):
+        assert hits(indexed, q) == hits(plain, q)
+
+    # postings exist and shrink with deletes
+    coll_id = indexed.catalog.get_collection("kb")["id"]
+    n0 = indexed.catalog.postings.postings(coll_id).count()
+    assert n0 > 0
+    victim = indexed.similarity_search("shuffle", collection_id="kb")["results"][0]
+    del_ids = [r["id"] for r in indexed.list_documents("kb")
+               if r["metadata"]["document_id"] == victim["metadata"]["document_id"]]
+    indexed.delete_documents("kb", del_ids)
+    plain_victim = plain.similarity_search("shuffle", collection_id="kb")["results"][0]
+    plain.delete_documents("kb", [
+        r["id"] for r in plain.list_documents("kb")
+        if r["metadata"]["document_id"] == plain_victim["metadata"]["document_id"]
+    ])
+    assert indexed.catalog.postings.postings(coll_id).count() < n0
+    for q in ("spark arrow", "shuffle"):
+        assert hits(indexed, q) == hits(plain, q)
+
+    # cascade delete drops the postings partition
+    indexed.delete_collection("kb", force=True)
+    assert indexed.catalog.postings.postings(coll_id) is None

@@ -62,7 +62,8 @@ class Catalog:
     ``root/collections/`` (tiny, overwrite-on-change) and
     ``root/documents/collection_id=<id>/`` (hive-partitioned)."""
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, *,
+                 maintain_fts_index: bool = False):
         self.spark = spark
         self.root = root
         self.collections_path = os.path.join(root, "collections")
@@ -72,6 +73,13 @@ class Catalog:
         # jobs share one Catalog across threads (ADVICE r1) — re-entrant
         # so create_collection can call _rewrite_collections under it
         self._mutex = threading.RLock()
+        # opt-in maintained postings (the auto-maintained-GIN parity
+        # point): every document mutation below co-mutates the index
+        self.postings = None
+        if maintain_fts_index:
+            from .operators.fts_index import PostingsStore
+
+            self.postings = PostingsStore(spark, root)
 
     # -- collections (S1, S2, S8) -----------------------------------------
 
@@ -132,6 +140,8 @@ class Catalog:
             part_dir = os.path.join(self.documents_path, f"collection_id={coll['id']}")
             if os.path.exists(part_dir):
                 shutil.rmtree(part_dir)
+            if self.postings is not None:
+                self.postings.rewrite(coll["id"], None)
             self._rewrite_collections(self.collections().filter(F.col("name") != name))
             return True
 
@@ -221,6 +231,8 @@ class Catalog:
         out = out.select([f.name for f in DOCUMENT_SCHEMA.fields])
         n = out.count()
         out.write.mode("append").partitionBy("collection_id").parquet(self.documents_path)
+        if self.postings is not None:
+            self.postings.append(coll["id"], docs)
         return n
 
     def delete_documents(self, collection_name: str, document_ids: list[str]) -> int:
@@ -245,6 +257,8 @@ class Catalog:
             part_dir = os.path.join(self.documents_path, f"collection_id={coll['id']}")
             if os.path.exists(part_dir):
                 shutil.rmtree(part_dir)
+            if self.postings is not None:
+                self.postings.rewrite(coll["id"], None)
             return before
         with self._dynamic_overwrite():
             (
@@ -253,6 +267,10 @@ class Catalog:
                 .write.mode("overwrite").partitionBy("collection_id")
                 .parquet(self.documents_path)
             )
+        if self.postings is not None:
+            # re-read: the lazy `remaining` plan is bound to the
+            # overwritten files
+            self.postings.rewrite(coll["id"], self.documents(collection_name))
         return before - after
 
     def upsert_documents(self, collection_name: str, docs: DataFrame) -> dict:
@@ -282,6 +300,8 @@ class Catalog:
                 .parquet(self.documents_path)
             )
         n_after = self.documents(collection_name).count()
+        if self.postings is not None:
+            self.postings.rewrite(coll["id"], self.documents(collection_name))
         return {
             "inserted": n_after - n_before if n_after >= n_before else 0,
             "updated": n_in - max(n_after - n_before, 0),

@@ -112,3 +112,88 @@ def fts_search_indexed(documents: DataFrame, index: DataFrame, query: str, *,
         .orderBy(F.col("rank").desc(), F.col(id_col).asc())
         .limit(limit)
     )
+
+
+class PostingsStore:
+    """Catalog-maintained postings table — the auto-maintained-GIN
+    parity point (PostgreSQL keeps its GIN index current inside every
+    INSERT/DELETE transaction, ``scripts/init-db.sql``; here the same
+    write paths maintain a postings table co-mutated with the document
+    store).
+
+    Layout: ``root/postings/collection_id=<id>/`` — one (document_id,
+    lexeme) row per distinct stored lexeme per chunk, hive-partitioned
+    like the document store so maintenance cost always equals the
+    touched partition, never the table. Query terms are stopword-free
+    by construction (``analyze_terms``), so postings built from the
+    stored ``content_lexemes`` (F3 lexemes) match exactly what the
+    scan path matches over raw tokens.
+    """
+
+    def __init__(self, spark, root: str):
+        import os
+
+        self.spark = spark
+        self.path = os.path.join(root, "postings")
+
+    def _from_rows(self, docs: DataFrame) -> DataFrame:
+        return (
+            docs.select(
+                "document_id",
+                F.explode(F.array_distinct("content_lexemes")).alias("lexeme"),
+            )
+            .filter(F.col("lexeme") != "")
+        )
+
+    def append(self, collection_id: int, docs: DataFrame) -> None:
+        """Ingest-side maintenance: append postings for the new chunks
+        (same distributed write shape as the document append)."""
+        (
+            self._from_rows(docs)
+            .withColumn("collection_id", F.lit(collection_id).cast("long"))
+            .write.mode("append").partitionBy("collection_id").parquet(self.path)
+        )
+
+    def rewrite(self, collection_id: int, remaining_docs: DataFrame) -> None:
+        """Delete/upsert-side maintenance: rebuild ONE collection's
+        postings partition from the surviving chunks (same
+        single-partition rewrite envelope as the document mutation)."""
+        import os
+        import shutil
+
+        part = os.path.join(self.path, f"collection_id={collection_id}")
+        if shutil.os.path.exists(part):
+            shutil.rmtree(part)
+        if remaining_docs is not None:
+            (
+                self._from_rows(remaining_docs)
+                .withColumn("collection_id", F.lit(collection_id).cast("long"))
+                .write.mode("append").partitionBy("collection_id").parquet(self.path)
+            )
+
+    def postings(self, collection_id: int) -> DataFrame | None:
+        import os
+
+        if not os.path.exists(os.path.join(self.path, f"collection_id={collection_id}")):
+            return None
+        return (
+            self.spark.read.schema("document_id string, lexeme string, collection_id long")
+            .parquet(self.path)
+            .filter(F.col("collection_id") == collection_id)
+            .drop("collection_id")
+        )
+
+    def matched_ids(self, collection_id: int, terms: list[str]) -> DataFrame | None:
+        """AND-semantics matched document ids straight from postings
+        (countDistinct(lexeme) == |terms|); None when no index exists
+        for the collection (caller falls back to the scan path)."""
+        idx = self.postings(collection_id)
+        if idx is None or not terms:
+            return None
+        return (
+            idx.filter(F.col("lexeme").isin(terms))
+               .groupBy("document_id")
+               .agg(F.countDistinct("lexeme").alias("_n"))
+               .filter(F.col("_n") == len(terms))
+               .select("document_id")
+        )

@@ -36,9 +36,11 @@ DEFAULT_COLLECTION = "default"
 
 
 class SearchService:
-    def __init__(self, spark: SparkSession, data_root: str):
+    def __init__(self, spark: SparkSession, data_root: str, *,
+                 maintain_fts_index: bool = False):
         self.spark = spark
-        self.catalog = Catalog(spark, data_root)
+        self.catalog = Catalog(spark, data_root,
+                               maintain_fts_index=maintain_fts_index)
         self.jobs = JobManager(spark)
 
     # -- search (3.1) -------------------------------------------------------
@@ -47,13 +49,26 @@ class SearchService:
                           limit: int = 10, min_score: float | None = None,
                           metadata_filter: dict | None = None) -> dict:
         t0 = time.perf_counter()
+        from pyspark.sql import functions as F
+
         limit = max(1, min(int(limit), 100))
         docs = self.catalog.documents(collection_id)
         if metadata_filter:
-            from pyspark.sql import functions as F
-
             for k, v in metadata_filter.items():
                 docs = docs.filter(F.col("doc_metadata").getItem(k) == str(v))
+        if self.catalog.postings is not None:
+            # index access path: the maintained postings prune the
+            # corpus scan to matched ids (result-identical — query
+            # terms are stopword-free, so stored-lexeme matches equal
+            # raw-token matches)
+            from .functions.analysis import analyze_terms
+
+            coll = self.catalog.get_collection(collection_id)
+            matched = self.catalog.postings.matched_ids(
+                coll["id"], analyze_terms(query)
+            ) if coll else None
+            if matched is not None:
+                docs = docs.join(F.broadcast(matched), "document_id", "left_semi")
         hits = fts_search(
             docs, query, limit=limit, text_col="content", id_col="document_id",
             min_score=min_score,
