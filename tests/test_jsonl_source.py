@@ -71,3 +71,48 @@ def test_jsonl_rows_feed_ingest(spark, tmp_path):
     )
     assert res["chunks_created"] >= 3 and res["documents_rejected"] == 0
     assert cat.collection_stats("jl")["document_count"] >= 3
+
+
+def test_jsonl_sink_roundtrip_and_manifest(spark, tmp_path):
+    """Export → manifest → re-read roundtrip: deterministic shard
+    membership, byte-stable lines, counts that match the manifest."""
+    import json
+    import os
+
+    from pyspark.sql import types as T
+
+    from vector_search_service_spark.sources.jsonl_sink import (
+        read_jsonl_shards,
+        write_jsonl_shards,
+    )
+    from vector_search_service_spark.sources.tables import load_table
+
+    docs = (
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+        .selectExpr("CAST(doc_id AS STRING) AS id", "text", "lang", "source")
+    )
+    out = str(tmp_path / "export")
+    manifest = write_jsonl_shards(docs, out, n_shards=4, id_col="id")
+    n_docs = docs.count()
+    assert manifest["total_lines"] == n_docs
+    assert sum(manifest["lines_per_shard"].values()) == n_docs
+    assert manifest["columns"] == ["id", "lang", "source", "text"]
+    assert os.path.exists(os.path.join(out, "MANIFEST.json"))
+
+    schema = T.StructType([
+        T.StructField("id", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ])
+    back = read_jsonl_shards(spark, out, schema)
+    assert back.count() == n_docs
+    orig = {r["id"]: r["text"] for r in docs.collect()}
+    got = {r["id"]: r["text"] for r in back.collect()}
+    assert got == orig
+
+    # deterministic: re-export yields identical manifest
+    manifest2 = write_jsonl_shards(docs, str(tmp_path / "export2"), n_shards=4, id_col="id")
+    assert manifest2 == manifest
+    with open(os.path.join(out, "MANIFEST.json")) as f:
+        assert json.load(f)["total_lines"] == n_docs

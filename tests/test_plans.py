@@ -223,3 +223,21 @@ def test_inverted_index_partitioned_write_prunes(spark, tmp_path):
     on_disk = fts_search_indexed(docs, lists, "hash join merge", limit=10)
     in_mem = fts_search_indexed(docs, idx, "hash join merge", limit=10)
     assert [r.asDict() for r in on_disk.collect()] == [r.asDict() for r in in_mem.collect()]
+
+
+def test_quantized_candidate_stage_is_take_ordered(spark):
+    """The int8 probe's candidate selection must plan as
+    TakeOrderedAndProject (k×partitions rows move); consumed mid-plan
+    without a lineage cut it would become a global range-exchange sort
+    of the corpus."""
+    from vector_search_service_spark.queries_ann import (
+        q_quantized_vector_topk,
+        _candidate_stage,
+    )
+
+    cand = _candidate_stage(load_table(spark, SF_SMOKE, "embeddings"))
+    assert has_top_k(cand)
+    # end-to-end: the only sort surviving in the final plan is the
+    # 50-row rerank, never a corpus-wide exchange before the limit
+    final = explain_str(q_quantized_vector_topk(spark, SF_SMOKE), "simple")
+    assert "ExistingRDD" in final  # candidate stage behind the lineage cut

@@ -110,6 +110,31 @@ def _quantize(vec: list[float]) -> tuple[list[int], float]:
     return [math.floor(x * s + 0.5) for x in vec], s
 
 
+def _candidate_stage(emb):
+    """Approximate-score top-50: int8-quantized integer dot product,
+    terminal orderBy+limit → TakeOrderedAndProject (per-partition
+    heaps, k×partitions rows move — never a corpus sort)."""
+    from .queries_reference import QUERY_VEC
+
+    qv, qs = _quantize(QUERY_VEC)
+    qnorm = sum(x * x for x in QUERY_VEC) ** 0.5
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    maxabs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.lit(127.0) / maxabs
+    qdoc = F.transform(v, lambda x: F.floor(x * scale + F.lit(0.5)))
+    int_dot = F.aggregate(
+        F.zip_with(qdoc, F.lit(qv).cast("array<long>"), lambda a, b: a * b),
+        F.lit(0).cast("long"), lambda acc, x: acc + x,
+    )
+    approx_cos = (int_dot.cast("double") / (scale * F.lit(qs))) \
+        / (F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)) * F.lit(qnorm))
+    return (
+        emb.select("vec_id", "embedding", approx_cos.alias("approx"))
+           .orderBy(F.col("approx").desc(), F.col("vec_id").asc())
+           .limit(_Q_CAND)
+    )
+
+
 @register(
     "quantized_vector_topk",
     survey_ref="F4,T2 (extension: int8 scalar-quantized probe + exact rerank)",
@@ -124,31 +149,17 @@ def q_quantized_vector_topk(spark, sf_dir):
     descale by s_doc·s_query for the approximate cosine numerator,
     take the top-50 candidates, exact-rerank in full precision, return
     the top-10. Everything is deterministic arithmetic, so even this
-    approximate path has a full value-level oracle."""
+    approximate path has a full value-level oracle.
+
+    The candidate stage runs as its OWN job (localCheckpoint cuts the
+    lineage): consumed mid-plan, the terminal TakeOrdered would
+    re-plan as a global range-exchange sort of the corpus; cut, the
+    rerank reads 50 rows."""
     from .queries_reference import QUERY_VEC
 
-    qv, qs = _quantize(QUERY_VEC)
-    qnorm = sum(x * x for x in QUERY_VEC) ** 0.5
     emb = load_table(spark, sf_dir, "embeddings")
-
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    maxabs = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    scale = F.lit(127.0) / maxabs
-    qdoc = F.transform(v, lambda x: F.floor(x * scale + F.lit(0.5)))
-    int_dot = F.aggregate(
-        F.zip_with(qdoc, F.lit(qv).cast("array<long>"), lambda a, b: a * b),
-        F.lit(0).cast("long"), lambda acc, x: acc + x,
-    )
-    approx_cos = (int_dot.cast("double") / (scale * F.lit(qs))) \
-        / (F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)) * F.lit(qnorm))
-
-    cand = (
-        emb.select("vec_id", "embedding", approx_cos.alias("approx"))
-           .orderBy(F.col("approx").desc(), F.col("vec_id").asc())
-           .limit(_Q_CAND)
-    )
+    cand = _candidate_stage(emb).localCheckpoint(eager=False)
     from .functions.vectors import cosine_similarity_col
-    from .queries_reference import QUERY_VEC as _qv_again  # noqa: F401
 
     exact = cosine_similarity_col(
         F.transform(F.col("embedding"), lambda x: x.cast("double")),
