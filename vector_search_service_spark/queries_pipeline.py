@@ -383,3 +383,39 @@ def q_searchable_text(spark, sf_dir):
             ).alias("searchable_text"),
         )
     )
+
+
+@register(
+    "json_props_stats",
+    survey_ref="G8 (extension: semi-structured aggregation, parse-once)",
+    tags=("relational", "json"),
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       CAST(min(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS min_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS max_k,
+       CAST(count(DISTINCT CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS nd_k
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
+def q_json_props_stats(spark, sf_dir):
+    """Aggregate over a JSON payload column: ``from_json`` with an
+    explicit schema, applied ONCE, then plain columnar aggregation —
+    the scale rule for semi-structured data (N ``get_json_object``
+    calls re-parse the string N times per row; one ``from_json``
+    parses once and every field is a struct access afterwards)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k INT")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+          .groupBy("event_type")
+          .agg(
+              F.count("*").alias("n"),
+              F.sum("k").cast("long").alias("sum_k"),
+              F.min("k").cast("long").alias("min_k"),
+              F.max("k").cast("long").alias("max_k"),
+              F.countDistinct("k").alias("nd_k"),
+          )
+          .orderBy("event_type")
+    )
