@@ -241,3 +241,16 @@ def test_quantized_candidate_stage_is_take_ordered(spark):
     # 50-row rerank, never a corpus-wide exchange before the limit
     final = explain_str(q_quantized_vector_topk(spark, SF_SMOKE), "simple")
     assert "ExistingRDD" in final  # candidate stage behind the lineage cut
+
+
+def test_tpch2_small_sides_broadcast(spark):
+    """Breadth-pack joins keep the fact table unshuffled where a side
+    is small: Q18's HAVING-gated big-order set and Q14's part
+    dimension must broadcast."""
+    from vector_search_service_spark.queries_tpch2 import (
+        q_having_semi_topk,
+        q_promo_revenue_ratio,
+    )
+
+    assert "BroadcastHashJoin" in explain_str(q_having_semi_topk(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in explain_str(q_promo_revenue_ratio(spark, SF_SMOKE))

@@ -72,3 +72,58 @@ def test_dispatch_distance_all_metrics(spark):
 
     with pytest.raises(ValueError):
         dispatch_distance("manhattan", F.col("u"), F.col("v"))
+
+
+# -- sequence-packing invariants ---------------------------------------------
+
+
+def test_sequence_pack_partitions_every_document(spark):
+    """Packing invariants on the real corpus: each document's spans
+    tile [0, n_tok) exactly (no gap, no overlap); every sequence
+    except a shard's last holds exactly SEQ_LEN tokens; sequence ids
+    are dense per shard."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from vector_search_service_spark.functions.hashing import words_col
+    from vector_search_service_spark.queries_pretrain import (
+        SEQ_LEN,
+        q_sequence_pack_spans,
+    )
+    from vector_search_service_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    spans = q_sequence_pack_spans(spark, sf).collect()
+    n_tok = {
+        r["doc_id"]: r["n"]
+        for r in load_table(spark, sf, "documents")
+        .select("doc_id", F.size(words_col(F.col("text"))).alias("n"))
+        .filter(F.col("n") > 0).collect()
+    }
+
+    per_doc = defaultdict(list)
+    per_seq = defaultdict(int)
+    for r in spans:
+        per_doc[r["doc_id"]].append((r["tok_start"], r["tok_end"]))
+        per_seq[(r["lang"], r["seq_id"])] += r["tok_end"] - r["tok_start"]
+
+    assert set(per_doc) == set(n_tok)        # every non-empty doc packed
+    for doc_id, segs in per_doc.items():
+        segs.sort()
+        assert segs[0][0] == 0
+        assert segs[-1][1] == n_tok[doc_id]
+        for (_, e1), (s2, _) in zip(segs, segs[1:]):
+            assert e1 == s2                   # contiguous, no overlap
+
+    last_seq = {}
+    for (lang, seq_id) in per_seq:
+        last_seq[lang] = max(last_seq.get(lang, -1), seq_id)
+    for (lang, seq_id), tokens in per_seq.items():
+        if seq_id != last_seq[lang]:
+            assert tokens == SEQ_LEN          # full sequences everywhere
+        else:
+            assert 0 < tokens <= SEQ_LEN      # ragged tail only at the end
+    for lang, top in last_seq.items():
+        have = {s for (l, s) in per_seq if l == lang}
+        assert have == set(range(top + 1))    # dense ids per shard

@@ -60,3 +60,42 @@ def asof_join_backward(left: DataFrame, right: DataFrame, *, on: str,
         out.filter(F.col("_side") == 1)
         .drop("_side", *[f"_r_{c}" for c in right_cols])
     )
+
+
+def asof_join_forward(left: DataFrame, right: DataFrame, *, on: str,
+                      ts: str, right_cols: list[str],
+                      suffix: str = "_asof") -> DataFrame:
+    """Forward as-of join: earliest right row with ``right.ts >=
+    left.ts`` per key (NULL when none follows). Same union-window
+    shape traversed in descending time — identical one-shuffle cost;
+    simultaneous right rows DO match (>=)."""
+    lcols = left.columns
+    l = left.withColumn("_side", F.lit(1))
+    for c in right_cols:
+        l = l.withColumn(f"_r_{c}", F.lit(None).cast(dict(right.dtypes)[c]))
+    r = right.select(
+        F.col(on),
+        F.col(ts),
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+    )
+    for c in lcols:
+        if c not in (on, ts):
+            r = r.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    unioned = l.select(*lcols, "_side", *[f"_r_{c}" for c in right_cols]).unionByName(
+        r.select(*lcols, "_side", *[f"_r_{c}" for c in right_cols])
+    )
+    # descending time; right (side 0) before left at equal ts so a
+    # simultaneous right row is visible to the left row
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts).desc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = unioned
+    for c in right_cols:
+        out = out.withColumn(f"{c}{suffix}", F.last(f"_r_{c}", ignorenulls=True).over(w))
+    return (
+        out.filter(F.col("_side") == 1)
+        .drop("_side", *[f"_r_{c}" for c in right_cols])
+    )

