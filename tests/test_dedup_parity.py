@@ -148,3 +148,34 @@ def test_lsh_cap_noop_on_non_degenerate_corpus(spark):
         ).collect()
     }
     assert capped == uncapped and len(capped) > 0
+
+
+def test_incremental_minhash_index_equals_batch_recompute(spark, tmp_path):
+    """The streaming-era dedup invariant: processing the corpus as
+    incremental batches against the persisted band-key index yields
+    exactly the pairs a full-corpus recompute finds — each pair
+    surfacing in the batch that completes it."""
+    from pyspark.sql import functions as F
+
+    from vector_search_service_spark.operators.dedup import minhash_lsh_pairs
+    from vector_search_service_spark.operators.dedup_index import MinHashIndexStore
+    from vector_search_service_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    store = MinHashIndexStore(spark, str(tmp_path / "mh_index"))
+
+    incremental = set()
+    seen = None
+    for lo, hi in ((0, 300), (300, 700), (700, 10**9)):
+        batch = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        seen = batch if seen is None else seen.unionByName(batch)
+        out = store.process_batch(batch, seen, jaccard_threshold=0.8)
+        incremental |= {
+            tuple(sorted((r["id_a"], r["id_b"]))) for r in out.collect()
+        }
+
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, jaccard_threshold=0.8).collect()
+    }
+    assert incremental == full and len(full) > 0

@@ -1,0 +1,142 @@
+"""Incremental MinHash-LSH index — near-dup detection for ARRIVING
+data against the full historical corpus, without recomputing the
+corpus (the streaming/incremental tier of ``operators/dedup.py``; the
+in-query ``localCheckpoint`` comment there — "what you'd persist as
+the index table in a real deployment" — made real).
+
+Store layout: ``path/band=<b>/`` parquet of ``(doc_id, band_key)``,
+hive-partitioned by band. A batch probe computes the batch's band
+keys (tiny), broadcasts them into the store scan — the store is read
+partition-pruned per band and filtered by the batch's keys via a
+broadcast semi-join shape, so probe cost scales with the batch and
+the hit set, never the corpus. Append is one partitioned write of the
+batch's keys.
+
+Verification stays exact: the index yields CANDIDATE id pairs; the
+caller verifies with shingle Jaccard against the corpus store (both
+texts are in the document store — the index never duplicates text).
+The invariant pinned by tests: processing batches b1..bn
+incrementally and unioning each step's verified pairs equals
+``minhash_lsh_pairs`` over the full concatenated corpus.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import jaccard_col
+from .dedup import (
+    DEFAULT_BANDS,
+    DEFAULT_MAX_BUCKET,
+    minhash_band_keys,
+    shingle_set_udf,
+)
+
+
+class MinHashIndexStore:
+    def __init__(self, spark, path: str, *,
+                 bands: tuple[tuple[int, ...], ...] = DEFAULT_BANDS):
+        self.spark = spark
+        self.path = path
+        self.bands = bands
+
+    def _keys(self, batch: DataFrame, *, text_col: str, id_col: str) -> DataFrame:
+        return minhash_band_keys(
+            batch.select(id_col, text_col), text_col=text_col, bands=self.bands
+        ).select(id_col, "band", "band_key")
+
+    def _stored(self) -> DataFrame | None:
+        if not os.path.exists(self.path):
+            return None
+        return self.spark.read.schema("doc_id long, band_key string, band int") \
+            .parquet(self.path)
+
+    def append(self, batch: DataFrame, *, text_col: str = "text",
+               id_col: str = "doc_id") -> None:
+        (
+            self._keys(batch, text_col=text_col, id_col=id_col)
+            .withColumnRenamed(id_col, "doc_id")
+            .write.mode("append").partitionBy("band").parquet(self.path)
+        )
+
+    def candidate_pairs(self, batch: DataFrame, *, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+        """(id_old, id_new) candidates: batch keys vs store (broadcast
+        batch side — the batch is always the small side) PLUS
+        within-batch collisions; distinct. ``id_old < id_new`` is NOT
+        guaranteed — ids are arrival-ordered pairs (old, new); for
+        within-batch pairs, (smaller, larger)."""
+        keys = self._keys(batch, text_col=text_col, id_col=id_col) \
+            .localCheckpoint(eager=False)
+        new = keys.select(
+            F.col(id_col).alias("id_new"), "band", "band_key"
+        )
+        pairs = None
+        stored = self._stored()
+        if stored is not None:
+            vs_store = (
+                stored.join(F.broadcast(new), ["band", "band_key"])
+                      .filter(F.col("doc_id") != F.col("id_new"))
+                      .select(F.col("doc_id").alias("id_a"),
+                              F.col("id_new").alias("id_b"))
+            )
+            pairs = vs_store
+        a = keys.alias("a")
+        b = keys.alias("b")
+        within = (
+            a.join(b, ["band", "band_key"])
+             .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+             .select(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b"))
+        )
+        pairs = within if pairs is None else pairs.unionByName(within)
+        return pairs.distinct()
+
+    def verify_pairs(self, pairs: DataFrame, corpus: DataFrame, *,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     jaccard_threshold: float = 0.8) -> DataFrame:
+        """Exact shingle-Jaccard verification against the corpus store
+        (candidates only behind broadcast semi-joins — same shape as
+        ``minhash_lsh_pairs``)."""
+        pairs = pairs.localCheckpoint(eager=False)
+
+        def side(alias: str) -> DataFrame:
+            ids = pairs.select(F.col(alias).alias(id_col)).distinct()
+            return (
+                corpus.join(F.broadcast(ids), id_col, "left_semi")
+                      .select(F.col(id_col).alias(alias),
+                              shingle_set_udf()(F.col(text_col)).alias(f"sh_{alias[-1]}"))
+            )
+
+        return (
+            F.broadcast(pairs)
+            .join(side("id_a"), "id_a")
+            .join(side("id_b"), "id_b")
+            .withColumn("jaccard", jaccard_col(F.col("sh_a"), F.col("sh_b")))
+            .filter(F.col("jaccard") >= F.lit(jaccard_threshold))
+            .select("id_a", "id_b", "jaccard")
+        )
+
+    def process_batch(self, batch: DataFrame, corpus: DataFrame, *,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      jaccard_threshold: float = 0.8) -> DataFrame:
+        """One incremental step: verified near-dup pairs touching this
+        batch (vs history + within batch), then index the batch.
+        ``corpus`` must already contain the batch's documents (ingest
+        order: store documents → detect → index keys)."""
+        cand = self.candidate_pairs(batch, text_col=text_col, id_col=id_col)
+        verified = self.verify_pairs(
+            cand, corpus, text_col=text_col, id_col=id_col,
+            jaccard_threshold=jaccard_threshold,
+        )
+        rows = verified.collect()
+        self.append(batch, text_col=text_col, id_col=id_col)
+        return self.spark.createDataFrame(
+            rows, "id_a long, id_b long, jaccard double"
+        ) if rows else self.spark.createDataFrame([], "id_a long, id_b long, jaccard double")
+
+
+__all__ = ["MinHashIndexStore", "DEFAULT_MAX_BUCKET"]
