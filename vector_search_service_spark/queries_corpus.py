@@ -1,0 +1,326 @@
+"""Registry entries — second-wave corpus operators: BM25 ranking,
+duplicated-n-gram measurement, unigram-LM log-probability quality, and
+deterministic mixture interleaving.
+
+These extend the FTS tier (F1-F3, ``functions/analysis.py``) and the
+LLM-pipeline tier (``queries_textan.py`` / ``queries_curate*.py``)
+with the ranking and dup-measurement operators a training-data
+pipeline runs corpus-wide:
+
+- **BM25** is the scale-standard lexical ranker (the reference ships
+  ``ts_rank_cd``, ``src/core/vector_store.py:218``; BM25 adds the
+  document-length prior and corpus IDF that matter once collections
+  stop fitting one Postgres node). Corpus stats (N, avgdl, per-term
+  df) are one tiny aggregate broadcast into a narrow scoring
+  projection — at 100 TB those stats come from the maintained postings
+  index (``operators/fts_index.py``) instead of a second scan.
+- **Duplicated n-gram spans** measures how much of each document is
+  corpus-duplicated text (the signal behind exact-substring dedup,
+  Lee et al. 2022): explode shingles, find shingles in ≥2 docs, count
+  per-doc duplicated positions. Shuffles are (shingle, doc_id) pairs
+  only — never document text.
+- **Unigram log-prob** is the classic perplexity-proxy quality score:
+  corpus unigram LM, per-doc mean token log-probability. Per-token
+  log-probs are quantized to integer micro-nats *before* the per-doc
+  sum, so the aggregate is order-independent and engine-exact
+  ([[spark-duckdb-oracle-parity]]: never cross-row float sums).
+- **Mixture interleave** emits the deterministic round-robin training
+  order over sources (position p of every source before position p+1
+  of any) — the order a mixture dataloader consumes; hash-keyed so it
+  is stable under re-runs and repartitioning, per-source windows so
+  the sort is partitioned (no global skew point).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, Window
+from pyspark.sql import functions as F
+
+from .functions.analysis import sql_tokens_expr, tokens_col
+from .functions.hashing import shingles_col, sql_shingles_expr, sql_words_expr, words_col
+from .registry import register
+from .sources.tables import load_table
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ("hash", "join", "merge", "stream")  # FTS_QUERY + one rarer term
+
+
+def _tf(tokens: Column, term: str) -> Column:
+    # factory, not a default-arg lambda: a 2-arg lambda would bind as
+    # (element, index) in Spark's higher-order-function binder
+    return F.size(F.filter(tokens, lambda x: x == F.lit(term)))
+
+
+def _bm25_contrib(tf: Column, df: Column, n: Column, dl: Column, avgdl: Column) -> Column:
+    idf = F.log(F.lit(1.0) + (n - df + F.lit(0.5)) / (df + F.lit(0.5)))
+    denom = tf + F.lit(BM25_K1) * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * dl / avgdl)
+    return idf * (tf * F.lit(BM25_K1 + 1.0)) / denom
+
+
+def _sql_bm25_contrib(tf: str, df: str, n: str, dl: str, avgdl: str) -> str:
+    # mirrors _bm25_contrib term for term, in the same operation order
+    idf = f"ln(1.0 + ({n} - {df} + 0.5) / ({df} + 0.5))"
+    denom = f"({tf} + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * {dl} / {avgdl}))"
+    return f"{idf} * ({tf} * {BM25_K1 + 1.0}) / {denom}"
+
+
+_TOKENS_SQL = sql_tokens_expr("text")
+_BM25_TF_SQL = [
+    f"CAST(len(list_filter(tokens, x -> x = '{t}')) AS DOUBLE)" for t in BM25_TERMS
+]
+_BM25_SCORE_SQL = " + ".join(
+    _sql_bm25_contrib(f"tf_{i}", f"df_{i}", "n", "dl", "avgdl")
+    for i in range(len(BM25_TERMS))
+)
+
+
+@register(
+    "bm25_topk",
+    survey_ref="F2 extension: BM25 ranking (corpus-IDF + length prior over ts_rank's TF)",
+    tags=("fts", "corpus"),
+    oracle=f"""
+WITH toked AS (
+  SELECT doc_id, lang, source, {_TOKENS_SQL} AS tokens FROM documents
+), d AS (
+  SELECT doc_id, lang, source,
+         CAST(len(tokens) AS DOUBLE) AS dl,
+         {', '.join(f'{tf} AS tf_{i}' for i, tf in enumerate(_BM25_TF_SQL))}
+  FROM toked
+), stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CAST(dl AS BIGINT)) AS DOUBLE) / count(*) AS avgdl,
+         {', '.join(f'CAST(sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_{i}' for i in range(len(BM25_TERMS)))}
+  FROM d
+)
+SELECT doc_id, lang, source, round({_BM25_SCORE_SQL}, 6) AS bm25_r
+FROM d, stats
+WHERE {_BM25_SCORE_SQL} > 0
+ORDER BY bm25_r DESC, doc_id LIMIT 20
+""",
+)
+def q_bm25_topk(spark, sf_dir):
+    """BM25 top-k (OR semantics — any query term scores; the AND
+    variant is P7's ``match_all_terms`` filter composed in front).
+
+    Plan: one pass builds (dl, per-term tf) as a narrow projection;
+    a map-side-combined aggregate reduces it to ONE stats row
+    (N, avgdl, per-term df) that is broadcast back into the scoring
+    projection (J3's 1-row-crossJoin shape); TakeOrderedAndProject
+    keeps k × partitions rows moving. Score arithmetic is a fixed
+    per-row expression tree (integer tf/df/dl → doubles, summed in
+    declared term order) — bit-reproducible across engines, no float
+    aggregation anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id", "lang", "source", tokens_col(F.col("text")).alias("tokens")
+    )
+    d = toked.select(
+        "doc_id", "lang", "source",
+        F.size("tokens").cast("double").alias("dl"),
+        *[_tf(F.col("tokens"), t).cast("double").alias(f"tf_{i}")
+          for i, t in enumerate(BM25_TERMS)],
+    )
+    stats = d.agg(
+        F.count("*").cast("double").alias("n"),
+        (F.sum(F.col("dl").cast("long")).cast("double") / F.count("*")).alias("avgdl"),
+        *[F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0)).cast("double").alias(f"df_{i}")
+          for i in range(len(BM25_TERMS))],
+    )
+    score = None
+    for i in range(len(BM25_TERMS)):
+        c = _bm25_contrib(
+            F.col(f"tf_{i}"), F.col(f"df_{i}"), F.col("n"),
+            F.col("dl"), F.col("avgdl"),
+        )
+        score = c if score is None else score + c
+    return (
+        d.crossJoin(F.broadcast(stats))
+        .withColumn("bm25", score)
+        .filter(F.col("bm25") > 0)
+        .select("doc_id", "lang", "source", F.round("bm25", 6).alias("bm25_r"))
+        .orderBy(F.desc("bm25_r"), "doc_id")
+        .limit(20)
+    )
+
+
+_WORDS_SQL = sql_words_expr("text")
+_SHINGLES_SQL = sql_shingles_expr(_WORDS_SQL, 3)
+
+
+@register(
+    "duplicate_ngram_spans",
+    survey_ref="LLM-pipeline: exact-substring duplication measurement (dedup tier)",
+    tags=("dedup", "corpus"),
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents
+), pairs AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh
+), dup AS (
+  SELECT s FROM pairs GROUP BY s HAVING count(DISTINCT doc_id) >= 2
+), marked AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup
+  FROM pairs JOIN dup USING (s) GROUP BY doc_id
+), tot AS (
+  SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n_total FROM sh
+)
+SELECT t.doc_id, n_total,
+       COALESCE(n_dup, 0) AS n_dup,
+       CASE WHEN n_total > 0
+            THEN round(CAST(COALESCE(n_dup, 0) AS DOUBLE) / n_total, 6)
+            ELSE 0.0 END AS dup_frac
+FROM tot t LEFT JOIN marked m ON t.doc_id = m.doc_id
+ORDER BY t.doc_id LIMIT 500
+""",
+)
+def q_duplicate_ngram_spans(spark, sf_dir):
+    """Per-document duplicated-text fraction: positions whose 3-gram
+    shingle occurs in ≥2 distinct documents (the corpus-duplicated
+    spans exact-substring dedup would cut, Lee et al. 2022 scaled down
+    to shingle granularity).
+
+    Scale shape: the only shuffled payload is (shingle, doc_id) —
+    document text never moves. countDistinct is a two-phase partial
+    aggregate; the ≥2 filter shrinks the dup set before the semi-join
+    back to positions. Stats are corpus-wide even though the output
+    page is the first 500 docs. At 100 TB the shingle key would be
+    xxhash64'd to 8 bytes for the shuffle (collision odds ~1e-4 per
+    billion distinct shingles); kept as the raw string here so the
+    oracle groups on exactly the same key."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", shingles_col(words_col(F.col("text")), 3).alias("shingles")
+    )
+    pairs = sh.select("doc_id", F.explode("shingles").alias("s"))
+    dup = (
+        pairs.groupBy("s")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("s")
+    )
+    marked = (
+        pairs.join(dup, "s", "left_semi")
+        .groupBy("doc_id").agg(F.count("*").alias("n_dup"))
+    )
+    tot = sh.select("doc_id", F.size("shingles").cast("long").alias("n_total"))
+    return (
+        tot.join(marked, "doc_id", "left")
+        .select(
+            "doc_id", "n_total",
+            F.coalesce(F.col("n_dup"), F.lit(0).cast("long")).alias("n_dup"),
+            F.when(
+                F.col("n_total") > 0,
+                F.round(
+                    F.coalesce(F.col("n_dup"), F.lit(0)).cast("double")
+                    / F.col("n_total"), 6,
+                ),
+            ).otherwise(F.lit(0.0)).alias("dup_frac"),
+        )
+        .orderBy("doc_id").limit(500)
+    )
+
+
+@register(
+    "unigram_logprob",
+    survey_ref="LLM-pipeline: perplexity-proxy quality (corpus unigram LM)",
+    tags=("textan", "corpus"),
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, {_WORDS_SQL} AS words FROM documents
+), pos AS (
+  SELECT doc_id, unnest(words) AS tok FROM w
+), vocab AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM pos GROUP BY tok
+), tot AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab
+), scored AS (
+  SELECT tok,
+         CAST(round((ln(CAST(cnt AS DOUBLE)) - ln(CAST(total AS DOUBLE))) * 1000000) AS BIGINT) AS micro
+  FROM vocab, tot
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(micro) AS BIGINT) AS logprob_micro,
+       round(CAST(sum(micro) AS DOUBLE) / (count(*) * 1000000.0), 6) AS mean_logprob_r
+FROM pos JOIN scored USING (tok)
+GROUP BY doc_id ORDER BY doc_id LIMIT 500
+""",
+)
+def q_unigram_logprob(spark, sf_dir):
+    """Corpus-unigram-LM quality score: sum over token positions of
+    ln P(tok) with P from the corpus itself; low mean log-prob =
+    surprising/garbled text, high = boilerplate-typical.
+
+    Exactness: ln P is computed once per *vocabulary entry* and
+    quantized to integer micro-nats there; the per-document aggregate
+    then sums integers — order-independent, partition-independent,
+    engine-exact. The vocab (tok, micro) table is broadcast into the
+    position stream (a corpus vocabulary is ~1e6 rows at 100 TB —
+    broadcastable by design), so the only shuffle is the final
+    per-doc sum, map-side combined on doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", words_col(F.col("text")).alias("words"))
+    pos = w.select("doc_id", F.explode("words").alias("tok"))
+    vocab = pos.groupBy("tok").agg(F.count("*").alias("cnt"))
+    tot = vocab.agg(F.sum("cnt").alias("total"))
+    scored = (
+        vocab.crossJoin(F.broadcast(tot))
+        .select(
+            "tok",
+            F.round(
+                (F.log(F.col("cnt").cast("double"))
+                 - F.log(F.col("total").cast("double"))) * 1000000
+            ).cast("long").alias("micro"),
+        )
+    )
+    return (
+        pos.join(F.broadcast(scored), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("micro").alias("logprob_micro"),
+            F.round(
+                F.sum("micro").cast("double")
+                / (F.count("*") * F.lit(1000000.0)), 6,
+            ).alias("mean_logprob_r"),
+        )
+        .orderBy("doc_id").limit(500)
+    )
+
+
+@register(
+    "mixture_interleave",
+    survey_ref="LLM-pipeline: deterministic mixture training order (sampling tier)",
+    tags=("pipeline", "corpus"),
+    oracle="""
+SELECT CAST(pos AS BIGINT) AS pos, source, doc_id FROM (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS pos
+  FROM documents)
+ORDER BY pos, source, doc_id LIMIT 1000
+""",
+)
+def q_mixture_interleave(spark, sf_dir):
+    """Round-robin interleave across sources in a deterministic
+    hash-shuffled per-source order: every source's position-p document
+    precedes any source's position-p+1 — the balanced order a mixture
+    dataloader consumes, reproducible across runs/partitionings.
+
+    The window is partitioned by source (hash-distributed, per-source
+    sort — no global sort point); the final ORDER BY is the output
+    page only. At 100 TB you'd write `pos` as a column and range-
+    partition the export on it instead of sorting the page."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("source").orderBy(h, "doc_id")
+    return (
+        docs.select(
+            F.row_number().over(w).cast("long").alias("pos"),
+            "source", "doc_id",
+        )
+        .orderBy("pos", "source", "doc_id").limit(1000)
+    )

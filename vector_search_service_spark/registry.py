@@ -47,6 +47,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from . import queries_ann  # noqa: F401
     from . import queries_bucketed  # noqa: F401
     from . import queries_curate  # noqa: F401
+    from . import queries_corpus  # noqa: F401
     from . import queries_curate2  # noqa: F401
     from . import queries_dedup  # noqa: F401
     from . import queries_embed  # noqa: F401
