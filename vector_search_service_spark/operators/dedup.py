@@ -111,6 +111,34 @@ def shingle_set_udf(k: int = 3):
     return sh
 
 
+def shingle_hashes64_udf(k: int = 3):
+    """Arrow-batched POSITIONAL shingle hashes: one signed-64-bit
+    md5-prefix per shingle occurrence, multiplicity and order
+    preserved (unlike ``shingle_set_udf``). Tokenize + shingle + hash
+    in one Python batch so no shingle string is ever materialized in
+    the plan — the duplicated-span measurement shuffles 8-byte ids
+    only. Hash identity is Spark-side only (the oracle groups raw
+    shingle strings); 64 bits keeps corpus-scale collision odds
+    ~1e-4 per billion distinct shingles."""
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sh(texts: pd.Series) -> pd.Series:
+        md5 = hashlib.md5
+        from_bytes = int.from_bytes
+
+        def one(text: str) -> list[int]:
+            w = [t for t in _SPLIT.split((text or "").lower()) if t]
+            n = max(len(w) - (k - 1), 1)
+            return [
+                from_bytes(md5(" ".join(w[i:i + k]).encode()).digest()[:8],
+                           "big", signed=True)
+                for i in range(n)
+            ]
+
+        return texts.map(one)
+
+    return sh
+
+
 def minhash_band_keys(df: DataFrame, *, text_col: str = "text",
                       bands: tuple[tuple[int, ...], ...] = DEFAULT_BANDS) -> DataFrame:
     """Per-document LSH band keys: (…, band, band_key)."""

@@ -37,7 +37,7 @@ from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
 from .functions.analysis import sql_tokens_expr, tokens_col
-from .functions.hashing import shingles_col, sql_shingles_expr, sql_words_expr, words_col
+from .functions.hashing import sql_shingles_expr, sql_words_expr, words_col
 from .registry import register
 from .sources.tables import load_table
 
@@ -78,7 +78,7 @@ _BM25_SCORE_SQL = " + ".join(
 @register(
     "bm25_topk",
     survey_ref="F2 extension: BM25 ranking (corpus-IDF + length prior over ts_rank's TF)",
-    tags=("fts", "corpus"),
+    tags=("fts", "corpus", "headline"),
     oracle=f"""
 WITH toked AS (
   SELECT doc_id, lang, source, {_TOKENS_SQL} AS tokens FROM documents
@@ -151,7 +151,7 @@ _SHINGLES_SQL = sql_shingles_expr(_WORDS_SQL, 3)
 @register(
     "duplicate_ngram_spans",
     survey_ref="LLM-pipeline: exact-substring duplication measurement (dedup tier)",
-    tags=("dedup", "corpus"),
+    tags=("dedup", "corpus", "headline"),
     oracle=f"""
 WITH sh AS (
   SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents
@@ -180,41 +180,46 @@ def q_duplicate_ngram_spans(spark, sf_dir):
     spans exact-substring dedup would cut, Lee et al. 2022 scaled down
     to shingle granularity).
 
-    Scale shape: the only shuffled payload is (shingle, doc_id) —
-    document text never moves. countDistinct is a two-phase partial
-    aggregate; the ≥2 filter shrinks the dup set before the semi-join
-    back to positions. Stats are corpus-wide even though the output
-    page is the first 500 docs. At 100 TB the shingle key would be
-    xxhash64'd to 8 bytes for the shuffle (collision odds ~1e-4 per
-    billion distinct shingles); kept as the raw string here so the
-    oracle groups on exactly the same key."""
+    Scale shape — one scan, two shuffles, ids only: an Arrow pandas
+    UDF tokenizes, shingles and hashes in one batch pass
+    (``shingle_hashes64_udf`` — the expression-pipeline transform/
+    concat_ws chain is CodegenFallback-interpreted and measured ~2×
+    this whole query), so the exploded stream carries (doc_id,
+    hash64) — 16 bytes/row, no shingle string ever materializes.
+    "Shared with another doc" is min(doc_id) ≠ max(doc_id) over a
+    window partitioned by the shingle hash (one shuffle+sort; no
+    countDistinct expand, no join back — the window keeps every
+    position row, so n_total and n_dup fall out of ONE per-doc
+    aggregate, the second, map-side-combined shuffle). The oracle
+    groups the raw shingle strings — identical equivalence classes up
+    to a 64-bit collision (odds ~1e-7 at this corpus, ~1e-4 per
+    billion distinct shingles; an exact deployment would widen to
+    md5-128)."""
+    from .operators.dedup import shingle_hashes64_udf
+    from .sources.tables import parallelize_scan
+
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", shingles_col(words_col(F.col("text")), 3).alias("shingles")
+    sh = parallelize_scan(docs.select("doc_id", "text"), spark)
+    pairs = (
+        sh.select("doc_id", shingle_hashes64_udf(3)(F.col("text")).alias("hs"))
+        .select("doc_id", F.explode("hs").alias("s64"))
     )
-    pairs = sh.select("doc_id", F.explode("shingles").alias("s"))
-    dup = (
-        pairs.groupBy("s")
-        .agg(F.countDistinct("doc_id").alias("n_docs"))
-        .filter(F.col("n_docs") >= 2)
-        .select("s")
+    w = Window.partitionBy("s64")
+    marked = pairs.select(
+        "doc_id",
+        (F.min("doc_id").over(w) != F.max("doc_id").over(w)).alias("is_dup"),
     )
-    marked = (
-        pairs.join(dup, "s", "left_semi")
-        .groupBy("doc_id").agg(F.count("*").alias("n_dup"))
-    )
-    tot = sh.select("doc_id", F.size("shingles").cast("long").alias("n_total"))
     return (
-        tot.join(marked, "doc_id", "left")
+        marked.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).alias("n_dup"),
+        )
         .select(
-            "doc_id", "n_total",
-            F.coalesce(F.col("n_dup"), F.lit(0).cast("long")).alias("n_dup"),
+            "doc_id", "n_total", "n_dup",
             F.when(
                 F.col("n_total") > 0,
-                F.round(
-                    F.coalesce(F.col("n_dup"), F.lit(0)).cast("double")
-                    / F.col("n_total"), 6,
-                ),
+                F.round(F.col("n_dup").cast("double") / F.col("n_total"), 6),
             ).otherwise(F.lit(0.0)).alias("dup_frac"),
         )
         .orderBy("doc_id").limit(500)
@@ -224,7 +229,7 @@ def q_duplicate_ngram_spans(spark, sf_dir):
 @register(
     "unigram_logprob",
     survey_ref="LLM-pipeline: perplexity-proxy quality (corpus unigram LM)",
-    tags=("textan", "corpus"),
+    tags=("textan", "corpus", "headline"),
     oracle=f"""
 WITH w AS (
   SELECT doc_id, {_WORDS_SQL} AS words FROM documents
