@@ -57,6 +57,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from . import queries_multimodal  # noqa: F401
     from . import queries_pipeline  # noqa: F401
     from . import queries_pretrain  # noqa: F401
+    from . import queries_profile  # noqa: F401
     from . import queries_quantile  # noqa: F401
     from . import queries_rangejoin  # noqa: F401
     from . import queries_reference  # noqa: F401
