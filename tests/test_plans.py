@@ -254,3 +254,54 @@ def test_tpch2_small_sides_broadcast(spark):
 
     assert "BroadcastHashJoin" in explain_str(q_having_semi_topk(spark, SF_SMOKE))
     assert "BroadcastHashJoin" in explain_str(q_promo_revenue_ratio(spark, SF_SMOKE))
+
+
+def test_bm25_stats_broadcast_and_top_k(spark):
+    """BM25 (queries_corpus): the 1-row stats side must come back as a
+    broadcast (never a shuffled join) and the final top-k must be
+    TakeOrderedAndProject, not a global sort."""
+    from vector_search_service_spark.registry import all_queries
+
+    df = all_queries()["bm25_topk"].fn(spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert has_broadcast_join(df)
+    assert has_top_k(df)
+    assert "SortMergeJoin" not in plan
+
+
+def test_multiquery_fts_single_scan_broadcast_terms(spark):
+    """Batched FTS (queries_fts2): ONE corpus scan however many
+    queries ride it; the (query_id, term) side is broadcast; corpus
+    text never shuffles (no string-typed Exchange beyond the matched
+    (doc, query) aggregate)."""
+    from vector_search_service_spark.registry import all_queries
+
+    df = all_queries()["fts_multiquery_topk"].fn(spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert has_broadcast_join(df)
+    assert plan.count("documents.parquet") == 1  # corpus scanned once
+
+
+def test_duplicate_spans_shuffles_hashes_not_text(spark):
+    """Duplicated-span measurement (queries_corpus): every Exchange in
+    the plan carries (doc_id, hash64)-shaped rows — the text column
+    dies at the UDF projection and never reaches a shuffle."""
+    import re
+
+    from vector_search_service_spark.registry import all_queries
+
+    df = all_queries()["duplicate_ngram_spans"].fn(spark, SF_SMOKE)
+    plan = explain_str(df)
+    for m in re.finditer(r"Exchange [^\n]*", plan):
+        assert "text#" not in m.group(0), m.group(0)
+    assert "WindowExec" in plan or "Window" in plan
+
+
+def test_unigram_logprob_vocab_broadcast(spark):
+    """Unigram-LM quality (queries_corpus): the vocab LM joins into
+    the position stream as a broadcast — the corpus-sized side must
+    not shuffle for the join (only the final per-doc aggregate may)."""
+    from vector_search_service_spark.registry import all_queries
+
+    df = all_queries()["unigram_logprob"].fn(spark, SF_SMOKE)
+    assert has_broadcast_join(df)
