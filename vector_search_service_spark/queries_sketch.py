@@ -59,6 +59,78 @@ def q_sketch_distinct_tolerance(spark, sf_dir):
 
 
 @register(
+    "sketch_heavy_hitters",
+    survey_ref="extension: Count-Min heavy hitters (frequency tier at 100 TB)",
+    tags=("sketch",),
+    oracle="""
+SELECT uid, exact_cnt, TRUE AS cms_no_underestimate, TRUE AS cms_within_eps
+FROM (
+  SELECT CAST(user_id AS VARCHAR) AS uid, CAST(count(*) AS BIGINT) AS exact_cnt
+  FROM events GROUP BY uid
+)
+ORDER BY exact_cnt DESC, uid ASC
+LIMIT 20
+""",
+)
+def q_sketch_heavy_hitters(spark, sf_dir):
+    """Top-20 most frequent users, exact, next to the Count-Min
+    sketch's two guarantees as booleans: the estimate never
+    underestimates, and overshoots by at most (e/width)*N (the sketch
+    is a deterministic function of the data given fixed hash seeds, so
+    the booleans are stable).
+
+    The sketch is built as PLAIN DATAFRAME OPS — each row contributes
+    ``depth`` (row-hash, bucket) cells via a literal-array explode and
+    the table is one groupBy count: depth*width bounded cells no
+    matter the corpus size. That is the map-side-combinable,
+    fixed-size-state shape that scales where an exact all-keys
+    frequency table cannot; estimates for any candidate key set are a
+    broadcast join of the (tiny) table + ``least()`` over the depth
+    rows — no second corpus scan, no UDF anywhere."""
+    depth, width = 5, 4096
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("uid")
+    )
+    total = ev.count()
+    bound = int(2.718281828 / width * total) + 1  # eps = e/width
+
+    def cells(uid_col):
+        return F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("h"),
+                F.pmod(F.xxhash64(uid_col, F.lit(i)), F.lit(width)).alias("bucket"),
+            )
+            for i in range(depth)
+        ])).alias("cell")
+
+    table = (
+        ev.select(cells(F.col("uid")))
+          .groupBy("cell.h", "cell.bucket")
+          .agg(F.count("*").alias("cnt"))
+    )
+    exact = (
+        ev.groupBy("uid").agg(F.count("*").alias("exact_cnt"))
+          .orderBy(F.col("exact_cnt").desc(), F.col("uid").asc())
+          .limit(20)
+    )
+    est = (
+        exact.select("uid", "exact_cnt", cells(F.col("uid")))
+             .select("uid", "exact_cnt", "cell.h", "cell.bucket")
+             .join(F.broadcast(table), ["h", "bucket"])
+             .groupBy("uid", "exact_cnt")
+             .agg(F.min("cnt").alias("cms_est"))
+    )
+    return (
+        est.select(
+            "uid", "exact_cnt",
+            (F.col("cms_est") >= F.col("exact_cnt")).alias("cms_no_underestimate"),
+            (F.col("cms_est") <= F.col("exact_cnt") + bound).alias("cms_within_eps"),
+        )
+        .orderBy(F.col("exact_cnt").desc(), F.col("uid").asc())
+    )
+
+
+@register(
     "sketch_quantile_tolerance",
     survey_ref="extension: approximate-percentile tier (quantile_stats at 100 TB)",
     tags=("sketch",),

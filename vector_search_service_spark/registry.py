@@ -69,6 +69,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from . import queries_subquery  # noqa: F401
     from . import queries_tpch  # noqa: F401
     from . import queries_tpch2  # noqa: F401
+    from . import queries_tpch3  # noqa: F401
     from . import queries_textan  # noqa: F401
     from . import queries_timeseries  # noqa: F401
     return dict(_REGISTRY)

@@ -35,8 +35,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        return _load_events(spark, path)
-    return spark.read.parquet(path)
+        return _ntz_to_ltz(_load_events(spark, path))
+    return _ntz_to_ltz(spark.read.parquet(path))
+
+
+def _ntz_to_ltz(df: DataFrame) -> DataFrame:
+    """Normalize TIMESTAMP_NTZ columns to TIMESTAMP (LTZ).
+
+    The test corpus has been generated both ways across rounds
+    (timezone-naive micros → Spark reads TIMESTAMP_NTZ; UTC-adjusted
+    nanos → TIMESTAMP). Everything downstream — event-time watermarks
+    (which REQUIRE LTZ), ``unix_millis`` epoch outputs, the DuckDB
+    oracle compare (naive, interpreted as UTC; Spark session TZ is
+    pinned to UTC in ``session.get_spark``) — is written against LTZ
+    semantics, so coerce at the source. With a UTC session the cast is
+    value-identity."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampNTZType
+
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
 
 
 def _load_events(spark: SparkSession, path: str) -> DataFrame:

@@ -149,6 +149,9 @@ def stream_events_from_parquet(spark, sf_dir: str, *, max_files_per_trigger: int
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif ts_type == "timestamp_ntz":  # naive micros corpus: watermarks need LTZ
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
