@@ -1,0 +1,61 @@
+"""Registry entries — trained BPE tokenization (functions/bpe.py).
+
+Genuinely non-SQL-expressible (iterative argmax training, priority
+merge encode), so both entries are rows-only for the driver;
+``tests/test_bpe.py`` pins canonical merges, the distributed==local
+encode equality, the detokenization roundtrip invariant, and
+determinism instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .functions.bpe import bpe_tokens_col, learn_bpe
+from .registry import register
+from .sources.tables import load_table
+
+_N_MERGES = 30
+
+
+@register(
+    "bpe_train_merges",
+    survey_ref="extension: trained BPE merges (token-accounting tier)",
+    tags=("bpe", "textan"),
+    oracle=None,  # iterative argmax training is not SQL-expressible
+)
+def q_bpe_train_merges(spark, sf_dir):
+    """The learned merge table itself: rank-ordered (left, right)
+    pairs from the documents corpus. Training cost is one corpus
+    shuffle (word freq) + n_merges vocab-only jobs."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = learn_bpe(spark, docs, n_merges=_N_MERGES)
+    return spark.createDataFrame(
+        [(i, l, r, l + r) for i, (l, r) in enumerate(merges)],
+        "rank int, left string, right string, merged string",
+    )
+
+
+@register(
+    "bpe_token_stats",
+    survey_ref="extension: BPE token counts per language (mixture budgeting input)",
+    tags=("bpe", "textan"),
+    oracle=None,  # depends on trained merges
+)
+def q_bpe_token_stats(spark, sf_dir):
+    """Tokens-under-the-training-tokenizer per language — the number
+    mixture budgeting actually needs (whitespace counts under-price
+    morphologically rich text). Train once, broadcast the merges in
+    the encode UDF's closure, one Arrow pass over the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = learn_bpe(spark, docs, n_merges=_N_MERGES)
+    toks = bpe_tokens_col(docs, "text", merges)
+    return (
+        toks.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size("bpe_tokens")).alias("total_bpe_tokens"),
+            (F.sum(F.size("bpe_tokens")) / F.count("*")).alias("avg_tokens_per_doc"),
+        )
+        .orderBy("lang")
+    )

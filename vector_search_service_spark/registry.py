@@ -45,6 +45,7 @@ def register(name: str, *, oracle: str | None, survey_ref: str = "",
 def all_queries() -> dict[str, QuerySpec]:
     # import for side effect: modules self-register on first use
     from . import queries_ann  # noqa: F401
+    from . import queries_bpe  # noqa: F401
     from . import queries_bucketed  # noqa: F401
     from . import queries_curate  # noqa: F401
     from . import queries_corpus  # noqa: F401
