@@ -1,0 +1,83 @@
+"""Product quantization (operators/pq.py): code-table shape, recall
+vs exact brute force, rerank-everything == exact, determinism, and
+the ADC approximation actually ordering near-neighbors first."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from vector_search_service_spark.operators.pq import encode_pq, pq_topk, train_pq
+from vector_search_service_spark.operators.search import vector_search
+from vector_search_service_spark.queries_reference import QUERY_VEC
+from vector_search_service_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_SMOKE, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def pq(spark, emb):
+    cb = train_pq(emb, m=8, k=32, iters=8)
+    return cb, encode_pq(emb, cb).localCheckpoint()
+
+
+def test_codes_shape_and_range(emb, pq):
+    cb, coded = pq
+    assert coded.count() == emb.count()
+    bad = coded.filter(
+        (F.size("codes") != cb.m)
+        | F.exists("codes", lambda c: (c < 0) | (c >= cb.k))
+    ).count()
+    assert bad == 0
+
+
+def test_recall_at_10(emb, pq):
+    cb, coded = pq
+    exact = [r["vec_id"] for r in vector_search(emb, QUERY_VEC, limit=10).collect()]
+    got = [r["vec_id"] for r in pq_topk(coded, cb, QUERY_VEC, k=10, rerank=100).collect()]
+    recall = len(set(exact) & set(got)) / 10
+    assert recall >= 0.6, f"recall@10 = {recall}"
+
+
+def test_rerank_all_equals_exact(emb, pq):
+    """With rerank = corpus size the ADC stage only reorders the
+    candidate set; the exact rerank must reproduce brute force."""
+    cb, coded = pq
+    n = emb.count()
+    exact = [r["vec_id"] for r in vector_search(emb, QUERY_VEC, limit=10).collect()]
+    got = [r["vec_id"] for r in pq_topk(coded, cb, QUERY_VEC, k=10, rerank=n).collect()]
+    assert got == exact
+
+
+def test_training_deterministic(emb):
+    a = train_pq(emb, m=8, k=16, iters=3)
+    b = train_pq(emb, m=8, k=16, iters=3)
+    assert a.centroids == b.centroids
+
+
+def test_adc_orders_near_neighbors_first(emb, pq):
+    """The approximate distance must be informative: the true top-10
+    should rank in the best ~20% of the corpus by ADC distance."""
+    cb, coded = pq
+    table = cb.adc_table([float(x) for x in QUERY_VEC])
+    lit_table = F.array(*[F.array(*[F.lit(v) for v in row]) for row in table])
+    approx = F.aggregate(
+        F.transform(F.col("codes"),
+                    lambda c, i: F.element_at(F.element_at(lit_table, i + 1), c + 1)),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    ranked = [
+        r["vec_id"]
+        for r in coded.withColumn("_a", approx)
+        .orderBy(F.col("_a").asc(), F.col("vec_id").asc())
+        .select("vec_id").collect()
+    ]
+    exact = [r["vec_id"] for r in vector_search(emb, QUERY_VEC, limit=10).collect()]
+    n = len(ranked)
+    positions = [ranked.index(v) for v in exact]
+    assert sum(p < n * 0.2 for p in positions) >= 6, positions

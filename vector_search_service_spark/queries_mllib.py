@@ -32,6 +32,31 @@ def q_ann_ivf_probe(spark, sf_dir):
 
 
 @register(
+    "pq_ann_topk",
+    survey_ref="extension: product-quantization ANN (32x-compressed ADC scan + rerank)",
+    tags=("vector", "ann"),
+    oracle=None,  # Lloyd-trained codebooks are not SQL-expressible
+)
+def q_pq_ann_topk(spark, sf_dir):
+    """PQ top-10: m=8 subspace codebooks (k=32, Lloyd via one
+    DataFrame job per iteration), ADC scan over 8-byte codes (pure
+    codegen array-literal lookups), exact cosine rerank of the top-100
+    candidates. Recall and full-rerank==exact pinned in
+    tests/test_pq.py. (The synthetic near-random corpus is PQ's
+    worst case — neighbors barely separate from the bulk; on real
+    clustered embeddings smaller rerank windows suffice.)"""
+    from .operators.pq import encode_pq, pq_topk, train_pq
+    from .queries_reference import QUERY_VEC
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = train_pq(emb, m=8, k=32, iters=8)
+    coded = encode_pq(emb, cb)
+    return pq_topk(coded, cb, QUERY_VEC, k=10, rerank=100).select(
+        "vec_id", "label", F.round("distance", 6).alias("distance_r")
+    )
+
+
+@register(
     "fts_stemmed_topk",
     survey_ref="F1/F3 with Porter stemming (PostgreSQL english dictionary fidelity)",
     tags=("fts", "mllib"),
