@@ -305,3 +305,48 @@ def test_unigram_logprob_vocab_broadcast(spark):
 
     df = all_queries()["unigram_logprob"].fn(spark, SF_SMOKE)
     assert has_broadcast_join(df)
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark):
+    """When a selective dimension side forces a shuffle join (no
+    broadcast), Spark's runtime bloom filter must inject a
+    ``might_contain`` pre-filter on the fact side — the row-level
+    analogue of partition pruning that keeps 100 TB shuffle joins from
+    shuffling rows the build side will reject anyway. Pin it so a conf
+    regression (or an expression that defeats injection) fails loudly."""
+    saved = {
+        "spark.sql.autoBroadcastJoinThreshold":
+            spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # local test files are tiny; drop the size gate so the optimizer
+    # considers them (a real cluster passes the default gates)
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    try:
+        li = load_table(spark, SF_SMOKE, "lineitem")
+        orders = load_table(spark, SF_SMOKE, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT")
+        df = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+              .groupBy("o_orderpriority").agg(F.count("*").alias("n"))
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, "runtime bloom filter not injected"
+        assert "bloom_filter_agg" in plan
+        # semantics preserved: bloom result == broadcast-join result
+        rows = {(r["o_orderpriority"], r["n"]) for r in df.collect()}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                       saved["spark.sql.autoBroadcastJoinThreshold"])
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    orders = load_table(spark, SF_SMOKE, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT")
+    expect = {
+        (r["o_orderpriority"], r["n"])
+        for r in li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority").agg(F.count("*").alias("n")).collect()
+    }
+    assert rows == expect
