@@ -63,3 +63,50 @@ def q_bucketed_join_agg(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "zorder_values",
+    survey_ref="extension: Z-order clustering key (multi-dim layout tier)",
+    tags=("layout",),
+    oracle="""
+WITH b AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(least(greatest(floor((l_partkey - 0.0) / 2000.0 * 16.0), 0), 15) AS BIGINT) AS b0,
+         CAST(least(greatest(floor((l_suppkey - 0.0) / 200.0 * 16.0), 0), 15) AS BIGINT) AS b1
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber,
+       (((b0 >> 0) & 1) << 0) |
+       (((b1 >> 0) & 1) << 1) |
+       (((b0 >> 1) & 1) << 2) |
+       (((b1 >> 1) & 1) << 3) |
+       (((b0 >> 2) & 1) << 4) |
+       (((b1 >> 2) & 1) << 5) |
+       (((b0 >> 3) & 1) << 6) |
+       (((b1 >> 3) & 1) << 7) AS zvalue
+FROM b
+ORDER BY l_orderkey, l_linenumber
+LIMIT 200
+""",
+)
+def q_zorder_values(spark, sf_dir):
+    """The Morton interleave itself, oracle-pinned bit-for-bit (the
+    clustering write + file-pruning payoff is exercised in
+    tests/test_zorder.py — layout effects are not SQL-visible, but the
+    KEY the layout sorts by must be exactly reproducible)."""
+    from .operators.zorder import binned_col, zvalue_col
+
+    li = load_table(spark, sf_dir, "lineitem")
+    z = zvalue_col(
+        [
+            binned_col(F.col("l_partkey"), 0.0, 2000.0, 4),
+            binned_col(F.col("l_suppkey"), 0.0, 200.0, 4),
+        ],
+        4,
+    )
+    return (
+        li.select("l_orderkey", "l_linenumber", z.alias("zvalue"))
+          .orderBy("l_orderkey", "l_linenumber")
+          .limit(200)
+    )
