@@ -1,0 +1,82 @@
+"""Learned quality classifier (operators/quality_model.py): held-out
+accuracy beats majority class, agreement with the teaching heuristic
+on the extremes, deterministic refits, and inference is a map-only
+plan (no shuffle)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from vector_search_service_spark.operators.quality_model import (
+    feature_frame,
+    fit_quality_model,
+    score_quality,
+    weak_labels,
+)
+from vector_search_service_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_SMOKE, "documents")
+
+
+@pytest.fixture(scope="module")
+def fitted(spark, docs):
+    labeled = weak_labels(feature_frame(docs))
+    asm, model = fit_quality_model(labeled)
+    return asm, model
+
+
+def test_beats_majority_on_extremes(spark, docs, fitted):
+    asm, model = fitted
+    labeled = weak_labels(feature_frame(docs)).filter(F.col("label").isNotNull())
+    scored = score_quality(labeled.drop("quality_prob"), asm, model).withColumn(
+        "pred", (F.col("quality_prob") >= 0.5).cast("double")
+    )
+    n = scored.count()
+    correct = scored.filter(F.col("pred") == F.col("label")).count()
+    majority = (
+        labeled.groupBy("label").count().agg(F.max("count")).first()[0] / n
+    )
+    assert correct / n >= max(0.8, majority), (correct / n, majority)
+
+
+def test_scores_deterministic_across_refits(spark, docs):
+    labeled = weak_labels(feature_frame(docs))
+    a_asm, a_model = fit_quality_model(labeled)
+    b_asm, b_model = fit_quality_model(labeled)
+    sample = docs.orderBy("doc_id").limit(30)
+    a = [r["quality_prob"] for r in
+         score_quality(sample, a_asm, a_model).orderBy("doc_id").collect()]
+    b = [r["quality_prob"] for r in
+         score_quality(sample, b_asm, b_model).orderBy("doc_id").collect()]
+    assert a == b
+
+
+def test_inference_is_map_only(spark, docs, fitted):
+    asm, model = fitted
+    scored = score_quality(docs, asm, model)
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # corpus-wide scoring never shuffles
+
+
+def test_scores_in_unit_interval_and_monotone_set(spark, docs, fitted):
+    asm, model = fitted
+    scored = score_quality(docs, asm, model)
+    out = scored.select(
+        F.min("quality_prob").alias("lo"), F.max("quality_prob").alias("hi")
+    ).first()
+    assert 0.0 <= out["lo"] <= out["hi"] <= 1.0
+    # the learned scorer should broadly agree with its teacher:
+    # mean P(high) on top-heuristic docs > mean on bottom-heuristic docs
+    feat = score_quality(docs, asm, model)
+    top = feat.orderBy(F.col("heuristic_score").desc()).limit(50)
+    bot = feat.orderBy(F.col("heuristic_score").asc()).limit(50)
+    assert (
+        top.agg(F.avg("quality_prob")).first()[0]
+        > bot.agg(F.avg("quality_prob")).first()[0] + 0.2
+    )

@@ -73,3 +73,29 @@ def q_fts_stemmed_topk(spark, sf_dir):
         fts_search_stemmed(docs, "hash join merge", limit=10)
         .select("doc_id", "lang", "source", F.round("rank", 6).alias("rank_r"))
     )
+
+
+@register(
+    "quality_model_scores",
+    survey_ref="extension: learned quality classifier (weak-supervision bootstrap)",
+    tags=("textan", "mllib"),
+    oracle=None,  # L-BFGS logistic fit is not SQL-expressible
+)
+def q_quality_model_scores(spark, sf_dir):
+    """Corpus-wide P(high quality) from a LogisticRegression trained
+    on the heuristic score's confident extremes (weak supervision) —
+    inference is a map-only JVM pass (plan pinned in tests). Held-out
+    accuracy, teacher agreement and refit determinism pinned in
+    tests/test_quality_model.py."""
+    from .operators.quality_model import (
+        feature_frame, fit_quality_model, score_quality, weak_labels,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    asm, model = fit_quality_model(weak_labels(feature_frame(docs)))
+    return (
+        score_quality(docs, asm, model)
+        .select("doc_id", "lang", F.round("quality_prob", 4).alias("quality_prob_r"))
+        .orderBy(F.col("quality_prob_r").desc(), F.col("doc_id").asc())
+        .limit(100)
+    )

@@ -419,3 +419,36 @@ def q_json_props_stats(spark, sf_dir):
           )
           .orderBy("event_type")
     )
+
+
+@register(
+    "variant_props_stats",
+    survey_ref="G8 (extension: VARIANT semi-structured tier, Spark 4)",
+    tags=("relational", "json"),
+    oracle="""
+SELECT event_type,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(count(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+                       THEN 1 END) AS BIGINT) AS n_over_50
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
+def q_variant_props_stats(spark, sf_dir):
+    """The VARIANT version of the parse-once rule: ``parse_json``
+    produces Spark 4's binary-encoded variant (parsed once, schema
+    discovered per value, typed access via ``variant_get`` without
+    re-tokenizing the string). At 100 TB, variant is what you store
+    when payload schemas drift — columnar-shreddable where stable,
+    still queryable where not. ``json_props_stats`` is the
+    fixed-schema ``from_json`` tier of the same rule."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+          .groupBy("event_type")
+          .agg(
+              F.sum("k").alias("sum_k"),
+              F.count(F.when(F.col("k") > 50, F.lit(1))).alias("n_over_50"),
+          )
+          .orderBy("event_type")
+    )

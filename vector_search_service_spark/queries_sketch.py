@@ -177,3 +177,41 @@ def q_sketch_quantile_tolerance(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "sketch_topk_exact_when_small",
+    survey_ref="extension: approx_top_k capacity contract (frequency tier)",
+    tags=("sketch",),
+    oracle="""
+SELECT event_type, CAST(count(*) AS BIGINT) AS exact_cnt, TRUE AS in_approx_topk
+FROM events GROUP BY event_type
+ORDER BY exact_cnt DESC, event_type ASC
+""",
+)
+def q_sketch_topk_exact_when_small(spark, sf_dir):
+    """``approx_top_k``'s usable guarantee: with distinct keys ≤ the
+    sketch's tracked capacity, the sketch is EXACT (Misra-Gries-style
+    summaries only err once capacity evicts counters). The query
+    asserts every exact (key, count) appears verbatim in the sketch
+    output — the contract that makes the sketch safe as a drop-in for
+    groupBy-count on bounded-cardinality keys at 100 TB (one pass,
+    constant state, no shuffle of the key universe)."""
+    ev = load_table(spark, sf_dir, "events")
+    approx = {
+        r["item"]: r["count"]
+        for r in ev.select(
+            F.explode(F.expr("approx_top_k(event_type, 100)")).alias("t")
+        ).select("t.item", "t.count").collect()
+    }
+    exact = ev.groupBy("event_type").agg(F.count("*").alias("exact_cnt"))
+    pairs = [(k, int(v)) for k, v in approx.items()]
+    approx_df = ev.sparkSession.createDataFrame(pairs, "event_type string, approx_cnt long")
+    return (
+        exact.join(F.broadcast(approx_df), "event_type", "left")
+        .select(
+            "event_type", "exact_cnt",
+            (F.col("approx_cnt") == F.col("exact_cnt")).alias("in_approx_topk"),
+        )
+        .orderBy(F.col("exact_cnt").desc(), F.col("event_type").asc())
+    )
