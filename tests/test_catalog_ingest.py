@@ -200,3 +200,31 @@ def test_maintained_postings_index(spark, tmp_path):
     # cascade delete drops the postings partition
     indexed.delete_collection("kb", force=True)
     assert indexed.catalog.postings.postings(coll_id) is None
+
+
+def test_catalog_history_and_time_travel(spark, tmp_path):
+    """Versioned swaps retain a time-travel window: history lists the
+    kept versions, collections_at(v) reads the catalog as of v, and
+    pruning honors keep_versions."""
+    from vector_search_service_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "cat"), keep_versions=4)
+    for name in ("alpha", "beta", "gamma"):
+        cat.create_collection(name)
+    hist = cat.catalog_history()
+    versions = [h["version"] for h in hist]
+    assert versions == sorted(versions) and len(hist) >= 3
+    assert hist[-1]["is_current"] and not any(h["is_current"] for h in hist[:-1])
+    # as-of semantics: the version written by create('alpha') has 1 row
+    assert cat.collections_at(versions[0]).count() == 1
+    assert cat.collections_at(versions[-1]).count() == 3
+    # retention: enough churn prunes the oldest version out
+    for name in ("delta", "epsilon", "zeta"):
+        cat.create_collection(name)
+    kept = [h["version"] for h in cat.catalog_history()]
+    assert len(kept) <= 4
+    assert versions[0] not in kept
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not retained"):
+        cat.collections_at(versions[0])

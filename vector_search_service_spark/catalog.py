@@ -63,9 +63,13 @@ class Catalog:
     ``root/documents/collection_id=<id>/`` (hive-partitioned)."""
 
     def __init__(self, spark: SparkSession, root: str, *,
-                 maintain_fts_index: bool = False):
+                 maintain_fts_index: bool = False, keep_versions: int = 2):
         self.spark = spark
         self.root = root
+        # how many catalog versions survive pruning (>=2: the live one
+        # plus the immediately-previous for in-flight readers). Larger
+        # values enable time travel via collections_at()/history().
+        self.keep_versions = max(2, keep_versions)
         self.collections_path = os.path.join(root, "collections")
         self.documents_path = os.path.join(root, "documents")
         self._pointer_path = os.path.join(root, "collections.current")
@@ -191,17 +195,59 @@ class Catalog:
                 f.write(new_name)
             os.replace(tmp_ptr, self._pointer_path)
             # prune superseded versions (and the legacy flat dir),
-            # keeping the immediately-previous one so a reader that
+            # keeping the newest ``keep_versions`` so (a) a reader that
             # resolved the pointer just before the flip still completes
+            # and (b) history()/collections_at() can time-travel over
+            # the retained window — the plain-parquet sketch of Delta's
+            # version log.
+            keep = {new_name} | {
+                f"collections_v{v}"
+                for v in range(max(1, ver + 2 - self.keep_versions), ver + 2)
+            }
             for entry in os.listdir(self.root):
                 full = os.path.join(self.root, entry)
-                if entry in (new_name, base) or not os.path.isdir(full):
+                if entry in keep or not os.path.isdir(full):
                     continue
                 if entry == "collections" or (
                     entry.startswith("collections_v")
                     and entry.rsplit("_v", 1)[1].isdigit()
                 ):
                     shutil.rmtree(full, ignore_errors=True)
+
+    # -- catalog history / time travel -------------------------------------
+
+    def catalog_history(self) -> list[dict]:
+        """Retained catalog versions, oldest→newest: [{version, path,
+        modified_at, is_current}]. Retention is ``keep_versions``."""
+        import datetime
+
+        cur = os.path.basename(self._current_collections_dir())
+        out = []
+        for entry in sorted(os.listdir(self.root)):
+            if not (entry.startswith("collections_v")
+                    and entry.rsplit("_v", 1)[1].isdigit()):
+                continue
+            full = os.path.join(self.root, entry)
+            if not os.path.isdir(full):
+                continue
+            out.append({
+                "version": int(entry.rsplit("_v", 1)[1]),
+                "path": full,
+                "modified_at": datetime.datetime.fromtimestamp(
+                    os.path.getmtime(full), tz=datetime.timezone.utc),
+                "is_current": entry == cur,
+            })
+        return sorted(out, key=lambda d: d["version"])
+
+    def collections_at(self, version: int) -> DataFrame:
+        """Time-travel read of a retained catalog version."""
+        path = os.path.join(self.root, f"collections_v{version}")
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            retained = [h["version"] for h in self.catalog_history()]
+            raise ValueError(
+                f"catalog version {version} not retained (have {retained}; "
+                f"raise keep_versions to widen the window)")
+        return self.spark.read.schema(COLLECTION_SCHEMA).parquet(path)
 
     # -- documents (S3, S5, S6) -------------------------------------------
 
