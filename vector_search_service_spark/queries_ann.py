@@ -210,3 +210,122 @@ FROM r ORDER BY cos DESC, vec_id ASC LIMIT 10
 
 
 _REGISTRY["quantized_vector_topk"].oracle = _quantized_oracle()
+
+
+# ---------------------------------------------------------------------------
+# grouped retrieval: per-label top-k and multi-vector (maxsim) scoring
+# ---------------------------------------------------------------------------
+
+def _qv2() -> list[float]:
+    return list(reversed(_query_vec()))
+
+
+def _cos_sim_sql(vec_sql: str, q_sql: str) -> str:
+    return (
+        f"(list_inner_product({vec_sql}, {q_sql})"
+        f" / (sqrt(list_inner_product({vec_sql}, {vec_sql}))"
+        f" * sqrt(list_inner_product({q_sql}, {q_sql}))))"
+    )
+
+
+def _per_label_oracle() -> str:
+    from .queries_reference import _QV_SQL
+
+    sim = _cos_sim_sql("CAST(embedding AS DOUBLE[])", "qv")
+    return f"""
+WITH q AS (SELECT {_QV_SQL} AS qv),
+ranked AS (
+  SELECT label, vec_id, (1.0 - {sim}) AS dist,
+         row_number() OVER (PARTITION BY label ORDER BY (1.0 - {sim}) ASC, vec_id ASC)
+           AS rnk
+  FROM embeddings, q
+)
+SELECT label, vec_id, CAST(rnk AS INT) AS rnk, round(dist, 6) AS distance_r
+FROM ranked WHERE rnk <= 3
+ORDER BY label, rnk
+"""
+
+
+@register(
+    "vector_topk_per_label",
+    survey_ref="F4,T2 + §2.9 (grouped top-k: per-collection search shape)",
+    tags=("vector",),
+    oracle=None,  # set below (query-vector literal)
+)
+def q_vector_topk_per_label(spark, sf_dir):
+    """Top-3 nearest neighbors WITHIN each label group — the
+    per-collection search every multi-tenant deployment runs. One scan,
+    one shuffle on the group key, per-partition window heads; no
+    per-group driver loop (the anti-pattern would be k collect+filter
+    round trips). At scale the window's rank<=k cuts early via
+    WindowGroupLimit (rank pushdown)."""
+    from pyspark.sql.window import Window
+
+    from .functions.vectors import cosine_distance_col
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qcol = F.array(*[F.lit(float(x)) for x in _query_vec()])
+    dist = cosine_distance_col(F.col("embedding"), qcol)
+    w = Window.partitionBy("label").orderBy(F.col("dist").asc(), F.col("vec_id").asc())
+    return (
+        emb.withColumn("dist", dist)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("label", "vec_id", "rnk", F.round("dist", 6).alias("distance_r"))
+        .orderBy("label", "rnk")
+    )
+
+
+def _maxsim_oracle() -> str:
+    from .queries_reference import _QV_SQL
+
+    qv2 = "[" + ", ".join(f"{x!r}" for x in _qv2()) + "]::DOUBLE[]"
+    s1 = _cos_sim_sql("CAST(embedding AS DOUBLE[])", "q1")
+    s2 = _cos_sim_sql("CAST(embedding AS DOUBLE[])", "q2")
+    return f"""
+WITH q AS (SELECT {_QV_SQL} AS q1, {qv2} AS q2)
+SELECT label, round(max({s1}) + max({s2}), 6) AS maxsim_r
+FROM embeddings, q
+GROUP BY label
+ORDER BY max({s1}) + max({s2}) DESC, label ASC
+LIMIT 5
+"""
+
+
+@register(
+    "maxsim_topk",
+    survey_ref="extension: multi-vector late-interaction (maxsim) scoring",
+    tags=("vector",),
+    oracle=None,  # set below
+)
+def q_maxsim_topk(spark, sf_dir):
+    """ColBERT-style late interaction collapsed to its Spark shape:
+    score(group) = Σ over query vectors of max cosine inside the
+    group. Per-row sims are codegen folds in the scan stage; the
+    groupBy computes all per-query maxes in ONE map-side-combined
+    pass (state = one double per query vector per group — mergeable,
+    so 100 TB of chunk embeddings aggregate without materializing
+    groups). The two-term final sum has a fixed evaluation order, so
+    the float result is cross-engine exact."""
+    from .functions.vectors import cosine_similarity_col
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q1 = F.array(*[F.lit(float(x)) for x in _query_vec()])
+    q2 = F.array(*[F.lit(float(x)) for x in _qv2()])
+    s1 = cosine_similarity_col(F.col("embedding"), q1)
+    s2 = cosine_similarity_col(F.col("embedding"), q2)
+    score = F.max(F.col("s1")) + F.max(F.col("s2"))
+    return (
+        emb.select("label", s1.alias("s1"), s2.alias("s2"))
+        .groupBy("label")
+        .agg(score.alias("maxsim"))
+        .orderBy(F.col("maxsim").desc(), F.col("label").asc())
+        .limit(5)
+        .select("label", F.round("maxsim", 6).alias("maxsim_r"))
+    )
+
+
+from .registry import _REGISTRY as _REG  # noqa: E402
+
+_REG["vector_topk_per_label"].oracle = _per_label_oracle()
+_REG["maxsim_topk"].oracle = _maxsim_oracle()
