@@ -350,3 +350,33 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark):
         .groupBy("o_orderpriority").agg(F.count("*").alias("n")).collect()
     }
     assert rows == expect
+
+
+def test_per_label_topk_uses_window_group_limit(spark):
+    """Grouped top-k must plan WindowGroupLimit (per-partition rank
+    pruning BEFORE the sort) — the difference between shuffling k rows
+    per group and shuffling every row at 100 TB."""
+    from vector_search_service_spark.registry import all_queries
+
+    import re
+
+    df = all_queries()["vector_topk_per_label"].fn(spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert "WindowGroupLimit" in plan
+    # formatted plans list each node twice (tree + details): count nodes
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2  # group key + final order
+
+
+def test_maxsim_is_single_exchange_partial_agg(spark):
+    """Maxsim: per-query maxes partial-aggregate map-side (one
+    HashAggregate before and after ONE Exchange), final 5-row top-k —
+    never a per-group materialization."""
+    from vector_search_service_spark.registry import all_queries
+
+    import re
+
+    df = all_queries()["maxsim_topk"].fn(spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) == 2  # partial + final
+    assert has_top_k(df)
