@@ -38,14 +38,20 @@ def test_chunk_invariants(text, size, overlap):
 
     if chunks:
         # the last *emitted* chunk carries the flag unless (a) the
-        # 1000-window safety cap fired, or (b) only whitespace remained
-        # after it — that tail window strips to empty and is dropped
-        # (reference loop semantics; unreachable through ingest, where
-        # G1 preprocessing trims trailing whitespace before chunking)
+        # 1000-window safety cap fired, (b) only whitespace remained
+        # after it — that tail window strips to empty and is dropped —
+        # or (c) the no-advance guard fired: boundary snapping pulled
+        # ``end`` back to ``start + eff_overlap`` or less, so the next
+        # window could not move forward and the loop bails, dropping
+        # the tail (reference loop semantics, src/core/
+        # document_processor.py:118-121; unreachable through ingest,
+        # where G1 preprocessing normalizes the pathological inputs)
+        last = chunks[-1]
         assert (
-            chunks[-1]["is_last_chunk"]
+            last["is_last_chunk"]
             or len(chunks) == 1000
-            or text[chunks[-1]["end_char"]:].strip() == ""
+            or text[last["end_char"]:].strip() == ""
+            or last["end_char"] - eff_overlap <= last["start_char"]
         )
 
     # successive windows advance and overlap by exactly eff_overlap

@@ -88,7 +88,19 @@ def fit_quality_model(labeled: DataFrame):
         featuresCol="features", labelCol="label",
         maxIter=50, regParam=0.01, standardization=True,
     )
-    return asm, lr.fit(train)
+    model = lr.fit(train)
+    # Drop the training summary: it pins the live SparkSession inside
+    # the model, and serializing the model into transform() task
+    # closures then drags the session along — which FAILS outright
+    # once anything in the session has used df.observe (SparkSession.
+    # observationManager is not serializable). The summary is training
+    # diagnostics, not model state; inference never needs it.
+    try:
+        empty = train.sparkSession._jvm.scala.Option.empty()
+        model._java_obj.setSummary(empty)
+    except Exception:
+        pass  # private-API shape changed: keep the summary, accept the risk
+    return asm, model
 
 
 def score_quality(docs: DataFrame, asm, model, text_col: str = "text") -> DataFrame:

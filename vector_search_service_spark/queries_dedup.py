@@ -272,3 +272,86 @@ def q_dedup_components(spark, sf_dir):
         .agg(F.count("*").alias("n_docs"), F.max("node").alias("max_id"))
         .orderBy("comp_id")
     )
+
+
+from .operators.textquality import sql_quality_score_expr as _sqse  # noqa: E402
+
+_CANON_WORDS = "list_filter(regexp_split_to_array(lower(documents.text), '[^a-z0-9]+'), w -> w <> '')"
+_CANON_Q = _sqse("documents.text", _CANON_WORDS)
+
+
+@register(
+    "dedup_canonical_pick",
+    survey_ref="extension: canonical-document selection (keep-best per dup cluster)",
+    tags=("dedup", "textan"),
+    oracle=f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, list_distinct({sql_shingles_expr(_WORDS)}) AS sh
+  FROM documents WHERE doc_id < 500
+),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM d a, d b
+  WHERE a.doc_id < b.doc_id AND {sql_jaccard_expr('a.sh', 'b.sh')} >= 0.3
+),
+e AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
+n AS (SELECT DISTINCT u AS node FROM e),
+reach(node, m) AS (
+  SELECT node, node FROM n
+  UNION
+  SELECT r.node, e.v FROM reach r JOIN e ON e.u = r.m
+),
+comp AS (SELECT node, min(m) AS comp_id FROM reach GROUP BY node),
+scored AS (
+  SELECT c.comp_id, c.node AS doc_id,
+         {_CANON_Q} AS q,
+         row_number() OVER (
+           PARTITION BY c.comp_id
+           ORDER BY {_CANON_Q} DESC, c.node ASC
+         ) AS rnk
+  FROM comp c JOIN documents ON documents.doc_id = c.node
+)
+SELECT comp_id, CAST(doc_id AS BIGINT) AS canonical_doc,
+       CAST((SELECT count(*) FROM comp c2 WHERE c2.comp_id = scored.comp_id) AS BIGINT)
+         AS n_docs,
+       round(q, 6) AS kept_quality_r
+FROM scored WHERE rnk = 1
+ORDER BY comp_id
+""",
+)
+def q_dedup_canonical_pick(spark, sf_dir):
+    """The step after clustering: keep the BEST member of each dup
+    cluster (highest heuristic quality, doc_id tie-break) — what a
+    curation pipeline actually deletes by. Composition is all
+    shuffle-shaped on small data structures: pair generation and
+    min-label propagation move ids, the quality join touches only
+    clustered docs (broadcast of the cluster map), and the keep-pick
+    is a per-component window. Oracle = the independent recursive-CTE
+    closure + the same pick, end to end."""
+    from pyspark.sql.window import Window
+
+    from .operators.components import connected_components
+    from .operators.dedup import ngram_jaccard_pairs
+    from .operators.textquality import quality_score_col
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    pairs = ngram_jaccard_pairs(docs, threshold=0.3).select("id_a", "id_b")
+    cc = connected_components(pairs)  # (node, component)
+    sizes = cc.groupBy("component").agg(F.count("*").alias("n_docs"))
+    quality = docs.select(
+        "doc_id", quality_score_col(F.col("text"), words_col(F.col("text"))).alias("q")
+    )
+    w = Window.partitionBy("component").orderBy(F.col("q").desc(), F.col("node").asc())
+    return (
+        cc.join(F.broadcast(quality), cc.node == quality.doc_id)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .join(F.broadcast(sizes), "component")
+        .select(
+            F.col("component").alias("comp_id"),
+            F.col("node").alias("canonical_doc"),
+            "n_docs",
+            F.round("q", 6).alias("kept_quality_r"),
+        )
+        .orderBy("comp_id")
+    )
