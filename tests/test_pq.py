@@ -81,3 +81,27 @@ def test_adc_orders_near_neighbors_first(emb, pq):
     n = len(ranked)
     positions = [ranked.index(v) for v in exact]
     assert sum(p < n * 0.2 for p in positions) >= 6, positions
+
+
+# -- IVF-PQ composition -------------------------------------------------------
+
+
+def test_ivf_pq_recall_and_full_probe_exact(spark, emb):
+    from vector_search_service_spark.operators.pq import build_ivf_pq, ivf_pq_topk
+
+    idx, cb, coded = build_ivf_pq(emb, nlist=8, m=8, k=32, iters=6)
+    coded = coded.localCheckpoint()
+    exact = [r["vec_id"] for r in vector_search(emb, QUERY_VEC, limit=10).collect()]
+    # probing half the lists with a generous rerank: decent recall
+    got = [r["vec_id"] for r in
+           ivf_pq_topk(idx, cb, coded, QUERY_VEC, nprobe=4, k=10, rerank=100).collect()]
+    recall = len(set(exact) & set(got)) / 10
+    assert recall >= 0.5, f"recall@10 = {recall}"
+    # probing ALL lists and reranking everything must equal brute force
+    n = emb.count()
+    full = [r["vec_id"] for r in
+            ivf_pq_topk(idx, cb, coded, QUERY_VEC, nprobe=8, k=10, rerank=n).collect()]
+    assert full == exact
+    # the coded table preserves list assignment: probe scans a strict subset
+    probed = coded.filter(F.col("list_id").isin([0])).count()
+    assert 0 < probed < n

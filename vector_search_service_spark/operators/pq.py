@@ -204,3 +204,57 @@ def pq_topk(coded: DataFrame, codebook: PqCodebook, query: list[float], *,
         .limit(k)
         .drop("_approx", "codes")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse list pruning × code compression (the classic composition)
+# ---------------------------------------------------------------------------
+
+
+def build_ivf_pq(embeddings: DataFrame, *, nlist: int = 16, m: int = 8,
+                 k: int = 32, iters: int = 8,
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 seed: int = 7):
+    """IVF-PQ index: MLlib KMeans coarse quantizer assigns each vector
+    to one of ``nlist`` lists (the IVF tier — at scale the codes table
+    is written PARTITIONED by list_id, so a probe is partition-pruned
+    I/O); PQ codes compress what a probe then scans (the 32x tier).
+    Returns (ivf_index, pq_codebook, coded) where ``coded`` carries
+    (id, list_id, codes, vec).
+
+    Classic IVF-PQ trains PQ on RESIDUALS (vector − its centroid) for
+    tighter cells; on cosine/unit-sphere data plain PQ already
+    clusters well and keeping the codebook list-independent means ONE
+    broadcastable ADC table per query instead of nprobe of them —
+    the deliberate trade here (documented divergence from the
+    Faiss-style residual formulation)."""
+    from .ann_ivf import build_ivf_index
+
+    idx = build_ivf_index(embeddings, nlist=nlist, vec_col=vec_col,
+                          id_col=id_col, seed=seed)
+    cb = train_pq(embeddings, m=m, k=k, iters=iters,
+                  vec_col=vec_col, id_col=id_col, seed=seed)
+    coded = encode_pq(idx.assigned, cb, vec_col=vec_col, id_col=id_col)
+    return idx, cb, coded
+
+
+def ivf_pq_topk(idx, cb: PqCodebook, coded: DataFrame, query: list[float], *,
+                nprobe: int = 4, k: int = 10, rerank: int = 50,
+                vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Probe the ``nprobe`` nearest lists, ADC-scan only their codes,
+    exact-rerank the union's top-``rerank``. Scan cost vs brute force:
+    (nprobe/nlist) x (m bytes / 4d bytes) — two multiplicative
+    reductions before any exact math."""
+    import math as _math
+
+    q = [float(x) for x in query]
+
+    def dist(c: list[float]) -> float:
+        return _math.sqrt(sum((a - b) ** 2 for a, b in zip(c, q)))
+
+    order = sorted(range(len(idx.centroids)), key=lambda i: dist(idx.centroids[i]))
+    lists = order[:nprobe]
+    return pq_topk(
+        coded.filter(F.col("list_id").isin(lists)), cb, query,
+        k=k, rerank=rerank, vec_col=vec_col, id_col=id_col,
+    ).drop("list_id")

@@ -99,3 +99,25 @@ def q_quality_model_scores(spark, sf_dir):
         .orderBy(F.col("quality_prob_r").desc(), F.col("doc_id").asc())
         .limit(100)
     )
+
+
+@register(
+    "ivf_pq_topk",
+    survey_ref="extension: IVF-PQ composition (list pruning x 32x code compression)",
+    tags=("vector", "ann", "mllib"),
+    oracle=None,  # KMeans + Lloyd codebooks are not SQL-expressible
+)
+def q_ivf_pq_topk(spark, sf_dir):
+    """IVF-PQ probe: nprobe=4 of 16 KMeans lists, ADC scan over the
+    probed lists' 8-byte codes only, exact cosine rerank of the top
+    100. Scan cost vs brute force = (nprobe/nlist) x (m/4d) — two
+    multiplicative reductions before exact math. Recall and
+    full-probe+full-rerank == exact pinned in tests/test_pq.py."""
+    from .operators.pq import build_ivf_pq, ivf_pq_topk
+    from .queries_reference import QUERY_VEC
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx, cb, coded = build_ivf_pq(emb, nlist=16, m=8, k=32, iters=6)
+    return ivf_pq_topk(idx, cb, coded, QUERY_VEC, nprobe=4, k=10, rerank=100).select(
+        "vec_id", "label", F.round("distance", 6).alias("distance_r")
+    )
