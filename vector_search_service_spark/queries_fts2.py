@@ -162,3 +162,201 @@ def q_fts_multiquery_topk(spark, sf_dir):
         .select("query_id", "doc_id", F.round(rank, 6).alias("rank_r"))
         .orderBy("query_id", F.desc("rank_r"), "doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# hybrid search: reciprocal-rank fusion of FTS and vector rankings
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_DEPTH = 100  # per-modality candidate depth
+
+
+def _hybrid_oracle() -> str:
+    from .functions.analysis import analyze_terms, sql_match_expr, sql_raw_tokens_expr, sql_tf_rank_expr
+    from .queries_reference import _QV_SQL
+
+    terms = analyze_terms("hash join merge")
+    toks = sql_raw_tokens_expr("text")
+    cos_dist = (
+        "(1.0 - (list_inner_product(CAST(embedding AS DOUBLE[]), qv)"
+        " / (sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))"
+        " * sqrt(list_inner_product(qv, qv)))))"
+    )
+    return f"""
+WITH q AS (SELECT {_QV_SQL} AS qv),
+f AS (
+  SELECT doc_id, row_number() OVER (ORDER BY rank DESC, doc_id ASC) AS r_fts
+  FROM (
+    SELECT doc_id, {sql_tf_rank_expr('toks', terms)} AS rank
+    FROM (SELECT doc_id, {toks} AS toks FROM documents)
+    WHERE {sql_match_expr('toks', terms)}
+    ORDER BY rank DESC, doc_id ASC LIMIT {_RRF_DEPTH}
+  )
+),
+v AS (
+  SELECT vec_id AS doc_id,
+         row_number() OVER (ORDER BY dist ASC, doc_id ASC) AS r_vec
+  FROM (
+    SELECT vec_id, vec_id AS doc_id, {cos_dist} AS dist
+    FROM embeddings, q
+    ORDER BY dist ASC, vec_id ASC LIMIT {_RRF_DEPTH}
+  )
+)
+SELECT COALESCE(f.doc_id, v.doc_id) AS doc_id,
+       round(COALESCE(1.0 / ({_RRF_K} + r_fts), 0.0)
+             + COALESCE(1.0 / ({_RRF_K} + r_vec), 0.0), 6) AS rrf_r
+FROM f FULL OUTER JOIN v ON f.doc_id = v.doc_id
+ORDER BY (COALESCE(1.0 / ({_RRF_K} + r_fts), 0.0)
+          + COALESCE(1.0 / ({_RRF_K} + r_vec), 0.0)) DESC,
+         COALESCE(f.doc_id, v.doc_id) ASC
+LIMIT 10
+"""
+
+
+@register(
+    "hybrid_rrf_topk",
+    survey_ref="extension: hybrid FTS+vector search (reciprocal-rank fusion)",
+    tags=("fts", "vector"),
+    oracle=None,  # set below (query-vector literal)
+)
+def q_hybrid_rrf_topk(spark, sf_dir):
+    """Hybrid retrieval the way search services actually ship it:
+    lexical and vector rankings fused by RRF (score = Σ 1/(60+rank)),
+    which needs no score calibration between modalities. Each side is
+    its own TakeOrdered top-100 (no global sort; the depth bounds the
+    single-partition ranking window to 100 rows — constant, corpus-
+    size-independent), fused by a full outer join on the id.
+    Deterministic ranks ⇒ exact doubles ⇒ full value oracle."""
+    from pyspark.sql.window import Window
+
+    from .operators.search import fts_search, vector_search
+    from .queries_reference import QUERY_VEC
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    f = (
+        fts_search(docs, "hash join merge", limit=_RRF_DEPTH)
+        .select("doc_id", "rank")
+        .withColumn("r_fts", F.row_number().over(
+            Window.orderBy(F.col("rank").desc(), F.col("doc_id").asc())))
+        .select("doc_id", "r_fts")
+    )
+    v = (
+        vector_search(emb, QUERY_VEC, limit=_RRF_DEPTH)
+        .select(F.col("vec_id").alias("doc_id"), "distance")
+        .withColumn("r_vec", F.row_number().over(
+            Window.orderBy(F.col("distance").asc(), F.col("doc_id").asc())))
+        .select("doc_id", "r_vec")
+    )
+    rrf = (
+        F.coalesce(1.0 / (_RRF_K + F.col("r_fts")), F.lit(0.0))
+        + F.coalesce(1.0 / (_RRF_K + F.col("r_vec")), F.lit(0.0))
+    )
+    return (
+        f.join(v, "doc_id", "full_outer")
+        .withColumn("_rrf", rrf)
+        .orderBy(F.col("_rrf").desc(), F.col("doc_id").asc())
+        .limit(10)
+        .select("doc_id", F.round("_rrf", 6).alias("rrf_r"))
+    )
+
+
+from .registry import _REGISTRY as _R2  # noqa: E402
+
+_R2["hybrid_rrf_topk"].oracle = _hybrid_oracle()
+
+
+# ---------------------------------------------------------------------------
+# ts_headline analogue: deterministic snippet with term highlighting
+# ---------------------------------------------------------------------------
+
+_SNIP_W = 5  # words of context each side of the first hit
+
+
+def _snippet_oracle() -> str:
+    from .functions.analysis import analyze_terms, sql_match_expr, sql_raw_tokens_expr
+
+    terms = analyze_terms("hash join merge")
+    toks = sql_raw_tokens_expr("text")
+    tlist = "[" + ", ".join(f"'{t}'" for t in terms) + "]"
+    pos = "least(" + ", ".join(
+        f"CASE WHEN list_position(toks, '{t}') IS NULL THEN 1000000"
+        f" ELSE list_position(toks, '{t}') END" for t in terms
+    ) + ")"
+    return f"""
+WITH d AS (SELECT doc_id, {toks} AS toks FROM documents),
+m AS (
+  SELECT doc_id, toks, {pos} AS p
+  FROM d WHERE {sql_match_expr('toks', analyze_terms("hash join merge"))}
+),
+s AS (
+  SELECT doc_id,
+         list_slice(toks, greatest(1, p - {_SNIP_W}), least(len(toks), p + {_SNIP_W}))
+           AS win
+  FROM m
+)
+SELECT doc_id,
+       array_to_string(
+         list_transform(win, t -> CASE WHEN list_contains({tlist}, t)
+                                       THEN '<b>' || t || '</b>' ELSE t END),
+         ' ') AS snippet
+FROM s
+ORDER BY doc_id
+LIMIT 50
+"""
+
+
+@register(
+    "fts_snippet",
+    survey_ref="extension: ts_headline analogue (snippet + term highlighting)",
+    tags=("fts",),
+    oracle=None,  # set below
+)
+def q_fts_snippet(spark, sf_dir):
+    """Search-result snippets: the ±5-token window around the FIRST
+    query-term hit, matched terms wrapped in <b></b> — PostgreSQL
+    ``ts_headline``'s core behavior made deterministic (token-window
+    semantics, fixed tie-breaks) so it carries a full value oracle.
+    All array expressions in the scan stage; no shuffle before the
+    final order/limit."""
+    from .functions.analysis import analyze_terms, match_all_terms, raw_tokens_col
+
+    terms = analyze_terms("hash join merge")
+    docs = load_table(spark, sf_dir, "documents")
+    toks = raw_tokens_col(F.col("text"))
+    pos = F.least(*[
+        F.when(F.array_position(F.col("toks"), t) == 0, F.lit(1000000))
+         .otherwise(F.array_position(F.col("toks"), t))
+        for t in terms
+    ])
+    terms_arr = F.array(*[F.lit(t) for t in terms])
+    win = F.slice(
+        F.col("toks"),
+        F.greatest(F.lit(1), F.col("p") - _SNIP_W),
+        F.least(F.size("toks"), F.col("p") + _SNIP_W)
+        - F.greatest(F.lit(1), F.col("p") - _SNIP_W) + 1,
+    )
+    return (
+        docs.select("doc_id", toks.alias("toks"))
+        .filter(match_all_terms(F.col("toks"), terms))
+        .withColumn("p", pos.cast("int"))
+        .withColumn("win", win)
+        .select(
+            "doc_id",
+            F.array_join(
+                F.transform(
+                    "win",
+                    lambda t: F.when(F.array_contains(terms_arr, t),
+                                     F.concat(F.lit("<b>"), t, F.lit("</b>")))
+                              .otherwise(t),
+                ),
+                " ",
+            ).alias("snippet"),
+        )
+        .orderBy("doc_id")
+        .limit(50)
+    )
+
+
+_R2["fts_snippet"].oracle = _snippet_oracle()
