@@ -1,0 +1,193 @@
+"""Registry entries — event-analytics pack (r2): the materialized
+hourly rollup's batch shape, range-frame rolling aggregates, exact
+z-score outliers, and funnel conversion. All oracle-checked; every
+float that crosses rows is an integer-micro sum first (engine
+``stddev``/``avg`` builtins use different accumulation algorithms —
+Welford vs naive — so the moments are derived EXPLICITLY from exact
+integer sums on both sides).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .registry import register
+from .sources.tables import load_table
+
+_MICROS_SQL = "CAST(round(value * 1000000) AS BIGINT)"
+
+
+@register(
+    "hourly_rollup_finalized",
+    survey_ref="extension: materialized-rollup read view (streaming/rollup.py batch shape)",
+    tags=("events", "rollup"),
+    oracle=f"""
+SELECT CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT) AS window_start_ms,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       sum({_MICROS_SQL}) / 1000000.0 AS sum_value,
+       (CAST(sum({_MICROS_SQL}) AS DOUBLE) / count(*)) / 1000000.0 AS avg_value
+FROM events GROUP BY window_start_ms, event_type
+ORDER BY window_start_ms, event_type
+""",
+)
+def q_hourly_rollup_finalized(spark, sf_dir):
+    """The exact read view the incrementally-maintained rollup store
+    serves (`streaming/rollup.py`): batch == maintained is proven in
+    tests/test_rollup.py; THIS entry pins the batch shape's values to
+    the oracle, closing the loop (driver hash-checks the view, pytest
+    proves maintenance preserves it)."""
+    from .streaming.rollup import finalize, rollup_of
+
+    ev = load_table(spark, sf_dir, "events")
+    return finalize(rollup_of(ev)).orderBy("window_start_ms", "event_type")
+
+
+@register(
+    "rolling_avg_range_window",
+    survey_ref="extension: time-range window frame (RANGE BETWEEN INTERVAL)",
+    tags=("events", "window"),
+    oracle=f"""
+SELECT event_id,
+       round(CAST(sum({_MICROS_SQL}) OVER w AS DOUBLE)
+             / (count(*) OVER w) / 1000000.0, 6) AS rolling_avg_1h
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY epoch(ts)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+LIMIT 200
+""",
+)
+def q_rolling_avg_range_window(spark, sf_dir):
+    """Trailing-hour average per event type: a RANGE frame over event
+    time (peers included by timestamp value, not row position — the
+    frame a time-series rolling metric actually means). The framed
+    aggregate is an exact integer-micro sum divided once, so the
+    result is identical under any intra-frame accumulation order.
+    One shuffle (partition key), per-partition ordered scan."""
+    ev = load_table(spark, sf_dir, "events")
+    micros = F.round(F.col("value") * 1_000_000).cast("long")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return (
+        ev.select(
+            "event_id",
+            F.round((F.sum(micros).over(w).cast("double") / F.count("*").over(w))
+                    / 1_000_000.0, 6).alias("rolling_avg_1h"),
+        )
+        .orderBy("event_id")
+        .limit(200)
+    )
+
+
+@register(
+    "value_outliers_zscore",
+    survey_ref="extension: exact-moment outlier detection (z-score per group)",
+    tags=("events",),
+    oracle=f"""
+WITH stats AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum({_MICROS_SQL}) AS BIGINT) AS s1,
+         sum({_MICROS_SQL} * {_MICROS_SQL}) AS s2
+  FROM events GROUP BY event_type
+)
+SELECT event_id, events.event_type, round(value, 6) AS value_r,
+       round((({_MICROS_SQL} - CAST(s1 AS DOUBLE) / n)
+              / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1))), 6)
+         AS zscore_r
+FROM events JOIN stats ON events.event_type = stats.event_type
+ORDER BY abs(({_MICROS_SQL} - CAST(s1 AS DOUBLE) / n)
+             / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1))) DESC,
+         event_id ASC
+LIMIT 20
+""",
+)
+def q_value_outliers_zscore(spark, sf_dir):
+    """Top-20 most anomalous values per the group z-score. Moments
+    come from exact integer sums — sum as BIGINT; sum-of-squares
+    exceeds int64 (micros² ≈ 2.4e17 × 60k rows), so it accumulates in
+    DECIMAL(38,0) on the Spark side and int128 (hugeint) in DuckDB:
+    both exact, both order-independent, converted to DOUBLE once,
+    identically, before the subtraction. Never the engines' own
+    stddev (different accumulation algorithms → different ulps).
+    Group stats broadcast back into the scan; top-k is TakeOrdered."""
+    ev = load_table(spark, sf_dir, "events")
+    micros = F.round(F.col("value") * 1_000_000).cast("long")
+    md = micros.cast("decimal(20,0)")
+    stats = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(micros).alias("s1"),
+        F.sum(md * md).alias("s2"),
+    )
+    z = (
+        (micros - F.col("s1").cast("double") / F.col("n"))
+        / F.sqrt((F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1") / F.col("n"))
+                 / (F.col("n") - 1))
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .select("event_id", "event_type", F.round("value", 6).alias("value_r"),
+                F.round(z, 6).alias("zscore_r"), F.abs(z).alias("_az"))
+        .orderBy(F.col("_az").desc(), F.col("event_id").asc())
+        .limit(20)
+        .drop("_az")
+    )
+
+
+@register(
+    "funnel_conversion",
+    survey_ref="extension: ordered funnel (view -> click -> purchase)",
+    tags=("events",),
+    oracle="""
+WITH v AS (
+  SELECT user_id, min(ts) AS tv FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS tc
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.tv
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS tp
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.tc
+  GROUP BY e.user_id
+)
+SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+       CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click_after_view,
+       CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase_after_click
+""",
+)
+def q_funnel_conversion(spark, sf_dir):
+    """Strictly-ordered funnel: users who viewed, then clicked AFTER
+    their first view, then purchased AFTER that first qualifying
+    click. Each stage is a groupBy-min joined into the next stage's
+    filtered scan — all three shuffles share the user_id key family
+    (AQE reuses the partitioning), and stage outputs only shrink.
+    The driver-facing row is the three funnel counts."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (ev.filter(F.col("event_type") == "view")
+           .groupBy("user_id").agg(F.min("ts").alias("tv")))
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("tv"))
+        .groupBy("user_id").agg(F.min("ts").alias("tc"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("tc"))
+        .groupBy("user_id").agg(F.min("ts").alias("tp"))
+    )
+    return (
+        v.agg(F.count("*").alias("n_view"))
+        .crossJoin(c.agg(F.count("*").alias("n_click_after_view")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchase_after_click")))
+    )

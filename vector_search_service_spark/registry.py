@@ -52,6 +52,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from . import queries_curate2  # noqa: F401
     from . import queries_dedup  # noqa: F401
     from . import queries_embed  # noqa: F401
+    from . import queries_events  # noqa: F401
     from . import queries_fts2  # noqa: F401
     from . import queries_ingest  # noqa: F401
     from . import queries_mllib  # noqa: F401
