@@ -380,3 +380,17 @@ def test_maxsim_is_single_exchange_partial_agg(spark):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
     assert len(re.findall(r"\(\d+\) HashAggregate", plan)) == 2  # partial + final
     assert has_top_k(df)
+
+
+def test_rolling_range_window_frame(spark):
+    """The trailing-hour rolling average must plan a RANGE frame over
+    the event-time ordering (value-based peers) — not a ROWS frame —
+    with one Exchange on the partition key."""
+    import re
+
+    from vector_search_service_spark.registry import all_queries
+
+    df = all_queries()["rolling_avg_range_window"].fn(spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert "specifiedwindowframe(RangeFrame" in plan, "RANGE frame expected"
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2  # partition key + final order

@@ -355,3 +355,51 @@ def q_dedup_canonical_pick(spark, sf_dir):
         )
         .orderBy("comp_id")
     )
+
+
+@register(
+    "fuzzy_blocked_pairs",
+    survey_ref="extension: entity-resolution blocking + edit-distance verify",
+    tags=("dedup",),
+    oracle="""
+WITH b AS (
+  SELECT doc_id,
+         list_extract(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                  w -> w <> ''), 1) AS blk,
+         substring(text, 1, 40) AS pref
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+       CAST(levenshtein(a.pref, b2.pref) AS INT) AS edit_dist
+FROM b a JOIN b b2 ON a.blk = b2.blk AND a.doc_id < b2.doc_id
+WHERE levenshtein(a.pref, b2.pref) <= 10
+ORDER BY id_a, id_b
+LIMIT 100
+""",
+)
+def q_fuzzy_blocked_pairs(spark, sf_dir):
+    """Fuzzy matching the entity-resolution way: BLOCK first (equal
+    first token — the cheap key that makes candidate generation an
+    equi-join, never an all-pairs cross product), then verify the
+    survivors with real edit distance on a bounded prefix. The
+    levenshtein verify is O(40²) per CANDIDATE, and candidates are
+    quadratic only within a block — cap degenerate blocks exactly like
+    the LSH hot-bucket cap when the blocking key skews (same failure
+    mode, same fix)."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.select(
+        "doc_id",
+        F.element_at(words_col(F.col("text")), 1).alias("blk"),
+        F.substring("text", 1, 40).alias("pref"),
+    )
+    a = b.select(F.col("doc_id").alias("id_a"), F.col("blk"), F.col("pref").alias("pa"))
+    c = b.select(F.col("doc_id").alias("id_b"), F.col("blk"), F.col("pref").alias("pb"))
+    return (
+        a.join(c, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("edit_dist", F.levenshtein("pa", "pb"))
+        .filter(F.col("edit_dist") <= 10)
+        .select("id_a", "id_b", F.col("edit_dist").cast("int").alias("edit_dist"))
+        .orderBy("id_a", "id_b")
+        .limit(100)
+    )
