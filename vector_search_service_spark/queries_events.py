@@ -47,7 +47,7 @@ def q_hourly_rollup_finalized(spark, sf_dir):
 @register(
     "rolling_avg_range_window",
     survey_ref="extension: time-range window frame (RANGE BETWEEN INTERVAL)",
-    tags=("events", "window"),
+    tags=("events", "window", "headline"),
     oracle=f"""
 SELECT event_id,
        round(CAST(sum({_MICROS_SQL}) OVER w AS DOUBLE)
@@ -87,7 +87,7 @@ def q_rolling_avg_range_window(spark, sf_dir):
 @register(
     "value_outliers_zscore",
     survey_ref="extension: exact-moment outlier detection (z-score per group)",
-    tags=("events",),
+    tags=("events", "headline"),
     oracle=f"""
 WITH stats AS (
   SELECT event_type,
@@ -142,7 +142,7 @@ def q_value_outliers_zscore(spark, sf_dir):
 @register(
     "funnel_conversion",
     survey_ref="extension: ordered funnel (view -> click -> purchase)",
-    tags=("events",),
+    tags=("events", "headline"),
     oracle="""
 WITH v AS (
   SELECT user_id, min(ts) AS tv FROM events WHERE event_type = 'view' GROUP BY user_id

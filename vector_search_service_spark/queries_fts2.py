@@ -217,7 +217,7 @@ LIMIT 10
 @register(
     "hybrid_rrf_topk",
     survey_ref="extension: hybrid FTS+vector search (reciprocal-rank fusion)",
-    tags=("fts", "vector"),
+    tags=("fts", "vector", "headline"),
     oracle=None,  # set below (query-vector literal)
 )
 def q_hybrid_rrf_topk(spark, sf_dir):
@@ -310,7 +310,7 @@ LIMIT 50
 @register(
     "fts_snippet",
     survey_ref="extension: ts_headline analogue (snippet + term highlighting)",
-    tags=("fts",),
+    tags=("fts", "headline"),
     oracle=None,  # set below
 )
 def q_fts_snippet(spark, sf_dir):

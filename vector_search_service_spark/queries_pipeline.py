@@ -424,7 +424,7 @@ def q_json_props_stats(spark, sf_dir):
 @register(
     "variant_props_stats",
     survey_ref="G8 (extension: VARIANT semi-structured tier, Spark 4)",
-    tags=("relational", "json"),
+    tags=("relational", "json", "headline"),
     oracle="""
 SELECT event_type,
        CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
