@@ -53,8 +53,8 @@ SELECT event_id,
        round(CAST(sum({_MICROS_SQL}) OVER w AS DOUBLE)
              / (count(*) OVER w) / 1000000.0, 6) AS rolling_avg_1h
 FROM events
-WINDOW w AS (PARTITION BY event_type ORDER BY epoch(ts)
-             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
 ORDER BY event_id
 LIMIT 200
 """,
@@ -64,14 +64,17 @@ def q_rolling_avg_range_window(spark, sf_dir):
     time (peers included by timestamp value, not row position — the
     frame a time-series rolling metric actually means). The framed
     aggregate is an exact integer-micro sum divided once, so the
-    result is identical under any intra-frame accumulation order.
+    result is identical under any intra-frame accumulation order; the
+    frame itself orders by integer MICROSECONDS (truncating to whole
+    seconds silently moves sub-second edge rows across the frame
+    boundary — caught by the sf0.1 oracle).
     One shuffle (partition key), per-partition ordered scan."""
     ev = load_table(spark, sf_dir, "events")
     micros = F.round(F.col("value") * 1_000_000).cast("long")
     w = (
         Window.partitionBy("event_type")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-3600, 0)
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3600 * 1_000_000, 0)
     )
     return (
         ev.select(
