@@ -110,3 +110,95 @@ def q_value_histogram(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "embedding_dim_stats",
+    survey_ref="extension: per-dimension embedding profile (drift monitoring)",
+    tags=("vector", "profile"),
+    oracle="""
+WITH dims AS (SELECT unnest(generate_series(1, 64)) AS ord),
+x AS (
+  SELECT CAST(ord - 1 AS INT) AS dim,
+         list_extract(CAST(embedding AS DOUBLE[]), ord) AS v
+  FROM embeddings, dims
+)
+SELECT dim,
+       CAST(sum(CAST(round(v * 1000000) AS BIGINT)) AS BIGINT) AS sum_micros,
+       round(min(v), 6) AS min_r, round(max(v), 6) AS max_r
+FROM x GROUP BY dim ORDER BY dim
+""",
+)
+def q_embedding_dim_stats(spark, sf_dir):
+    """Per-dimension statistics over the whole embedding column — the
+    standing drift monitor an embedding pipeline runs after every
+    model change (a dimension whose range collapses or mean shifts
+    signals a bad re-embed). posexplode streams (dim, value) pairs
+    into a 64-group aggregate: map-side combined, state = one row per
+    dimension, and the mean's numerator is an exact integer-micro sum
+    so the result is partitioning-independent."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(F.posexplode(F.col("embedding").cast("array<double>"))
+                   .alias("dim", "v"))
+        .groupBy("dim")
+        .agg(
+            F.sum(F.round(F.col("v") * 1_000_000).cast("long")).alias("sum_micros"),
+            F.round(F.min("v"), 6).alias("min_r"),
+            F.round(F.max("v"), 6).alias("max_r"),
+        )
+        .orderBy("dim")
+    )
+
+
+@register(
+    "exact_correlation",
+    survey_ref="extension: Pearson correlation from exact integer moments",
+    tags=("relational", "profile"),
+    oracle="""
+WITH m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sx,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sy,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)
+                  * CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sxy,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)
+                  * CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sxx,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * CAST(round(l_extendedprice * 100) AS BIGINT)) AS syy
+  FROM lineitem
+)
+SELECT round(
+  (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+  / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+     * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)),
+  6) AS corr_qty_price
+FROM m
+""",
+)
+def q_exact_correlation(spark, sf_dir):
+    """Pearson r between quantity and price, derived from exact
+    integer co-moments (Σxy fits BIGINT; Σy² needs DECIMAL/int128)
+    rather than the engines' ``corr`` builtins — Welford-style vs
+    textbook accumulation differ in ulps AND in reduction order, so
+    the builtin is not bit-reproducible across engines or even across
+    partitionings. One map-side-combined aggregate; a single final
+    expression does all the float math in a fixed order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.round(F.col("l_quantity")).cast("long")
+    y = F.round(F.col("l_extendedprice") * 100).cast("long")
+    yd = y.cast("decimal(20,0)")
+    m = li.agg(
+        F.count("*").alias("n"), F.sum(x).alias("sx"), F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"), F.sum(x * x).alias("sxx"),
+        F.sum(yd * yd).alias("syy"),
+    )
+    n, sx, sy = F.col("n").cast("double"), F.col("sx").cast("double"), F.col("sy").cast("double")
+    return m.select(
+        F.round(
+            (n * F.col("sxy") - sx * F.col("sy"))
+            / (F.sqrt(n * F.col("sxx") - sx * F.col("sx"))
+               * F.sqrt(n * F.col("syy").cast("double") - sy * F.col("sy"))),
+            6,
+        ).alias("corr_qty_price")
+    )
