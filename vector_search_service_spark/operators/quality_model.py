@@ -69,6 +69,15 @@ def weak_labels(feat: DataFrame, *, low_q: float = 0.3, high_q: float = 0.7) -> 
     """Label the confident extremes of the heuristic score; the middle
     band is left unlabeled (scored at inference, never trained on)."""
     lo, hi = feat.approxQuantile("heuristic_score", [low_q, high_q], 0.001)
+    if not lo < hi:
+        # collapsed quantiles (skewed/constant score distribution)
+        # would label every row at the shared value 0.0 — a
+        # single-class training set that makes LogisticRegression.fit
+        # fail or return a constant model
+        raise ValueError(
+            f"heuristic_score quantiles collapsed (q{low_q}=q{high_q}={lo}); "
+            "widen the quantile band or fix the score distribution"
+        )
     return feat.withColumn(
         "label",
         F.when(F.col("heuristic_score") <= lo, F.lit(0.0))

@@ -29,6 +29,7 @@ aggregation of the full table.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -116,6 +117,16 @@ class RollupStore:
         with open(tmp, "w") as f:
             f.write(f"{version}\n{batch_id}")
         os.replace(tmp, self._pointer())  # atomic flip
+        # prune superseded versions, keeping current + previous (an
+        # in-flight reader that resolved the pointer just before the
+        # flip still completes) — a long-running maintenance stream
+        # would otherwise grow one full parquet copy per micro-batch
+        keep = {version} | ({cur[0]} if cur is not None else set())
+        for entry in os.listdir(self.root):
+            full = os.path.join(self.root, entry)
+            if (entry not in keep and os.path.isdir(full)
+                    and entry.startswith("v") and entry[1:].isdigit()):
+                shutil.rmtree(full, ignore_errors=True)
 
 
 def start_rollup_maintenance(spark: SparkSession, events_stream: DataFrame,
