@@ -1,0 +1,93 @@
+"""Stateful CEP funnel operator (streaming/cep.py): the
+applyInPandasWithState incremental match must equal the batch
+recompute, under out-of-order file delivery, and must match the
+registry's SQL-oracled per-user funnel definition."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from vector_search_service_spark.sources.tables import load_table
+from vector_search_service_spark.streaming.cep import (
+    batch_funnel_user_times,
+    streaming_funnel_matches,
+)
+
+
+def _events(spark):
+    return load_table(spark, SF_SMOKE, "events").select(
+        "user_id", "ts", "event_type"
+    )
+
+
+def _canon(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_stream_matches_equal_batch_recompute(spark, tmp_path):
+    """Events replayed as 4 unordered micro-batches + a far-future
+    flush sentinel; the emitted matches must equal the batch funnel
+    over the real events — the watermark-ordered-fold correctness
+    proof."""
+    ev = _events(spark)
+    src = tmp_path / "stream_src"
+    # repartition scatters event-times across files: each micro-batch
+    # is genuinely out of event-time order
+    ev.repartition(4).write.parquet(str(src))
+
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    # watermark delay far beyond the corpus span: nothing is late
+    # while the real files play; the sentinel then jumps the watermark
+    # past every real event so all pending buffers fold and emit
+    delay_days = 3650
+    sentinel_ts = max_ts + datetime.timedelta(days=2 * delay_days)
+    spark.createDataFrame(
+        [(int(-1), sentinel_ts, "view")], "user_id long, ts timestamp, event_type string"
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    matches = streaming_funnel_matches(stream, watermark=f"{delay_days} days")
+    q = (
+        matches.writeStream.format("memory")
+        .queryName("cep_funnel")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = spark.table("cep_funnel").filter(F.col("user_id") >= 0)
+    want = batch_funnel_user_times(ev)
+    assert _canon(got) == _canon(want)
+    assert got.count() > 0  # the corpus actually contains funnels
+
+
+def test_batch_funnel_user_times_agrees_with_registry_counts(spark):
+    """The per-user parity oracle must be consistent with the
+    registry's oracled funnel_conversion aggregate: |completed users|
+    == n_purchase_after_click."""
+    from vector_search_service_spark.registry import all_queries
+
+    ev = _events(spark)
+    n_complete = batch_funnel_user_times(ev).count()
+    row = all_queries()["funnel_conversion"].fn(spark, SF_SMOKE).first()
+    assert n_complete == row["n_purchase_after_click"]
+
+
+def test_one_match_per_user_and_ordering_invariants(spark, tmp_path):
+    """Structural contract: at most one emitted row per user, and
+    t1 < t2 < t3 on every row."""
+    ev = _events(spark)
+    out = batch_funnel_user_times(ev)
+    assert out.groupBy("user_id").count().filter(F.col("count") > 1).count() == 0
+    bad = out.filter(
+        ~((F.col("t1_ms") < F.col("t2_ms")) & (F.col("t2_ms") < F.col("t3_ms")))
+    ).count()
+    assert bad == 0

@@ -194,12 +194,19 @@ def create_app(service):
     def list_documents(collection_name):
         limit = bounded(request.args.get("limit", 100), 1, 1000, "limit")
         offset = bounded(request.args.get("offset", 0), 0, 10**9, "offset")
+        after = request.args.get("after")  # cursor → keyset (scale path)
         try:
-            return jsonify(service.list_documents(
-                collection_name, limit=limit, offset=offset,
-            ))
+            page = service.list_documents(
+                collection_name, limit=limit, offset=offset, after=after,
+            )
         except ValueError as e:
             return err(404, str(e))
+        return jsonify({
+            "documents": page,
+            # cursor for the next page: clients that thread it through
+            # get keyset pagination instead of deep OFFSET
+            "next_cursor": page[-1]["id"] if len(page) == limit else None,
+        })
 
     @app.delete("/api/v1/collections/<collection_name>/documents")
     def delete_documents(collection_name):

@@ -329,3 +329,113 @@ def q_mixture_interleave(spark, sf_dir):
         )
         .orderBy("pos", "source", "doc_id").limit(1000)
     )
+
+
+# ---------------------------------------------------------------------------
+# Importance-ratio data selection (DSIR-style, Xie et al. 2023)
+# ---------------------------------------------------------------------------
+
+_IR_BUCKETS = 4096
+_IR_TARGET = "src1"  # the target domain the raw corpus is reweighted toward
+_IR_TOPK = 50
+
+
+@register(
+    "importance_ratio_topk",
+    survey_ref="LLM-pipeline: DSIR-style importance-ratio data selection",
+    tags=("pipeline", "corpus"),
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, source, {_WORDS_SQL} AS words FROM documents
+), pos AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(unnest(words)), 1, 8))::UBIGINT % {_IR_BUCKETS} AS b
+  FROM w
+), counts AS (
+  SELECT b,
+         CAST(sum(CASE WHEN source = '{_IR_TARGET}' THEN 1 ELSE 0 END) AS BIGINT) AS t_cnt,
+         CAST(sum(CASE WHEN source <> '{_IR_TARGET}' THEN 1 ELSE 0 END) AS BIGINT) AS s_cnt
+  FROM pos GROUP BY b
+), tot AS (
+  SELECT CAST(sum(t_cnt) AS BIGINT) AS t_tot, CAST(sum(s_cnt) AS BIGINT) AS s_tot
+  FROM counts
+), scored AS (
+  SELECT b,
+         CAST(round((ln(CAST(t_cnt + 1 AS DOUBLE)) - ln(CAST(t_tot + {_IR_BUCKETS} AS DOUBLE))
+                     - ln(CAST(s_cnt + 1 AS DOUBLE)) + ln(CAST(s_tot + {_IR_BUCKETS} AS DOUBLE)))
+                    * 1000000) AS BIGINT) AS micro
+  FROM counts, tot
+)
+SELECT doc_id, source,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(micro) AS BIGINT) AS lr_micro,
+       round(CAST(sum(micro) AS DOUBLE) / (count(*) * 1000000.0), 6) AS lr_per_token_r
+FROM pos JOIN scored USING (b)
+WHERE source <> '{_IR_TARGET}'
+GROUP BY doc_id, source
+ORDER BY lr_micro DESC, doc_id ASC LIMIT {_IR_TOPK}
+""",
+)
+def q_importance_ratio_topk(spark, sf_dir):
+    """Data selection for a target domain by hashed-unigram importance
+    ratio (the DSIR recipe): score every raw document by
+    Σ_tokens [ln p_target(bucket) − ln p_raw(bucket)] with add-one
+    smoothing over a FIXED 4096-bucket feature space, keep the top-K.
+    (DSIR samples with Gumbel noise; deterministic top-K here so the
+    selection is oracle-checkable — the score is the contract.)
+
+    Exactness discipline (same as ``unigram_logprob``): the log-ratio
+    is computed once per *bucket* and quantized to integer micro-nats
+    there; per-document aggregation sums integers, and the ranking key
+    is the integer sum — order-, partition- and engine-independent.
+
+    Scale: the feature table is ≤4096 rows BY CONSTRUCTION no matter
+    the corpus size (that is DSIR's point), so both count tables and
+    the scored table broadcast; the corpus makes one pass to count
+    (conditional aggregate, one shuffle on bucket over ≤4096 keys) and
+    one pass to score (broadcast join + per-doc integer sum, map-side
+    combined on doc_id). Nothing global ever sorts; the top-K is
+    TakeOrdered."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+        % _IR_BUCKETS
+    )
+    pos = (
+        docs.select("doc_id", "source", F.explode(words_col(F.col("text"))).alias("tok"))
+        .select("doc_id", "source", b.alias("b"))
+    )
+    is_t = (F.col("source") == _IR_TARGET).cast("long")
+    counts = pos.groupBy("b").agg(
+        F.sum(is_t).alias("t_cnt"),
+        F.sum(1 - is_t).alias("s_cnt"),
+    )
+    tot = counts.agg(
+        F.sum("t_cnt").alias("t_tot"), F.sum("s_cnt").alias("s_tot")
+    )
+    ln = lambda c: F.log(c.cast("double"))  # noqa: E731
+    scored = (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.round(
+                (ln(F.col("t_cnt") + 1) - ln(F.col("t_tot") + _IR_BUCKETS)
+                 - ln(F.col("s_cnt") + 1) + ln(F.col("s_tot") + _IR_BUCKETS))
+                * 1_000_000
+            ).cast("long").alias("micro"),
+        )
+    )
+    return (
+        pos.filter(F.col("source") != _IR_TARGET)
+        .join(F.broadcast(scored), "b")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("micro").alias("lr_micro"),
+            F.round(
+                F.sum("micro").cast("double") / (F.count("*") * F.lit(1_000_000.0)), 6
+            ).alias("lr_per_token_r"),
+        )
+        .orderBy(F.col("lr_micro").desc(), F.col("doc_id").asc())
+        .limit(_IR_TOPK)
+    )

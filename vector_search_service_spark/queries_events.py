@@ -194,3 +194,43 @@ def q_funnel_conversion(spark, sf_dir):
         .crossJoin(c.agg(F.count("*").alias("n_click_after_view")))
         .crossJoin(p.agg(F.count("*").alias("n_purchase_after_click")))
     )
+
+
+@register(
+    "funnel_user_times",
+    survey_ref="extension: per-user ordered funnel times (CEP batch parity oracle)",
+    tags=("events",),
+    oracle="""
+WITH v AS (
+  SELECT user_id, min(ts) AS tv FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS tc
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.tv
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS tp
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.tc
+  GROUP BY e.user_id
+)
+SELECT p.user_id,
+       CAST(epoch_ms(v.tv) AS BIGINT) AS t1_ms,
+       CAST(epoch_ms(c.tc) AS BIGINT) AS t2_ms,
+       CAST(epoch_ms(p.tp) AS BIGINT) AS t3_ms
+FROM p JOIN c ON p.user_id = c.user_id JOIN v ON p.user_id = v.user_id
+ORDER BY p.user_id
+""",
+)
+def q_funnel_user_times(spark, sf_dir):
+    """Per-user completion times of the strictly-ordered funnel — the
+    row-level refinement of ``funnel_conversion`` and the batch parity
+    oracle for the stateful streaming CEP operator
+    (``streaming/cep.py``, tests/test_cep.py proves stream == batch).
+    Same single shuffle family on user_id."""
+    from .streaming.cep import batch_funnel_user_times
+
+    ev = load_table(spark, sf_dir, "events")
+    return batch_funnel_user_times(ev).orderBy("user_id")

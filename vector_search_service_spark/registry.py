@@ -94,6 +94,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "domain_top_k",
     "sequence_pack_spans",
     # round-4 candidates (51+): new-this-round + remaining never-checked
+    "fts_probe_topk",
+    "funnel_user_times",
+    "importance_ratio_topk",
     "asof_forward_events",
     "events_sliding_2h",
     "cube_counts",

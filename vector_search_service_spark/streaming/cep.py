@@ -1,0 +1,194 @@
+"""CEP-style ordered-sequence (funnel) detection — the custom stateful
+streaming operator (`applyInPandasWithState`).
+
+Spark's built-ins cover windows, sessionization (`session_window`),
+dedup and stream-stream joins, but **ordered pattern matching across
+an unbounded stream** (Flink-CEP territory: "user did A, then B after
+A, then C after B") has no built-in: a streaming groupBy can track
+min/max per key but cannot express "the first B *after* the first A"
+incrementally, and the batch three-stage join
+(``queries_events.q_funnel_conversion``) needs the full history. This
+is exactly the case the driver brief reserves for
+``applyInPandasWithState``.
+
+Semantics (identical to the batch/SQL definition, which is the test's
+parity oracle):
+
+- ``t1`` = min event-time of step-1 (``view``);
+- ``t2`` = min event-time of step-2 (``click``) strictly after ``t1``;
+- ``t3`` = min event-time of step-3 (``purchase``) strictly after
+  ``t2``;
+- one output row per user, emitted when the watermark proves the
+  match is final.
+
+Correctness under out-of-order delivery — the part that makes this a
+real CEP operator rather than a fold over arrival order: an event may
+arrive in any order within the watermark delay, and folding it
+immediately could emit a wrong match (a late, earlier ``view`` lowers
+``t1`` and can re-qualify an earlier ``click``). So the state buffers
+events still inside the watermark horizon and **folds them into the
+stage machine only once the watermark passes them**, in event-time
+order. Because every fold consumes only events ≤ the current
+watermark and every arrival after that fold is > that watermark (or
+dropped as late, the standard contract), the machine sees one
+globally ascending event-time sequence — which is why the incremental
+result equals the batch recompute.
+
+State per user = 2 stage timestamps + the pending buffer; the buffer
+is bounded by (event rate × watermark delay) and stage state is
+evicted by an event-time timeout ``state_ttl`` past the last
+activity — both knobs bound total state on an unbounded stream.
+Scale: state is partitioned by ``user_id`` (the same shuffle family
+as every other per-user op here); 1000 executors each hold |users|/1000
+machines, each a few hundred bytes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+FUNNEL_OUT_SCHEMA = "user_id long, t1_ms long, t2_ms long, t3_ms long"
+# t1/t2: folded stage progress (ms, -1 = unset); done: emitted already;
+# pend_*: events buffered until the watermark passes them
+FUNNEL_STATE_SCHEMA = (
+    "t1 long, t2 long, done boolean, pend_ts array<long>, pend_et array<string>"
+)
+
+_UNSET = -1
+
+
+def _make_funnel_fn(steps: tuple[str, str, str], state_ttl_ms: int):
+    s1, s2, s3 = steps
+
+    def fn(key: Any, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        wm = state.getCurrentWatermarkMs()
+        if state.exists:
+            t1, t2, done, pend_ts, pend_et = state.get
+            pend = list(zip(pend_ts, pend_et))
+        else:
+            t1 = t2 = _UNSET
+            done = False
+            pend = []
+
+        if state.hasTimedOut:
+            # two timeout flavors, distinguished by the buffer: with
+            # pending events this is a RIPEN wake-up (the watermark
+            # passed the oldest buffered event — fall through and
+            # fold); with none it is TTL expiry → evict (bounds state
+            # for an unbounded stream; documented trade-off: funnel
+            # progress of a user idle longer than state_ttl is lost)
+            if not pend:
+                state.remove()
+                return
+            pdfs = iter(())
+
+        for pdf in pdfs:
+            for ts, et in zip(pdf["ts_ms"].tolist(), pdf["event_type"].tolist()):
+                # arrivals at/below the watermark are late beyond the
+                # horizon: dropped (the engine already filters these
+                # when the event-time column carries the watermark;
+                # this keeps the fold order proof local)
+                if ts > wm and et in steps:
+                    pend.append((int(ts), et))
+
+        # fold everything the watermark has finalized, in event-time
+        # order; strict > comparisons make equal-timestamp ties
+        # order-independent
+        ripe = sorted(t for t in pend if t[0] <= wm)
+        pend = [t for t in pend if t[0] > wm]
+        out = None
+        for ts, et in ripe:
+            if done:
+                break
+            if et == s1 and t1 == _UNSET:
+                t1 = ts
+            elif et == s2 and t1 != _UNSET and t2 == _UNSET and ts > t1:
+                t2 = ts
+            elif et == s3 and t2 != _UNSET and ts > t2:
+                done = True
+                out = (int(key[0]), t1, t2, ts)
+
+        state.update((t1, t2, done,
+                      [t[0] for t in pend], [t[1] for t in pend]))
+        if pend:
+            # wake exactly when the oldest buffered event ripens
+            state.setTimeoutTimestamp(min(t[0] for t in pend) + 1)
+        else:
+            state.setTimeoutTimestamp(wm + state_ttl_ms)
+        if out is not None:
+            yield pd.DataFrame(
+                [out], columns=["user_id", "t1_ms", "t2_ms", "t3_ms"]
+            )
+
+    return fn
+
+
+def streaming_funnel_matches(events: DataFrame, *,
+                             steps: tuple[str, str, str] = FUNNEL_STEPS,
+                             ts_col: str = "ts",
+                             watermark: str = "1 hour",
+                             state_ttl_ms: int = 7 * 24 * 3600 * 1000) -> DataFrame:
+    """Streaming ordered-funnel matches: one row per user whose
+    completed (steps[0] → steps[1] → steps[2]) sequence the watermark
+    has finalized. Apply to a ``readStream`` DataFrame; the same
+    result on the full history comes from ``batch_funnel_user_times``
+    (the parity proof in tests/test_cep.py)."""
+    ev = (
+        events.withWatermark(ts_col, watermark)
+        .select(
+            "user_id",
+            F.unix_millis(F.col(ts_col)).alias("ts_ms"),
+            "event_type",
+            F.col(ts_col),  # carries the watermark through the projection
+        )
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _make_funnel_fn(steps, state_ttl_ms),
+        FUNNEL_OUT_SCHEMA,
+        FUNNEL_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def batch_funnel_user_times(events: DataFrame, *,
+                            steps: tuple[str, str, str] = FUNNEL_STEPS,
+                            ts_col: str = "ts") -> DataFrame:
+    """Batch recompute of the same contract (the parity oracle): the
+    three-stage min-after-min join family from ``funnel_conversion``,
+    projected per user. All three shuffles share the user_id key."""
+    s1, s2, s3 = steps
+    v = (events.filter(F.col("event_type") == s1)
+         .groupBy("user_id").agg(F.min(ts_col).alias("_t1")))
+    c = (
+        events.filter(F.col("event_type") == s2)
+        .join(v, "user_id")
+        .filter(F.col(ts_col) > F.col("_t1"))
+        .groupBy("user_id").agg(F.min(ts_col).alias("_t2"), F.first("_t1").alias("_t1f"))
+    )
+    p = (
+        events.filter(F.col("event_type") == s3)
+        .join(c, "user_id")
+        .filter(F.col(ts_col) > F.col("_t2"))
+        .groupBy("user_id").agg(
+            F.min(ts_col).alias("_t3"),
+            F.first("_t1f").alias("_t1g"),
+            F.first("_t2").alias("_t2g"),
+        )
+    )
+    return p.select(
+        "user_id",
+        F.unix_millis("_t1g").alias("t1_ms"),
+        F.unix_millis("_t2g").alias("t2_ms"),
+        F.unix_millis("_t3").alias("t3_ms"),
+    )
