@@ -91,3 +91,49 @@ def test_one_match_per_user_and_ordering_invariants(spark, tmp_path):
         ~((F.col("t1_ms") < F.col("t2_ms")) & (F.col("t2_ms") < F.col("t3_ms")))
     ).count()
     assert bad == 0
+
+
+def test_streaming_abandonment_equals_batch_anti_join(spark, tmp_path):
+    """Absence CEP: emission is timeout-driven (nothing arrives to
+    trigger it), and the emitted set must equal the batch anti-join
+    under out-of-order replay."""
+    from vector_search_service_spark.streaming.cep import (
+        batch_abandoned_first_view,
+        streaming_abandonment,
+    )
+
+    ev = _events(spark)
+    src = tmp_path / "stream_src"
+    ev.repartition(4).write.parquet(str(src))
+
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    delay_days = 3650
+    sentinel_ts = max_ts + datetime.timedelta(days=2 * delay_days)
+    spark.createDataFrame(
+        [(int(-1), sentinel_ts, "view")],
+        "user_id long, ts timestamp, event_type string",
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = streaming_abandonment(stream, watermark=f"{delay_days} days")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cep_abandon")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = spark.table("cep_abandon").filter(F.col("user_id") >= 0)
+    want = batch_abandoned_first_view(ev)
+    assert _canon(got) == _canon(want)
+    # the corpus must exercise BOTH outcomes or the test proves nothing
+    n_viewers = (
+        ev.filter(F.col("event_type") == "view").select("user_id").distinct().count()
+    )
+    assert 0 < got.count() < n_viewers

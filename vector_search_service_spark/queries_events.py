@@ -234,3 +234,37 @@ def q_funnel_user_times(spark, sf_dir):
 
     ev = load_table(spark, sf_dir, "events")
     return batch_funnel_user_times(ev).orderBy("user_id")
+
+
+@register(
+    "abandoned_first_view",
+    survey_ref="extension: absence detection (first view with no purchase in 24h) — CEP batch parity",
+    tags=("events",),
+    oracle="""
+WITH v AS (
+  SELECT user_id, CAST(epoch_ms(min(ts)) AS BIGINT) AS t1_ms
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT DISTINCT e.user_id
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'purchase'
+    AND epoch_ms(e.ts) > v.t1_ms
+    AND epoch_ms(e.ts) <= v.t1_ms + 86400000
+)
+SELECT user_id, t1_ms, t1_ms + 86400000 AS deadline_ms
+FROM v
+WHERE user_id NOT IN (SELECT user_id FROM c)
+ORDER BY user_id
+""",
+)
+def q_abandoned_first_view(spark, sf_dir):
+    """Users whose FIRST view saw no purchase within 24 h — the batch
+    anti-join contract of the timeout-driven streaming absence
+    operator (``streaming/cep.py::streaming_abandonment``; stream ==
+    batch proven in tests/test_cep.py). One user_id shuffle family +
+    a broadcast-able converting-user set."""
+    from .streaming.cep import batch_abandoned_first_view
+
+    ev = load_table(spark, sf_dir, "events")
+    return batch_abandoned_first_view(ev).orderBy("user_id")

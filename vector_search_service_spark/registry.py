@@ -97,6 +97,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "fts_probe_topk",
     "funnel_user_times",
     "importance_ratio_topk",
+    "abandoned_first_view",
     "asof_forward_events",
     "events_sliding_2h",
     "cube_counts",

@@ -66,6 +66,20 @@ FUNNEL_STATE_SCHEMA = (
 _UNSET = -1
 
 
+def _interval_ms(within: str) -> int:
+    """Parse the simple interval vocabulary both CEP entry points use
+    (timezone-free, identical in batch and streaming)."""
+    import re
+
+    m = re.fullmatch(r"(\d+)\s*(hour|hours|minute|minutes|day|days)", within)
+    if not m:
+        raise ValueError(f"unsupported interval {within!r}")
+    unit_ms = {"hour": 3600_000, "minute": 60_000, "day": 86_400_000}[
+        m.group(2).rstrip("s")
+    ]
+    return int(m.group(1)) * unit_ms
+
+
 def _make_funnel_fn(steps: tuple[str, str, str], state_ttl_ms: int):
     s1, s2, s3 = steps
 
@@ -191,4 +205,140 @@ def batch_funnel_user_times(events: DataFrame, *,
         F.unix_millis("_t1g").alias("t1_ms"),
         F.unix_millis("_t2g").alias("t2_ms"),
         F.unix_millis("_t3").alias("t3_ms"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Absence detection: A with no B within T — emission REQUIRES timeouts
+# ---------------------------------------------------------------------------
+
+ABANDON_OUT_SCHEMA = "user_id long, t1_ms long, deadline_ms long"
+ABANDON_STATE_SCHEMA = (
+    "t1 long, converted boolean, emitted boolean, "
+    "pend_ts array<long>, pend_et array<string>"
+)
+
+
+def _make_abandon_fn(start_step: str, convert_step: str, within_ms: int,
+                     state_ttl_ms: int):
+    def fn(key: Any, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        wm = state.getCurrentWatermarkMs()
+        if state.exists:
+            t1, converted, emitted, pend_ts, pend_et = state.get
+            pend = list(zip(pend_ts, pend_et))
+        else:
+            t1, converted, emitted, pend = _UNSET, False, False, []
+
+        if state.hasTimedOut:
+            pdfs = iter(())  # wake-up only: the deadline/ripen check below runs
+        for pdf in pdfs:
+            for ts, et in zip(pdf["ts_ms"].tolist(), pdf["event_type"].tolist()):
+                if ts > wm and et in (start_step, convert_step):
+                    pend.append((int(ts), et))
+
+        ripe = sorted(t for t in pend if t[0] <= wm)
+        pend = [t for t in pend if t[0] > wm]
+        for ts, et in ripe:
+            if et == start_step and t1 == _UNSET:
+                t1 = ts
+            elif (et == convert_step and t1 != _UNSET
+                  and t1 < ts <= t1 + within_ms):
+                converted = True
+
+        out = None
+        if (t1 != _UNSET and not converted and not emitted
+                and wm > t1 + within_ms):
+            # the watermark proves no conversion can still arrive
+            # inside the window: the absence is final
+            emitted = True
+            out = (int(key[0]), t1, t1 + within_ms)
+
+        if not pend and (emitted or converted) and state.exists:
+            state.remove()  # outcome decided, nothing buffered: evict now
+        else:
+            state.update((t1, converted, emitted,
+                          [t[0] for t in pend], [t[1] for t in pend]))
+            if pend:
+                nxt = min(t[0] for t in pend) + 1
+                if t1 != _UNSET and not converted and not emitted:
+                    nxt = min(nxt, t1 + within_ms + 1)
+                state.setTimeoutTimestamp(max(nxt, wm + 1))
+            elif t1 != _UNSET and not converted and not emitted:
+                # the only wake-up that can emit an absence
+                state.setTimeoutTimestamp(max(t1 + within_ms + 1, wm + 1))
+            else:
+                state.setTimeoutTimestamp(wm + state_ttl_ms)
+        if out is not None:
+            yield pd.DataFrame(
+                [out], columns=["user_id", "t1_ms", "deadline_ms"]
+            )
+
+    return fn
+
+
+def streaming_abandonment(events: DataFrame, *,
+                          start_step: str = "view",
+                          convert_step: str = "purchase",
+                          within: str = "24 hours",
+                          ts_col: str = "ts",
+                          watermark: str = "1 hour",
+                          state_ttl_ms: int = 7 * 24 * 3600 * 1000) -> DataFrame:
+    """Absence detection — the CEP shape that makes timeouts
+    *load-bearing*: emit one row per user whose FIRST ``start_step``
+    saw no ``convert_step`` within ``within`` after it. A positive
+    match can be emitted when its last event arrives; an absence can
+    only be emitted by a watermark-driven timeout (nothing arrives to
+    trigger it) — inexpressible with built-in streaming operators.
+    Batch parity: ``batch_abandoned_first_view``."""
+    within_ms = _interval_ms(within)
+    ev = (
+        events.withWatermark(ts_col, watermark)
+        .select(
+            "user_id",
+            F.unix_millis(F.col(ts_col)).alias("ts_ms"),
+            "event_type",
+            F.col(ts_col),
+        )
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _make_abandon_fn(start_step, convert_step, within_ms, state_ttl_ms),
+        ABANDON_OUT_SCHEMA,
+        ABANDON_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def batch_abandoned_first_view(events: DataFrame, *,
+                               start_step: str = "view",
+                               convert_step: str = "purchase",
+                               within: str = "24 hours",
+                               ts_col: str = "ts") -> DataFrame:
+    """Batch recompute of the absence contract: first ``start_step``
+    per user anti-joined against converting ``convert_step`` events in
+    its window. One user_id shuffle family + an anti join."""
+    within_ms = _interval_ms(within)
+    v = (
+        events.filter(F.col("event_type") == start_step)
+        .groupBy("user_id")
+        .agg(F.unix_millis(F.min(ts_col)).alias("_t1_ms"))
+    )
+    conv = (
+        events.filter(F.col("event_type") == convert_step)
+        .select("user_id", F.unix_millis(F.col(ts_col)).alias("_c_ms"))
+        .join(v, "user_id")
+        .filter(
+            (F.col("_c_ms") > F.col("_t1_ms"))
+            & (F.col("_c_ms") <= F.col("_t1_ms") + within_ms)
+        )
+        .select("user_id").distinct()
+    )
+    return (
+        v.join(conv, "user_id", "left_anti")
+        .select(
+            "user_id",
+            F.col("_t1_ms").alias("t1_ms"),
+            (F.col("_t1_ms") + within_ms).alias("deadline_ms"),
+        )
     )
