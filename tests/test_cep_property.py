@@ -76,9 +76,10 @@ def _drive(fn, batches, lags):
     for batch, lag in zip(batches, lags):
         state._wm = wm
         # hand the RAW batch to fn — the operator owns the late-drop
-        # rule (`ts > wm`), so the harness must not pre-filter for it;
-        # `delivered` is the contract's view of what survived
-        delivered.extend((ts, et) for ts, et in batch if ts > wm)
+        # rule (strictly-late only: `ts >= wm` kept), so the harness
+        # must not pre-filter for it; `delivered` is the contract's
+        # view of what survived
+        delivered.extend((ts, et) for ts, et in batch if ts >= wm)
         if batch:
             state.hasTimedOut = False
             pdf = pd.DataFrame(batch, columns=["ts_ms", "event_type"])

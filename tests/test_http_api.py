@@ -147,23 +147,24 @@ def test_collections_crud_routes(client):
 def test_document_listing_and_delete_routes(client):
     ing = client.post("/api/v1/collections/dl/documents",
                       json={"content": "listable doc " * 40}).get_json()
-    page = client.get("/api/v1/collections/dl/documents?limit=10").get_json()
-    docs = page["documents"]
+    docs = client.get("/api/v1/collections/dl/documents?limit=10").get_json()
     assert docs and all(len(d["content_preview"]) <= 200 for d in docs)
     assert client.get("/api/v1/collections/ghost/documents").status_code == 404
 
-    # cursor round-trip: page of 2 yields next_cursor; threading it
-    # through switches the route to keyset pagination and continues
-    # exactly where the page ended, with no overlap
-    p1 = client.get("/api/v1/collections/dl/documents?limit=2").get_json()
-    if p1["next_cursor"] is not None:
+    # cursor round-trip: the body stays the reference's bare-array
+    # contract; a full page carries X-Next-Cursor, and threading it
+    # through `after` switches the route to keyset pagination and
+    # continues exactly where the page ended, with no overlap
+    r1 = client.get("/api/v1/collections/dl/documents?limit=2")
+    cursor = r1.headers.get("X-Next-Cursor")
+    if cursor is not None:
         p2 = client.get(
-            f"/api/v1/collections/dl/documents?limit=2&after={p1['next_cursor']}"
+            f"/api/v1/collections/dl/documents?limit=2&after={cursor}"
         ).get_json()
-        ids1 = {d["id"] for d in p1["documents"]}
-        ids2 = {d["id"] for d in p2["documents"]}
+        ids1 = {d["id"] for d in r1.get_json()}
+        ids2 = {d["id"] for d in p2}
         assert not ids1 & ids2
-        assert all(i > p1["next_cursor"] for i in ids2)
+        assert all(i > cursor for i in ids2)
 
     victim = docs[0]["id"]
     out = client.delete(

@@ -201,12 +201,14 @@ def create_app(service):
             )
         except ValueError as e:
             return err(404, str(e))
-        return jsonify({
-            "documents": page,
-            # cursor for the next page: clients that thread it through
-            # get keyset pagination instead of deep OFFSET
-            "next_cursor": page[-1]["id"] if len(page) == limit else None,
-        })
+        # body stays the reference's bare array contract
+        # (src/api/documents.py:306 response_model=List[Dict]); the
+        # keyset cursor rides a header so existing clients are
+        # untouched and new ones can thread `after` for the scale path
+        resp = jsonify(page)
+        if len(page) == limit:
+            resp.headers["X-Next-Cursor"] = page[-1]["id"]
+        return resp
 
     @app.delete("/api/v1/collections/<collection_name>/documents")
     def delete_documents(collection_name):

@@ -89,7 +89,11 @@ def band_keys_udf(bands: tuple[tuple[int, ...], ...] = DEFAULT_BANDS, k: int = 3
     _A = np.array([a for band in coeffs for a, _ in band], dtype=np.uint64).reshape(-1, 1)
     _B = np.array([b for band in coeffs for _, b in band], dtype=np.uint64).reshape(-1, 1)
     _P = np.uint64(MINHASH_P)
-    n_bands, band_w = len(bands), len(bands[0])
+    # per-band slice bounds into the flat permutation axis — bands may
+    # have non-uniform widths, so never reshape to (n_bands, width)
+    _edges = [0]
+    for band in bands:
+        _edges.append(_edges[-1] + len(band))
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def keys(texts: pd.Series) -> pd.Series:
@@ -104,10 +108,10 @@ def band_keys_udf(bands: tuple[tuple[int, ...], ...] = DEFAULT_BANDS, k: int = 3
                 b"".join(md5(s.encode()).digest()[:4] for s in _shingle_set(text, k)),
                 dtype=">u4",
             ).astype(np.uint64) % (1 << 31)
-            mins = ((_A * hs[None, :] + _B) % _P).min(axis=1).reshape(n_bands, band_w)
+            mins = ((_A * hs[None, :] + _B) % _P).min(axis=1)
             return [
-                md5("|".join(str(int(m)) for m in row).encode()).hexdigest()
-                for row in mins
+                md5("|".join(str(int(m)) for m in mins[lo:hi]).encode()).hexdigest()
+                for lo, hi in zip(_edges, _edges[1:])
             ]
 
         return texts.map(one)

@@ -69,15 +69,9 @@ def weak_labels(feat: DataFrame, *, low_q: float = 0.3, high_q: float = 0.7) -> 
     """Label the confident extremes of the heuristic score; the middle
     band is left unlabeled (scored at inference, never trained on)."""
     lo, hi = feat.approxQuantile("heuristic_score", [low_q, high_q], 0.001)
-    if not lo < hi:
-        # collapsed quantiles (skewed/constant score distribution)
-        # would label every row at the shared value 0.0 — a
-        # single-class training set that makes LogisticRegression.fit
-        # fail or return a constant model
-        raise ValueError(
-            f"heuristic_score quantiles collapsed (q{low_q}=q{high_q}={lo}); "
-            "widen the quantile band or fix the score distribution"
-        )
+    # lo == hi (a large score atom) is still trainable when rows exist
+    # strictly above hi — the single-class degenerate case is caught
+    # where it actually bites, in fit_quality_model's class check
     return feat.withColumn(
         "label",
         F.when(F.col("heuristic_score") <= lo, F.lit(0.0))
@@ -93,6 +87,16 @@ def fit_quality_model(labeled: DataFrame):
 
     asm = VectorAssembler(inputCols=list(FEATURES), outputCol="features")
     train = asm.transform(labeled.filter(F.col("label").isNotNull()))
+    n_by_class = {r["label"]: r["n"] for r in
+                  train.groupBy("label").agg(F.count("*").alias("n")).collect()}
+    if not (n_by_class.get(0.0) and n_by_class.get(1.0)):
+        # a skewed/constant heuristic-score distribution can leave one
+        # extreme empty; LogisticRegression.fit would fail or return a
+        # constant model — fail with the actual class budget instead
+        raise ValueError(
+            f"weak labels produced a single-class training set "
+            f"(counts: {n_by_class}); widen the quantile band"
+        )
     lr = LogisticRegression(
         featuresCol="features", labelCol="label",
         maxIter=50, regParam=0.01, standardization=True,

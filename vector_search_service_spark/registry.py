@@ -94,16 +94,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "domain_top_k",
     "sequence_pack_spans",
     # round-4 candidates (51+): new-this-round + remaining never-checked
+    # rows-only entries. (The never-checked tier=extra variants are NOT
+    # listed here — _EXTRA_TIER deliberately sorts them last, locally
+    # pinned by tests/test_oracle_parity.py.)
     "fts_probe_topk",
     "funnel_user_times",
     "importance_ratio_topk",
     "abandoned_first_view",
-    "asof_forward_events",
-    "events_sliding_2h",
-    "cube_counts",
-    "having_semi_topk",
-    "sketch_topk_exact_when_small",
-    "outer_count_distribution",
     "pq_ann_topk",
     "ivf_pq_topk",
     "quality_model_scores",

@@ -108,11 +108,13 @@ def _make_funnel_fn(steps: tuple[str, str, str], state_ttl_ms: int):
 
         for pdf in pdfs:
             for ts, et in zip(pdf["ts_ms"].tolist(), pdf["event_type"].tolist()):
-                # arrivals at/below the watermark are late beyond the
-                # horizon: dropped (the engine already filters these
-                # when the event-time column carries the watermark;
-                # this keeps the fold order proof local)
-                if ts > wm and et in steps:
+                # arrivals strictly below the watermark are late
+                # beyond the horizon: dropped (Spark's own convention
+                # — the watermark promises no event OLDER than it;
+                # ts == wm is still in-contract and folds this call).
+                # Ties are harmless to the ascending-fold proof: every
+                # stage comparison is strict
+                if ts >= wm and et in steps:
                     pend.append((int(ts), et))
 
         # fold everything the watermark has finalized, in event-time
@@ -132,13 +134,20 @@ def _make_funnel_fn(steps: tuple[str, str, str], state_ttl_ms: int):
                 done = True
                 out = (int(key[0]), t1, t2, ts)
 
-        state.update((t1, t2, done,
-                      [t[0] for t in pend], [t[1] for t in pend]))
-        if pend:
-            # wake exactly when the oldest buffered event ripens
-            state.setTimeoutTimestamp(min(t[0] for t in pend) + 1)
+        if t1 == _UNSET and not done and not pend:
+            # nothing tracked (e.g. only non-step events in the
+            # batch): never materialize state for this user — at scale
+            # the store holds funnel-relevant users, not active users
+            if state.exists:
+                state.remove()
         else:
-            state.setTimeoutTimestamp(wm + state_ttl_ms)
+            state.update((t1, t2, done,
+                          [t[0] for t in pend], [t[1] for t in pend]))
+            if pend:
+                # wake exactly when the oldest buffered event ripens
+                state.setTimeoutTimestamp(max(min(t[0] for t in pend) + 1, wm + 1))
+            else:
+                state.setTimeoutTimestamp(wm + state_ttl_ms)
         if out is not None:
             yield pd.DataFrame(
                 [out], columns=["user_id", "t1_ms", "t2_ms", "t3_ms"]
@@ -234,7 +243,9 @@ def _make_abandon_fn(start_step: str, convert_step: str, within_ms: int,
             pdfs = iter(())  # wake-up only: the deadline/ripen check below runs
         for pdf in pdfs:
             for ts, et in zip(pdf["ts_ms"].tolist(), pdf["event_type"].tolist()):
-                if ts > wm and et in (start_step, convert_step):
+                # drop only strictly-late arrivals (ts < wm); see the
+                # funnel fn for the boundary rationale
+                if ts >= wm and et in (start_step, convert_step):
                     pend.append((int(ts), et))
 
         ripe = sorted(t for t in pend if t[0] <= wm)
@@ -254,8 +265,11 @@ def _make_abandon_fn(start_step: str, convert_step: str, within_ms: int,
             emitted = True
             out = (int(key[0]), t1, t1 + within_ms)
 
-        if not pend and (emitted or converted) and state.exists:
-            state.remove()  # outcome decided, nothing buffered: evict now
+        if not pend and (emitted or converted or t1 == _UNSET):
+            # outcome decided, or nothing tracked at all: evict / never
+            # materialize (state holds only undecided watchers)
+            if state.exists:
+                state.remove()
         else:
             state.update((t1, converted, emitted,
                           [t[0] for t in pend], [t[1] for t in pend]))
