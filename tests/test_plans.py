@@ -429,3 +429,15 @@ def test_fts_probe_reads_only_term_buckets(spark):
     assert m, f"no lex_bucket partition filter in plan"
     assert len(m.group(1).split(",")) <= 3  # one bucket per query term
     assert has_broadcast_join(df)  # matched ids broadcast into corpus
+
+
+def test_importance_ratio_broadcasts_feature_table(spark):
+    """DSIR-style selection: the ≤4096-bucket scored feature table
+    must broadcast into the corpus position stream (that bound is the
+    method's scale guarantee), and the final top-K must be TakeOrdered
+    — never a global sort of per-doc scores."""
+    from vector_search_service_spark.registry import all_queries
+
+    df = all_queries()["importance_ratio_topk"].fn(spark, SF_SMOKE)
+    assert has_broadcast_join(df)
+    assert has_top_k(df)
