@@ -38,6 +38,10 @@ NOTES = {
     "vector_topk_per_label": "grouped top-k: WindowGroupLimit prunes to rank<=k per label BEFORE the full sort; one Exchange on the group key.",
     "maxsim_topk": "multi-vector maxsim: cosine folds in the scan stage, per-query maxes partial-aggregated map-side, one Exchange, 5-row top-k.",
     "zorder_values": "Morton key as a pure projection over the scan — bitwise codegen, no shuffle (the write path adds one range Exchange, paid once at layout time).",
+    "range_shards": "1-row min/max bounds broadcast into a map-only range-bucket projection; no Window, no corpus Sort (the ntile anti-pattern eliminated).",
+    "fts_probe_topk": "pre-built postings store probed with lex_bucket partition pruning (reads |terms| buckets); matched ids broadcast into the corpus scan.",
+    "importance_ratio_topk": "≤4096-bucket scored feature table broadcast into the token stream; per-doc integer sums map-side combined; TakeOrdered top-K.",
+    "funnel_user_times": "three-stage min-after-min joins all shuffling on the same user_id key family; stage outputs only shrink.",
 }
 
 
