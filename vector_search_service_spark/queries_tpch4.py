@@ -1,0 +1,294 @@
+"""Registry entries — TPC-H breadth pack 4 (r3): the six plan shapes
+the first three packs did not cover, adapted to this corpus's columns
+(no partsupp/shipmode/comment fields — each docstring names the
+adaptation). With these, every distinct TPC-H plan shape expressible
+on the synthetic star schema is oracle-checked: Q9 multi-dimension
+profit rollup, Q10 returned-item top-k, Q12 two-level conditional
+counts, Q15 scalar-max tie join-back, Q16 anti-join + distinct-count
+rollup, Q20 nested-aggregate semi-join.
+
+Exactness follows the pack-1 discipline: money sums are integer
+cents (`decimal_exact_revenue` rationale), quantities round to
+integer units, and every float output is a single exact division at
+the end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry import register
+from .sources.tables import load_table
+
+# exact integer-cent revenue (see decimal_exact_revenue)
+_REV_SQL = (
+    "sum(CAST(round(l_extendedprice * 100) AS BIGINT)"
+    " * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0"
+)
+
+
+def _rev_col():
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round(F.col("l_discount") * 100).cast("long")
+    return F.sum(cents * (100 - disc)) / 10000.0
+
+
+@register(
+    "profit_by_nation_year",
+    survey_ref="extension: TPC-H Q9 shape (multi-dimension profit rollup)",
+    tags=("relational",),
+    oracle=f"""
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       {_REV_SQL} AS amount
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, year(o_orderdate)
+ORDER BY nation, o_year
+""",
+)
+def q_profit_by_nation_year(spark, sf_dir):
+    """Q9 shape (profit := discounted revenue — this corpus has no
+    partsupp.supplycost): product-line filter on the part dimension,
+    fact joined through part/supplier/nation, rolled up by (nation,
+    year). All three dimensions broadcast (part pre-filtered by the
+    LIKE); the fact table shuffles once, for the final ~175-group
+    rollup. At 100 TB the selective part filter also seeds a runtime
+    bloom filter on l_partkey."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("red")
+    ).select("p_partkey")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(_rev_col().alias("amount"))
+        .orderBy("nation", "o_year")
+    )
+
+
+@register(
+    "returned_item_revenue",
+    survey_ref="extension: TPC-H Q10 shape (returned-item customer top-k)",
+    tags=("relational",),
+    oracle=f"""
+SELECT c_custkey, c_name, n_name, {_REV_SQL} AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+""",
+)
+def q_returned_item_revenue(spark, sf_dir):
+    """Q10 shape: revenue lost to returns per customer, top-20. The
+    returned-lineitem filter pushes to the fact scan; customer and
+    nation broadcast; one shuffle for the per-customer rollup, then
+    TakeOrdered."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(_rev_col().alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "linestatus_priority_counts",
+    survey_ref="extension: TPC-H Q12 shape (two-level conditional counts)",
+    tags=("relational",),
+    oracle="""
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_linestatus ORDER BY l_linestatus
+""",
+)
+def q_linestatus_priority_counts(spark, sf_dir):
+    """Q12 shape (l_linestatus standing in for the absent shipmode):
+    date-windowed fact join with per-group urgent/other conditional
+    counts. The date window pushes to the scan; the 2-group rollup is
+    map-side combined; the orders side carries only (key, priority)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(high).alias("high_line_count"),
+            F.sum(1 - high).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@register(
+    "top_revenue_supplier",
+    survey_ref="extension: TPC-H Q15 shape (scalar-max tie join-back)",
+    tags=("relational",),
+    oracle="""
+WITH rev AS (
+  SELECT l_suppkey,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS total_x10000
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_x10000 / 10000.0 AS total_revenue
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE total_x10000 = (SELECT max(total_x10000) FROM rev)
+ORDER BY s_suppkey
+""",
+)
+def q_top_revenue_supplier(spark, sf_dir):
+    """Q15 shape: quarterly per-supplier revenue, keep the supplier(s)
+    equal to the global max (the view + scalar-subquery pattern). The
+    tie comparison happens in INTEGER revenue units — float equality
+    against an aggregate is exactly the trap the exactness discipline
+    exists for. The 1-row max broadcasts; the supplier dimension
+    broadcasts; only the quarterly rollup shuffles."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round(F.col("l_discount") * 100).cast("long")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(cents * (100 - disc)).alias("total_x10000")
+    )
+    mx = rev.agg(F.max("total_x10000").alias("mx"))
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_x10000") == F.col("mx"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name",
+            (F.col("total_x10000") / 10000.0).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "supplier_diversity_by_part",
+    survey_ref="extension: TPC-H Q16 shape (anti join + distinct-count rollup)",
+    tags=("relational",),
+    oracle="""
+SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM part JOIN lineitem ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#45'
+  AND p_size IN (1, 4, 7)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+LIMIT 20
+""",
+)
+def q_supplier_diversity_by_part(spark, sf_dir):
+    """Q16 shape (blacklist := suppliers with negative balance — this
+    corpus has no comment field): how many distinct non-blacklisted
+    suppliers serve each surviving (brand, type, size) bucket. The
+    NOT IN decorrelates to a broadcast anti join (the blacklist is
+    tiny by construction); the part filter broadcasts; one shuffle
+    for the distinct-count rollup."""
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45") & F.col("p_size").isin(1, 4, 7)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+        .limit(20)
+    )
+
+
+@register(
+    "dominant_part_suppliers",
+    survey_ref="extension: TPC-H Q20 shape (nested-aggregate semi-join)",
+    tags=("relational",),
+    oracle="""
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+pt AS (SELECT l_partkey, CAST(sum(q) AS BIGINT) AS tot FROM ps GROUP BY l_partkey),
+dom AS (
+  SELECT DISTINCT ps.l_suppkey
+  FROM ps JOIN pt ON ps.l_partkey = pt.l_partkey
+  WHERE 5 * ps.q > pt.tot
+)
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (SELECT l_suppkey FROM dom)
+ORDER BY s_suppkey
+""",
+)
+def q_dominant_part_suppliers(spark, sf_dir):
+    """Q20 shape (availqty threshold := majority of a part's shipped
+    volume — this corpus has no partsupp): suppliers who shipped more
+    than a fifth of some part's total quantity (the corpus's supplier
+    shares top out at ~25%, so a majority threshold selects nobody), selected by a semi join
+    over a two-level nested aggregate. Both aggregates share the
+    l_partkey shuffle family (AQE reuses the exchange); the dominant
+    set is tiny and broadcasts into the supplier scan. The 5*q > tot
+    comparison is integer (quantities are whole units)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey",
+        F.round(F.col("l_quantity")).cast("long").alias("qty"),
+    )
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(F.sum("qty").alias("q"))
+    pt = ps.groupBy("l_partkey").agg(F.sum("q").alias("tot"))
+    dom = (
+        ps.join(pt, "l_partkey")
+        .filter(5 * F.col("q") > F.col("tot"))
+        .select("l_suppkey").distinct()
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sup.join(
+            F.broadcast(dom), sup.s_suppkey == dom.l_suppkey, "left_semi"
+        )
+        .orderBy("s_suppkey")
+    )

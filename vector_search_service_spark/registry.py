@@ -101,6 +101,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "funnel_user_times",
     "importance_ratio_topk",
     "abandoned_first_view",
+    "profit_by_nation_year",
+    "returned_item_revenue",
+    "linestatus_priority_counts",
+    "top_revenue_supplier",
+    "supplier_diversity_by_part",
+    "dominant_part_suppliers",
     "pq_ann_topk",
     "ivf_pq_topk",
     "quality_model_scores",
@@ -172,6 +178,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from . import queries_tpch  # noqa: F401
     from . import queries_tpch2  # noqa: F401
     from . import queries_tpch3  # noqa: F401
+    from . import queries_tpch4  # noqa: F401
     from . import queries_textan  # noqa: F401
     from . import queries_timeseries  # noqa: F401
 
