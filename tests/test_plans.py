@@ -441,3 +441,34 @@ def test_importance_ratio_broadcasts_feature_table(spark):
     df = all_queries()["importance_ratio_topk"].fn(spark, SF_SMOKE)
     assert has_broadcast_join(df)
     assert has_top_k(df)
+
+
+def test_tpch4_dimension_broadcasts_and_topk(spark):
+    """Pack-4 shapes keep the fact table shuffle-minimal: Q9/Q10 join
+    dimensions by broadcast and the Q10 top-20 is TakeOrdered."""
+    from vector_search_service_spark.registry import all_queries
+
+    specs = all_queries()
+    q9 = specs["profit_by_nation_year"].fn(spark, SF_SMOKE)
+    assert has_broadcast_join(q9)
+    q10 = specs["returned_item_revenue"].fn(spark, SF_SMOKE)
+    assert has_broadcast_join(q10)
+    assert has_top_k(q10)
+
+
+def test_q20_single_fact_scan_window_total(spark):
+    """Q20 shape: the per-part total must come from a window over the
+    (part, supplier) rollup, not a re-aggregate joined back — the
+    latter plans TWO scans of the fact table (caught here in r3 and
+    rewritten). Pin: exactly one lineitem scan, bounded exchanges, and
+    the dominant set broadcasting into the supplier scan."""
+    import re
+
+    from vector_search_service_spark.registry import all_queries
+
+    df = all_queries()["dominant_part_suppliers"].fn(spark, SF_SMOKE)
+    plan = explain_str(df)
+    scans = re.findall(r"Location:.*?(\w+)\.parquet", plan)
+    assert scans.count("lineitem") == 1, scans
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 4, plan
+    assert has_broadcast_join(df)  # dominant set broadcasts into supplier

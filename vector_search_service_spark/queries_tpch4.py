@@ -270,18 +270,23 @@ def q_dominant_part_suppliers(spark, sf_dir):
     volume — this corpus has no partsupp): suppliers who shipped more
     than a fifth of some part's total quantity (the corpus's supplier
     shares top out at ~25%, so a majority threshold selects nobody), selected by a semi join
-    over a two-level nested aggregate. Both aggregates share the
-    l_partkey shuffle family (AQE reuses the exchange); the dominant
-    set is tiny and broadcasts into the supplier scan. The 5*q > tot
-    comparison is integer (quantities are whole units)."""
+    over a two-level nested aggregate. The per-part total is a window
+    sum over the (part, supplier) rollup — NOT a re-aggregate joined
+    back, which would plan TWO scans of the fact table (the shape this
+    replaced; the plan test pins single-scan). Exchanges touch only
+    shrinking rollup data; the dominant set is tiny and broadcasts
+    into the supplier scan. The 5*q > tot comparison is integer
+    (quantities are whole units)."""
+    from pyspark.sql import Window
+
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey",
         F.round(F.col("l_quantity")).cast("long").alias("qty"),
     )
     ps = li.groupBy("l_partkey", "l_suppkey").agg(F.sum("qty").alias("q"))
-    pt = ps.groupBy("l_partkey").agg(F.sum("q").alias("tot"))
+    w = Window.partitionBy("l_partkey")
     dom = (
-        ps.join(pt, "l_partkey")
+        ps.withColumn("tot", F.sum("q").over(w))
         .filter(5 * F.col("q") > F.col("tot"))
         .select("l_suppkey").distinct()
     )
