@@ -1,0 +1,147 @@
+"""Custom Python DataSource (sources/pyds.py): the reference's
+ServiceNow parser as `spark.read.format("servicenow")` — parity with
+the built-in-XML expression pipeline, per-file partitioning, and
+option/error handling."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+INCIDENTS_A = """<?xml version="1.0"?>
+<incidents>
+  <incident>
+    <number display_value="INC0001">inc-1</number>
+    <short_description>X display fails</short_description>
+    <description display_value="The X server crashes on start"/>
+    <category>software</category>
+    <close_notes></close_notes>
+  </incident>
+  <incident>
+    <number>INC0002</number>
+    <short_description display_value="VNC timeout">raw short</short_description>
+    <subcategory>remote-access</subcategory>
+    <work_notes>   </work_notes>
+  </incident>
+</incidents>
+"""
+
+INCIDENTS_B = """<?xml version="1.0"?>
+<incidents>
+  <incident>
+    <number>INC0003</number>
+    <description display_value="plain text description"/>
+    <u_root_cause display_value="disk full"/>
+  </incident>
+</incidents>
+"""
+
+# description appears as PLAIN TEXT here but attribute-styled in
+# INCIDENTS_A — the mixed-shape corpus the built-in XML source's
+# schema merge degrades on (it can drop the attribute), and the
+# reason the custom DataSource exists
+INCIDENTS_MIXED = """<?xml version="1.0"?>
+<incidents>
+  <incident>
+    <number>INC0004</number>
+    <description>plain text description</description>
+  </incident>
+</incidents>
+"""
+
+
+@pytest.fixture()
+def xml_dir(tmp_path):
+    (tmp_path / "a.xml").write_text(INCIDENTS_A)
+    (tmp_path / "b.xml").write_text(INCIDENTS_B)
+    return str(tmp_path)
+
+
+def test_datasource_matches_builtin_xml_pipeline(spark, xml_dir):
+    """The Python DataSource and the built-in-XML + expression
+    pipeline must produce identical (fields, searchable_text) rows for
+    shape-consistent files — two independent implementations of the
+    same reference semantics. (Blank-vs-null on empty elements is a
+    representation difference with no searchable_text consequence —
+    normalized before comparing.)"""
+    from vector_search_service_spark.sources import pyds
+    from vector_search_service_spark.sources.xml import (
+        read_incidents_xml,
+        with_searchable_text,
+    )
+
+    pyds.register(spark)
+    via_ds = (
+        spark.read.format("servicenow").load(xml_dir)
+        .select(*pyds.FIELD_NAMES, "searchable_text")
+    )
+    via_xml = with_searchable_text(
+        read_incidents_xml(spark, f"{xml_dir}/*.xml")
+    ).select(*pyds.FIELD_NAMES, "searchable_text")
+
+    def canon(df):
+        return sorted(
+            tuple(v if v is not None and v.strip() else None for v in r)
+            for r in df.collect()
+        )
+
+    a, b = canon(via_ds), canon(via_xml)
+    assert len(a) == 3
+    assert a == b
+
+
+def test_datasource_preserves_display_value_where_builtin_merge_degrades(
+    spark, tmp_path
+):
+    """Mixed-shape corpora (a field attribute-styled in one file,
+    plain text in another) defeat the built-in XML source's schema
+    merge — the display_value can be silently dropped. The custom
+    DataSource parses per reference semantics regardless of corpus
+    shape; this is its reason to exist."""
+    from vector_search_service_spark.sources import pyds
+
+    (tmp_path / "a.xml").write_text(INCIDENTS_A)
+    (tmp_path / "m.xml").write_text(INCIDENTS_MIXED)
+    pyds.register(spark)
+    rows = {
+        r["number"]: r
+        for r in spark.read.format("servicenow").load(str(tmp_path)).collect()
+    }
+    assert rows["INC0001"]["description"] == "The X server crashes on start"
+    assert rows["INC0004"]["description"] == "plain text description"
+
+
+def test_display_value_preference_and_blank_skipping(spark, xml_dir):
+    from vector_search_service_spark.sources import pyds
+
+    pyds.register(spark)
+    rows = {
+        r["number"]: r
+        for r in spark.read.format("servicenow").load(xml_dir).collect()
+    }
+    assert rows["INC0001"]["description"] == "The X server crashes on start"
+    assert rows["INC0002"]["short_description"] == "VNC timeout"  # dv wins
+    # blank close_notes / whitespace work_notes never reach searchable_text
+    assert "Resolution:" not in rows["INC0001"]["searchable_text"]
+    assert "Work Notes:" not in rows["INC0002"]["searchable_text"]
+    assert rows["INC0003"]["searchable_text"].startswith("Incident Number: INC0003")
+
+
+def test_one_partition_per_file(spark, xml_dir):
+    """partitions() drives the parallelism: two files → two input
+    partitions → src_file distinguishes them."""
+    from vector_search_service_spark.sources import pyds
+
+    pyds.register(spark)
+    df = spark.read.format("servicenow").load(xml_dir)
+    assert df.rdd.getNumPartitions() == 2
+    assert df.select("src_file").distinct().count() == 2
+
+
+def test_missing_path_errors(spark, tmp_path):
+    from vector_search_service_spark.sources import pyds
+
+    pyds.register(spark)
+    with pytest.raises(Exception, match="no XML files|FileNotFound"):
+        spark.read.format("servicenow").load(str(tmp_path / "empty")).collect()
