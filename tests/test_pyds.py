@@ -145,3 +145,41 @@ def test_missing_path_errors(spark, tmp_path):
     pyds.register(spark)
     with pytest.raises(Exception, match="no XML files|FileNotFound"):
         spark.read.format("servicenow").load(str(tmp_path / "empty")).collect()
+
+
+def test_streaming_drop_directory_incremental_exactly_once(spark, tmp_path):
+    """readStream over the drop directory: run 1 ingests a.xml; b.xml
+    then lands and run 2 (same checkpoint) appends ONLY b's incidents
+    — no re-reads, and the union equals a batch read of both files."""
+    from vector_search_service_spark.sources import pyds
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    (drop / "a.xml").write_text(INCIDENTS_A)
+    pyds.register(spark)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run():
+        q = (
+            spark.readStream.format("servicenow").load(str(drop))
+            .writeStream.format("parquet")  # memory sink can't recover a checkpoint
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert spark.read.parquet(out).count() == 2  # a.xml's two incidents
+
+    (drop / "b.xml").write_text(INCIDENTS_B)
+    run()
+    got = spark.read.parquet(out)
+    assert got.count() == 3  # + b.xml's one, nothing re-read
+    batch = spark.read.format("servicenow").load(str(drop))
+    canon = lambda df: sorted(  # noqa: E731
+        tuple(r) for r in df.select(*pyds.FIELD_NAMES, "searchable_text").collect()
+    )
+    assert canon(got) == canon(batch)

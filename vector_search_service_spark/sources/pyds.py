@@ -26,7 +26,12 @@ import glob as _glob
 import os
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 from .xml import SEARCHABLE_FIELDS
 
@@ -103,9 +108,62 @@ class ServiceNowReader(DataSourceReader):
             )
 
 
+def _list_xml(path: str, row_tag: str) -> list[str]:
+    if os.path.isdir(path):
+        return sorted(_glob.glob(os.path.join(path, "**", "*.xml"), recursive=True))
+    return sorted(_glob.glob(path)) or ([path] if os.path.exists(path) else [])
+
+
+class ServiceNowStreamReader(SimpleDataSourceStreamReader):
+    """Streaming half of the source: an XML drop directory consumed
+    incrementally — each micro-batch reads the files not yet in the
+    checkpointed offset. The offset is the processed-file list
+    (adequate for drop-directory scale; a production variant would
+    carry a (mtime, name) high-watermark like Spark's file source so
+    the offset stays O(1)). Exactly-once across restarts comes from
+    Structured Streaming replaying the same offset range."""
+
+    def __init__(self, options: dict):
+        path = options.get("path")
+        if not path:
+            raise ValueError("servicenow source requires a path")
+        self.path = path
+        self.row_tag = options.get("rowTag", "incident")
+
+    def initialOffset(self) -> dict:
+        return {"files": []}
+
+    def read(self, start: dict):
+        seen = set(start.get("files", []))
+        new = [f for f in _list_xml(self.path, self.row_tag) if f not in seen]
+
+        import xml.etree.ElementTree as ET
+
+        # a LIST, not a generator: the simple-reader API prefetches on
+        # the driver and pickles the batch into the plan (fine for
+        # drop-directory batch sizes; the partition-based
+        # DataSourceStreamReader is the executor-side alternative)
+        rows = []
+        for f in new:
+            root = ET.parse(f).getroot()
+            elems = [root] if root.tag == self.row_tag else root.iter(self.row_tag)
+            for elem in elems:
+                rec = parse_incident(elem)
+                rows.append(
+                    tuple(rec[n] for n in FIELD_NAMES)
+                    + (searchable_text_of(rec), f)
+                )
+        return iter(rows), {"files": sorted(seen | set(new))}
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the streaming checkpoint
+
+
 class ServiceNowDataSource(DataSource):
-    """``spark.read.format("servicenow")`` — register once per session
-    with ``spark.dataSource.register(ServiceNowDataSource)``."""
+    """``spark.read.format("servicenow")`` (batch) and
+    ``spark.readStream.format("servicenow")`` (drop-directory stream)
+    — register once per session with
+    ``spark.dataSource.register(ServiceNowDataSource)``."""
 
     @classmethod
     def name(cls) -> str:
@@ -116,6 +174,9 @@ class ServiceNowDataSource(DataSource):
 
     def reader(self, schema) -> ServiceNowReader:
         return ServiceNowReader(self.options)
+
+    def simpleStreamReader(self, schema) -> ServiceNowStreamReader:
+        return ServiceNowStreamReader(self.options)
 
 
 def register(spark) -> None:
