@@ -62,3 +62,28 @@ def test_no_complex_output_columns(spark, spec):
         if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
     ]
     assert not bad, f"{spec.name}: complex-typed output columns {bad}"
+
+
+def test_load_table_pins_utc_session(spark):
+    """Timestamp parity is defined against UTC wall-clock (the DuckDB
+    oracle's naive-timestamp reading); a driver session inheriting a
+    non-UTC host TZ must be pinned back by the table loader or every
+    event-time query shifts (r3 TZ=America/New_York mimic catch)."""
+    from vector_search_service_spark.sources.tables import load_table
+
+    saved = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        df = load_table(spark, "/root/testdata/sf0.001", "events")
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        from pyspark.sql import functions as F
+
+        # epoch-ms of the min event must be TZ-invariant now
+        a = df.agg(F.min(F.unix_millis("ts"))).first()[0]
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        b = load_table(spark, "/root/testdata/sf0.001", "events").agg(
+            F.min(F.unix_millis("ts"))
+        ).first()[0]
+        assert a == b
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", saved)

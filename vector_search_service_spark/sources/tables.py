@@ -33,6 +33,15 @@ def sf_dir_from_env(default: str = DEFAULT_SF_DIR) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # The corpus's timestamps are UTC wall-clock and the DuckDB oracle
+    # treats naive timestamps as exactly that, so every timestamp
+    # expression (NTZ→LTZ casts, unix_millis, year/date_trunc) must
+    # run under a UTC session — a driver session inheriting a non-UTC
+    # host TZ would otherwise shift every event-time result (caught by
+    # a TZ=America/New_York mimic run, r3). Same session-conf channel
+    # the nanosAsLong fallback below already uses.
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         return _ntz_to_ltz(_load_events(spark, path))
