@@ -183,3 +183,61 @@ def test_streaming_drop_directory_incremental_exactly_once(spark, tmp_path):
         tuple(r) for r in df.select(*pyds.FIELD_NAMES, "searchable_text").collect()
     )
     assert canon(got) == canon(batch)
+
+
+def test_jsonl_manifest_sink_commit_protocol(spark, tmp_path):
+    """The custom write path: task files publish atomically on commit,
+    the manifest lands LAST with exact per-file counts, and the
+    exported lines round-trip through spark.read.json."""
+    import json
+    import os
+
+    from vector_search_service_spark.sources import pyds
+
+    pyds.register_sink(spark)
+    df = spark.range(100).selectExpr(
+        "id", "concat('doc-', id) AS name", "id % 3 AS grp"
+    ).repartition(4)
+    out = str(tmp_path / "export")
+    df.write.format("jsonl_manifest").mode("append").save(out)
+
+    manifest = json.load(open(os.path.join(out, "MANIFEST.json")))
+    assert manifest["total_rows"] == 100
+    assert sum(manifest["files"].values()) == 100
+    assert len(manifest["files"]) == 4
+    assert not os.path.exists(os.path.join(out, "_tmp"))
+
+    back = spark.read.json(f"{out}/part-*.jsonl")
+    assert back.count() == 100
+    assert sorted(tuple(r) for r in back.select("id", "name", "grp").collect()) == \
+        sorted(tuple(r) for r in df.select("id", "name", "grp").collect())
+
+
+def test_jsonl_manifest_sink_abort_leaves_no_manifest(spark, tmp_path):
+    """A failing task must abort the job with no manifest and no
+    committed shard files — readers keyed on MANIFEST.json see
+    nothing."""
+    import os
+
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from vector_search_service_spark.sources import pyds
+
+    pyds.register_sink(spark)
+
+    @F.udf("long")
+    def boom(v):
+        if v == 7:
+            raise RuntimeError("injected task failure")
+        return v
+
+    out = str(tmp_path / "export_fail")
+    df = spark.range(10).select(boom("id").alias("id")).repartition(2)
+    with _pytest.raises(Exception, match="injected task failure"):
+        df.write.format("jsonl_manifest").mode("append").save(out)
+    assert not os.path.exists(os.path.join(out, "MANIFEST.json"))
+    assert not any(
+        f.endswith(".jsonl") for f in (os.listdir(out) if os.path.exists(out) else [])
+    )

@@ -181,3 +181,101 @@ class ServiceNowDataSource(DataSource):
 
 def register(spark) -> None:
     spark.dataSource.register(ServiceNowDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Custom Python data sink: JSONL shards with a manifest commit protocol
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.datasource import (  # noqa: E402
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+
+
+class _JsonlCommit(WriterCommitMessage):
+    def __init__(self, tmp_path: str, final_name: str, n_rows: int):
+        self.tmp_path = tmp_path
+        self.final_name = final_name
+        self.n_rows = n_rows
+
+
+class JsonlManifestWriter(DataSourceWriter):
+    """The write half of the Python DataSource API, doing a real
+    two-phase commit: each task writes its partition to
+    ``_tmp/part-*.jsonl.inprogress`` on the (shared) target storage
+    and returns a commit message; ``commit()`` on the driver renames
+    every task file into place and writes ``MANIFEST.json`` LAST — a
+    reader that sees the manifest sees only complete, committed
+    shards (the content-aware ``_SUCCESS`` the functional sink
+    ``jsonl_sink.py`` documents). ``abort()`` removes the temp dir, so
+    a failed job leaves no partial export and no manifest."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        path = options.get("path")
+        if not path:
+            raise ValueError("jsonl_manifest sink requires a path")
+        self.path = path
+        self.overwrite = overwrite
+
+    def write(self, rows) -> _JsonlCommit:
+        import json
+        import uuid
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        tmp_dir = os.path.join(self.path, "_tmp")
+        os.makedirs(tmp_dir, exist_ok=True)
+        final_name = f"part-{pid:05d}.jsonl"
+        tmp = os.path.join(tmp_dir, f"{final_name}.{uuid.uuid4().hex}.inprogress")
+        n = 0
+        with open(tmp, "w") as f:
+            for row in rows:
+                d = row.asDict(recursive=True)
+                f.write(json.dumps(d, sort_keys=True, ensure_ascii=False))
+                f.write("\n")
+                n += 1
+        return _JsonlCommit(tmp, final_name, n)
+
+    def commit(self, messages) -> None:
+        import json
+        import shutil
+
+        os.makedirs(self.path, exist_ok=True)
+        files = {}
+        for m in messages:
+            if m is None:
+                continue
+            dst = os.path.join(self.path, m.final_name)
+            os.replace(m.tmp_path, dst)  # atomic publish per shard
+            files[m.final_name] = m.n_rows
+        shutil.rmtree(os.path.join(self.path, "_tmp"), ignore_errors=True)
+        manifest = {
+            "files": dict(sorted(files.items())),
+            "total_rows": sum(files.values()),
+        }
+        tmp = os.path.join(self.path, "MANIFEST.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=2, sort_keys=True)
+        os.replace(tmp, os.path.join(self.path, "MANIFEST.json"))
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(os.path.join(self.path, "_tmp"), ignore_errors=True)
+
+
+class JsonlManifestDataSource(DataSource):
+    """``df.write.format("jsonl_manifest").save(path)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_manifest"
+
+    def writer(self, schema, overwrite: bool) -> JsonlManifestWriter:
+        return JsonlManifestWriter(self.options, overwrite)
+
+
+def register_sink(spark) -> None:
+    spark.dataSource.register(JsonlManifestDataSource)
