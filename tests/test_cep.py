@@ -137,3 +137,47 @@ def test_streaming_abandonment_equals_batch_anti_join(spark, tmp_path):
         ev.filter(F.col("event_type") == "view").select("user_id").distinct().count()
     )
     assert 0 < got.count() < n_viewers
+
+
+def test_generic_four_step_sequence_stream_equals_batch(spark, tmp_path):
+    """The N-step generalization: a 4-step signup→view→click→purchase
+    chain, streamed out-of-order, must equal the batch min-after join
+    chain."""
+    from vector_search_service_spark.streaming.cep import (
+        batch_sequence_user_times,
+        streaming_sequence_matches,
+    )
+
+    steps = ("signup", "view", "click", "purchase")
+    ev = _events(spark)
+    src = tmp_path / "stream_src"
+    ev.repartition(4).write.parquet(str(src))
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    delay_days = 3650
+    sentinel_ts = max_ts + datetime.timedelta(days=2 * delay_days)
+    spark.createDataFrame(
+        [(int(-1), sentinel_ts, "view")],
+        "user_id long, ts timestamp, event_type string",
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        streaming_sequence_matches(stream, steps, watermark=f"{delay_days} days")
+        .writeStream.format("memory").queryName("cep_seq4")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = spark.table("cep_seq4").filter(F.col("user_id") >= 0)
+    want = batch_sequence_user_times(ev, steps)
+    canon = lambda df: sorted(  # noqa: E731
+        (r["user_id"], tuple(r["step_ts_ms"])) for r in df.collect()
+    )
+    assert canon(got) == canon(want)
+    assert got.count() > 0

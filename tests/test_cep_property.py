@@ -181,3 +181,54 @@ def test_abandon_fold_equals_reference_on_delivered(events, sizes, lag, within, 
     want = _ref_abandon(delivered, within)
     got = [tuple(t) for t in emitted]
     assert got == ([want] if want else [])
+
+
+def _ref_sequence(events, steps):
+    stages = []
+    for ts, et in sorted(events):
+        i = len(stages)
+        if i < len(steps) and et == steps[i] and (i == 0 or ts > stages[i - 1]):
+            stages.append(ts)
+    return (7, stages) if len(stages) == len(steps) else None
+
+
+def _ref_sequence_minafter(events, steps):
+    """Independent formulation: stage i = min ts of steps[i] strictly
+    after stage i-1 (the batch join chain)."""
+    prev = None
+    out = []
+    for s in steps:
+        cands = [ts for ts, et in events if et == s and (prev is None or ts > prev)]
+        if not cands:
+            return None
+        prev = min(cands)
+        out.append(prev)
+    return (7, out)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    events=events_strategy,
+    steps=st.sampled_from([
+        ("view", "purchase"),
+        ("signup", "view", "click", "purchase"),
+        ("view", "view", "click"),  # repetition pattern
+    ]),
+    sizes=st.lists(st.integers(min_value=0, max_value=8), min_size=1, max_size=6),
+    lag=st.integers(min_value=0, max_value=80),
+    seed=st.randoms(),
+)
+def test_generic_sequence_fold_equals_both_references(events, steps, sizes, lag, seed):
+    from vector_search_service_spark.streaming.cep import _make_sequence_fn
+
+    # widen the event-type alphabet to include signup
+    events = [
+        (ts, et if et != "error" else "signup") for ts, et in events
+    ]
+    seed.shuffle(events)
+    fn = _make_sequence_fn(steps, TTL)
+    emitted, delivered = _drive(fn, _split(events, sizes), [lag] * 99)
+    want = _ref_sequence(delivered, steps)
+    assert want == _ref_sequence_minafter(delivered, steps)  # formulations agree
+    got = [(t[0], list(t[1])) for t in emitted]
+    assert got == ([(want[0], want[1])] if want else [])

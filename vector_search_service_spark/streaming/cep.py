@@ -356,3 +356,131 @@ def batch_abandoned_first_view(events: DataFrame, *,
             (F.col("_t1_ms") + within_ms).alias("deadline_ms"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Generic N-step ordered sequences (the funnel generalized)
+# ---------------------------------------------------------------------------
+
+SEQ_OUT_SCHEMA = "user_id long, step_ts_ms array<long>"
+SEQ_STATE_SCHEMA = (
+    "stages array<long>, done boolean, pend_ts array<long>, pend_et array<string>"
+)
+
+
+def _make_sequence_fn(steps: tuple[str, ...], state_ttl_ms: int):
+    """Stage machine for an arbitrary-length ordered pattern: stage i
+    matches the FIRST steps[i] event strictly after stage i-1 (the
+    min-after chain — under the ascending watermark fold, first seen
+    == minimum). Duplicate step names express repetition patterns
+    ("A then A again")."""
+    k = len(steps)
+    if k < 2:
+        raise ValueError("sequence pattern needs >= 2 steps")
+    step_set = frozenset(steps)
+
+    def fn(key: Any, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        wm = state.getCurrentWatermarkMs()
+        if state.exists:
+            stages, done, pend_ts, pend_et = state.get
+            stages = list(stages)
+            pend = list(zip(pend_ts, pend_et))
+        else:
+            stages, done, pend = [], False, []
+
+        if state.hasTimedOut:
+            if not pend:
+                state.remove()
+                return
+            pdfs = iter(())
+
+        for pdf in pdfs:
+            for ts, et in zip(pdf["ts_ms"].tolist(), pdf["event_type"].tolist()):
+                if ts >= wm and et in step_set:
+                    pend.append((int(ts), et))
+
+        ripe = sorted(t for t in pend if t[0] <= wm)
+        pend = [t for t in pend if t[0] > wm]
+        out = None
+        for ts, et in ripe:
+            if done:
+                break
+            i = len(stages)
+            if i < k and et == steps[i] and (i == 0 or ts > stages[i - 1]):
+                stages.append(ts)
+                if len(stages) == k:
+                    done = True
+                    out = (int(key[0]), list(stages))
+
+        if not stages and not done and not pend:
+            if state.exists:
+                state.remove()
+        else:
+            state.update((stages, done,
+                          [t[0] for t in pend], [t[1] for t in pend]))
+            if pend:
+                state.setTimeoutTimestamp(max(min(t[0] for t in pend) + 1, wm + 1))
+            else:
+                state.setTimeoutTimestamp(wm + state_ttl_ms)
+        if out is not None:
+            yield pd.DataFrame([out], columns=["user_id", "step_ts_ms"])
+
+    return fn
+
+
+def streaming_sequence_matches(events: DataFrame, steps: tuple[str, ...], *,
+                               ts_col: str = "ts",
+                               watermark: str = "1 hour",
+                               state_ttl_ms: int = 7 * 24 * 3600 * 1000) -> DataFrame:
+    """Generic ordered-sequence CEP: one row per user whose full
+    ``steps`` chain the watermark finalized, carrying all stage
+    times. ``streaming_funnel_matches`` is the 3-step special case
+    with named columns."""
+    ev = (
+        events.withWatermark(ts_col, watermark)
+        .select(
+            "user_id",
+            F.unix_millis(F.col(ts_col)).alias("ts_ms"),
+            "event_type",
+            F.col(ts_col),
+        )
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _make_sequence_fn(tuple(steps), state_ttl_ms),
+        SEQ_OUT_SCHEMA,
+        SEQ_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def batch_sequence_user_times(events: DataFrame, steps: tuple[str, ...], *,
+                              ts_col: str = "ts") -> DataFrame:
+    """Batch recompute of the generic min-after chain (the parity
+    oracle): stage i = min ts of steps[i] strictly after stage i-1.
+    One user_id shuffle family, one stage per join round."""
+    if len(steps) < 2:
+        raise ValueError("sequence pattern needs >= 2 steps")
+    cur = (
+        events.filter(F.col("event_type") == steps[0])
+        .groupBy("user_id")
+        .agg(F.unix_millis(F.min(ts_col)).alias("t0"))
+    )
+    for i, s in enumerate(steps[1:], start=1):
+        prev_cols = [f"t{j}" for j in range(i)]
+        cur = (
+            events.filter(F.col("event_type") == s)
+            .select("user_id", F.unix_millis(F.col(ts_col)).alias("_c"))
+            .join(cur, "user_id")
+            .filter(F.col("_c") > F.col(f"t{i - 1}"))
+            .groupBy("user_id")
+            .agg(
+                F.min("_c").alias(f"t{i}"),
+                *[F.first(c).alias(c) for c in prev_cols],
+            )
+        )
+    return cur.select(
+        "user_id",
+        F.array(*[f"t{j}" for j in range(len(steps))]).alias("step_ts_ms"),
+    )
