@@ -64,6 +64,11 @@ def main() -> int:
     # session noise (the r2 vector_topk 0.97s blip was n=2).
     timings: dict[str, float] = {}
     for name in names:
+        # drain accumulated JVM garbage before timing: in a 34-query
+        # session, GC debt from earlier queries lands on whoever runs
+        # next (observed as position-dependent 2x blips on sub-second
+        # queries that measure flat in isolation)
+        spark.sparkContext._jvm.System.gc()
         best = float("inf")
         n = 0
         for _ in range(3):
