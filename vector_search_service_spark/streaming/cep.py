@@ -265,12 +265,17 @@ def _make_abandon_fn(start_step: str, convert_step: str, within_ms: int,
             emitted = True
             out = (int(key[0]), t1, t1 + within_ms)
 
-        if not pend and (emitted or converted or t1 == _UNSET):
-            # outcome decided, or nothing tracked at all: evict / never
-            # materialize (state holds only undecided watchers)
+        if not pend and t1 == _UNSET and not emitted and not converted:
+            # nothing tracked at all: never materialize state
             if state.exists:
                 state.remove()
         else:
+            # decided (emitted/converted) state is KEPT until TTL —
+            # evicting it immediately would let a later view restart
+            # tracking and emit a SECOND abandonment for the user
+            # (caught by the property harness); the one-row-per-user
+            # contract holds for the TTL horizon, like the funnel's
+            # done-state
             state.update((t1, converted, emitted,
                           [t[0] for t in pend], [t[1] for t in pend]))
             if pend:
