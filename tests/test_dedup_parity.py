@@ -179,3 +179,42 @@ def test_incremental_minhash_index_equals_batch_recompute(spark, tmp_path):
         for r in minhash_lsh_pairs(docs, jaccard_threshold=0.8).collect()
     }
     assert incremental == full and len(full) > 0
+
+
+def test_band_keys_parity_on_adversarial_unicode(spark):
+    """The corpus parity tests run over ASCII-ish synthetic text; this
+    pins UDF == expression on adversarial inputs — multibyte unicode
+    (UTF-8 encoding must agree between Python's str.encode and the
+    JVM's md5 of the string), empty/whitespace docs, boundary-char
+    soup, very short and repetitive texts, and non-uniform band
+    widths in the vectorized permutation path."""
+    import random
+
+    from vector_search_service_spark.operators.dedup import band_keys_udf
+
+    rng = random.Random(42)
+    alphabet = "ab .,!?\n\tüßλ中文🙂éאב"
+    texts = [""] + [" \n\t "] + ["a"] + ["中"] + [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 120)))
+        for _ in range(60)
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+
+    for bands in (DEFAULT_BANDS, ((1, 2, 3), (4,), (5, 6))):
+        got = {
+            r["doc_id"]: r["k"]
+            for r in df.select("doc_id", band_keys_udf(bands)("text").alias("k")).collect()
+        }
+        want = {
+            r["doc_id"]: [r[f"b{i}"] for i in range(len(bands))]
+            for r in df.withColumn(
+                "_h", shingle_hashes_col(
+                    F.array_distinct(shingles_col(words_col(F.col("text")))))
+            ).select(
+                "doc_id",
+                *[band_key_from_hashes_col(F.col("_h"), seeds).alias(f"b{i}")
+                  for i, seeds in enumerate(bands)],
+            ).collect()
+        }
+        assert got == want
