@@ -12,6 +12,7 @@ so a pass here strongly predicts a driver hash-match.
 from __future__ import annotations
 
 import math
+import struct
 from typing import Any
 
 TABLES = (
@@ -34,7 +35,12 @@ def _norm_cell(v: Any) -> Any:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return v
+        # Canonicalize by IEEE-754 bit pattern so the mirror is at least
+        # as strict as the driver's byte-level value hash: Python's
+        # ``-0.0 == 0.0`` is True, but their bytes differ — exactly the
+        # class of mismatch that produced round 3's one red driver row
+        # (``vector_threshold``, VERDICT r3 "What's wrong" #1/#2).
+        return struct.pack(">d", v)
     if isinstance(v, (list, tuple)):
         return tuple(_norm_cell(x) for x in v)
     return v

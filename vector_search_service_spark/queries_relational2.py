@@ -51,14 +51,20 @@ d AS (
               * sqrt(list_inner_product(qv, qv)))) AS dist
   FROM embeddings, q
 )
-SELECT vec_id, label, round(dist, 6) AS distance_r
+SELECT vec_id, label, round(greatest(dist, 0.0), 6) AS distance_r
 FROM d WHERE dist <= 0.8 ORDER BY vec_id
 """,
 )
 def q_vector_threshold(spark, sf_dir):
     """θ-predicate on cosine distance (P6,
     ``src/core/vector_store.py:294-298``): all vectors within distance
-    0.8 of vector 0 — a filter, not a top-k."""
+    0.8 of vector 0 — a filter, not a top-k.
+
+    Both sides clamp ``greatest(dist, 0.0)`` before rounding: cosine
+    distance is mathematically ≥ 0, but the self-distance row carries a
+    ±ulp-of-zero residual and DuckDB rounds its tiny *negative* residual
+    to ``-0.0`` where Spark emits ``+0.0`` — equal under ``==``, distinct
+    under the driver's byte-level hash (the one red row of round 3)."""
     emb = load_table(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
@@ -68,7 +74,10 @@ def q_vector_threshold(spark, sf_dir):
         emb.crossJoin(F.broadcast(qv))
         .withColumn("dist", d)
         .filter(F.col("dist") <= 0.8)
-        .select("vec_id", "label", F.round("dist", 6).alias("distance_r"))
+        .select(
+            "vec_id", "label",
+            F.round(F.greatest(F.col("dist"), F.lit(0.0)), 6).alias("distance_r"),
+        )
         .orderBy("vec_id")
     )
 
