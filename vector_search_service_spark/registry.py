@@ -42,61 +42,12 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # (registry − ∪ CORRECTNESS_r*.json keys), oracled entries first.
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # round-3 window (50): never-driver-checked oracled entries
-    "projection_rename_iso",
+    # ---- round-4 window (50), re-derived per VERDICT r3 next-round #1 ----
+    # position 1: the round-3 red row, fixed (signed-zero clamp) — must
+    # re-grade green
     "vector_threshold",
-    "set_operations",
-    "window_rank_per_group",
-    "window_lead_lag_cumsum",
-    "pivot_status_counts",
-    "rollup_counts",
-    "multi_distinct_agg",
-    "exists_semi_join",
-    "not_exists_anti",
-    "scalar_subquery_avg",
-    "having_join_topk",
-    "correlated_min_joinback",
-    "sole_fault_supplier",
-    "promo_revenue_ratio",
-    "volume_by_nation_pair",
-    "market_share_by_year",
-    "important_part_value",
-    "small_qty_revenue",
-    "disjunctive_pushdown",
-    "idle_customer_balance",
-    "asof_join_events",
-    "range_join_pairs",
-    "timeseries_gapfill",
-    "salted_group_agg",
-    "events_tumbling_hourly",
-    "events_sessions",
-    "events_status_filter",
-    "events_retention_filter",
-    "events_progress",
-    "sketch_distinct_tolerance",
-    "sketch_heavy_hitters",
-    "sketch_quantile_tolerance",
-    "table_profile",
-    "value_histogram",
-    "embedding_dim_stats",
-    "exact_correlation",
-    "hash_split_train_test",
-    "per_stratum_sample",
-    "range_shards",
-    "mixture_token_sample",
-    "lang_id",
-    "quality_score",
-    "token_count",
-    "doc_fingerprint",
-    "json_props_stats",
-    "variant_props_stats",
-    "repetition_signals",
-    "domain_top_k",
-    "sequence_pack_spans",
-    # round-4 candidates (51+): new-this-round + remaining never-checked
-    # rows-only entries. (The never-checked tier=extra variants are NOT
-    # listed here — _EXTRA_TIER deliberately sorts them last, locally
-    # pinned by tests/test_oracle_parity.py.)
+    # positions 2-11: the 10 oracled entries never driver-graded (landed
+    # after the r3 window was frozen)
     "fts_probe_topk",
     "funnel_user_times",
     "importance_ratio_topk",
@@ -107,9 +58,57 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "top_revenue_supplier",
     "supplier_diversity_by_part",
     "dominant_part_suppliers",
+    # positions 12-15: new round-4 oracled surface — full-probe ANN
+    # exactness modes (judge r3 #3), the quality-model calibration curve
+    # (judge r3 #8), and the stateful streaming CEP replay (judge r3 #4)
     "pq_ann_topk",
     "ivf_pq_topk",
-    "quality_model_scores",
+    "quality_model_calibration",
+    "cep_funnel_stream",
+    # positions 16-50: headline + LLM-pipeline re-confirmation backfill
+    # (bench HEADLINE set first, then the dedup/curation/ANN/FTS family)
+    "fts_topk",
+    "fts_match_count_by_lang",
+    "vector_topk",
+    "count_per_group",
+    "decimal_exact_revenue",
+    "semi_join_resolve",
+    "content_stats",
+    "scalar_subquery_avg",
+    "range_join_pairs",
+    "hash_split_train_test",
+    "sole_fault_supplier",
+    "decontaminate_overlap",
+    "timeseries_gapfill",
+    "exact_dedup_groups",
+    "minhash_lsh_dedup",
+    "simhash_dedup",
+    "ngram_jaccard_dedup",
+    "embedding_near_dup",
+    "dedup_components",
+    "dedup_canonical_pick",
+    "fuzzy_blocked_pairs",
+    "curate_corpus",
+    "bm25_topk",
+    "duplicate_ngram_spans",
+    "unigram_logprob",
+    "boilerplate_ngrams",
+    "pii_scrub",
+    "embed_documents",
+    "chunker_windows",
+    "ann_lsh_topk",
+    "hybrid_rrf_topk",
+    "fts_indexed_topk",
+    "maxsim_topk",
+    "tpch_q1_full",
+    "point_lookup",
+    # ---- positions 51+ (not graded this round) ----
+    # The 3 rows-only canonical entries stay OUT of the window: the
+    # driver has twice demonstrated (r1/r2 `no_oracle` rows) that it
+    # errors rather than rows-only-checks oracle-less entries. Their
+    # families are now driver-visible through the oracled full-probe /
+    # calibration entries above; the approximate configs remain pinned
+    # by tests/test_pq.py, test_ann_ivf.py, test_quality_model.py.
 )
 
 # Registry hygiene (judge r2 #7): near-duplicate / variant shapes that stay
@@ -135,6 +134,8 @@ _EXTRA_TIER: frozenset[str] = frozenset({
     "media_frame_sample",      # variant of media_decode_stats
     "quantized_vector_topk",   # tier variant of vector_topk (recall-pinned)
     "ann_bucket_histogram",    # diagnostics for ann_lsh_topk
+    "pq_ann_approx_topk",      # production PQ config (rows-only; recall-pinned)
+    "ivf_pq_approx_topk",      # production IVF-PQ config (rows-only; recall-pinned)
 })
 
 
