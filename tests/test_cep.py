@@ -181,3 +181,54 @@ def test_generic_four_step_sequence_stream_equals_batch(spark, tmp_path):
     )
     assert canon(got) == canon(want)
     assert got.count() > 0
+
+
+def test_abandon_decided_state_evicted_at_ttl():
+    """Advice r3: DECIDED abandonment state (absence emitted, or
+    converted) must be evicted when its TTL timer fires, not re-armed
+    forever — otherwise every decided user's state lives for the
+    lifetime of an unbounded stream. Driven through FakeGroupState so
+    the timer sequence is explicit: pend-ripen wake-up → deadline
+    emission (state kept, TTL armed) → TTL wake-up (state removed)."""
+    import pandas as pd
+
+    from tests.test_cep_property import FakeGroupState
+    from vector_search_service_spark.streaming.cep import _make_abandon_fn
+
+    within, ttl = 100, 1000
+    fn = _make_abandon_fn("view", "purchase", within, ttl)
+
+    # --- absence path -----------------------------------------------------
+    state = FakeGroupState()
+    state._wm = 0
+    pdf = pd.DataFrame([(10, "view")], columns=["ts_ms", "event_type"])
+    assert list(fn((7,), iter([pdf]), state)) == []
+    assert state.exists
+
+    state._wm, state.hasTimedOut = 11, True  # ripen the pending view
+    assert list(fn((7,), iter(()), state)) == []
+    assert state.exists and state._timeout == 10 + within + 1
+
+    state._wm = 10 + within + 1  # deadline passed: absence emits
+    emitted = [r for out in fn((7,), iter(()), state)
+               for r in out.itertuples(index=False)]
+    assert len(emitted) == 1 and emitted[0].t1_ms == 10
+    assert state.exists, "decided state is retained until TTL"
+    assert state._timeout == state._wm + ttl
+
+    state._wm = state._timeout  # TTL fires: decided state evicted
+    assert list(fn((7,), iter(()), state)) == []
+    assert not state.exists, "TTL wake-up must evict decided state"
+
+    # --- converted path ---------------------------------------------------
+    state = FakeGroupState()
+    state._wm = 0
+    pdf = pd.DataFrame([(10, "view"), (50, "purchase")],
+                       columns=["ts_ms", "event_type"])
+    assert list(fn((7,), iter([pdf]), state)) == []
+    state._wm, state.hasTimedOut = 60, True  # ripen both; converts
+    assert list(fn((7,), iter(()), state)) == []
+    assert state.exists and state._timeout == 60 + ttl
+    state._wm = state._timeout
+    assert list(fn((7,), iter(()), state)) == []
+    assert not state.exists, "converted state must also evict at TTL"

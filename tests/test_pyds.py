@@ -241,3 +241,107 @@ def test_jsonl_manifest_sink_abort_leaves_no_manifest(spark, tmp_path):
     assert not any(
         f.endswith(".jsonl") for f in (os.listdir(out) if os.path.exists(out) else [])
     )
+
+
+def test_jsonl_manifest_sink_overwrite_removes_stale_shards(spark, tmp_path):
+    """mode('overwrite') after a LARGER previous export must not leave
+    stale part files beside the new manifest (advice r3): glob readers
+    (spark.read.json on part-*.jsonl) would mix old and new data."""
+    import json
+    import os
+
+    from vector_search_service_spark.sources import pyds
+
+    pyds.register_sink(spark)
+    out = str(tmp_path / "export_ow")
+    spark.range(100).selectExpr("id").repartition(8).write \
+        .format("jsonl_manifest").mode("append").save(out)
+    assert len(json.load(open(os.path.join(out, "MANIFEST.json")))["files"]) == 8
+
+    spark.range(5).selectExpr("id + 1000 AS id").repartition(2).write \
+        .format("jsonl_manifest").mode("overwrite").save(out)
+
+    manifest = json.load(open(os.path.join(out, "MANIFEST.json")))
+    assert manifest["total_rows"] == 5
+    on_disk = sorted(f for f in os.listdir(out) if f.endswith(".jsonl"))
+    assert on_disk == sorted(manifest["files"]), "stale shards survived overwrite"
+    back = spark.read.json(f"{out}/part-*.jsonl")
+    assert sorted(r["id"] for r in back.collect()) == [1000, 1001, 1002, 1003, 1004]
+
+
+def test_partition_stream_reader_is_default_and_simple_on_option(tmp_path):
+    """streamReader() (executor-side partition reader) is the default
+    scale path; option simpleReader=true routes dispatch back to the
+    Simple driver-prefetch reader via the documented
+    PySparkNotImplementedError fallback."""
+    from pyspark.errors import PySparkNotImplementedError
+
+    from vector_search_service_spark.sources.pyds import (
+        ServiceNowDataSource,
+        ServiceNowPartitionStreamReader,
+    )
+
+    ds = ServiceNowDataSource(options={"path": str(tmp_path)})
+    assert isinstance(ds.streamReader(None), ServiceNowPartitionStreamReader)
+
+    forced = ServiceNowDataSource(
+        options={"path": str(tmp_path), "simpleReader": "true"}
+    )
+    with pytest.raises(PySparkNotImplementedError):
+        forced.streamReader(None)
+
+
+def test_partition_stream_offset_bounded_and_replay_deterministic(tmp_path):
+    """The partition reader's offset is a (mtime, names-at-tick)
+    high-watermark: its size is O(files in the newest mtime tick), not
+    O(all files processed); ranges re-derive the same file sets
+    (replay determinism); late files behind a committed watermark are
+    excluded (the documented trade-off)."""
+    import os
+
+    from vector_search_service_spark.sources.pyds import (
+        ServiceNowPartitionStreamReader,
+    )
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    for i in range(10):
+        f = drop / f"f{i:02d}.xml"
+        f.write_text(INCIDENTS_A)
+        os.utime(f, ns=(i * 10**9, i * 10**9))  # distinct mtime ticks
+
+    r = ServiceNowPartitionStreamReader({"path": str(drop)})
+    start = r.initialOffset()
+    end = r.latestOffset()
+    # offset carries ONLY the newest tick's names, not all 10 files
+    assert end["names"] == [str(drop / "f09.xml")]
+    parts = r.partitions(start, end)
+    assert len(parts) == 10  # first batch: everything
+    assert r.partitions(end, end) == []  # no progress -> empty batch
+
+    # two files land in the SAME newer tick; offsets stay tick-sized
+    for name in ("g0.xml", "g1.xml"):
+        f = drop / name
+        f.write_text(INCIDENTS_B)
+        os.utime(f, ns=(20 * 10**9, 20 * 10**9))
+    end2 = r.latestOffset()
+    assert sorted(os.path.basename(n) for n in end2["names"]) == ["g0.xml", "g1.xml"]
+    batch2 = r.partitions(end, end2)
+    assert sorted(os.path.basename(p.path) for p in batch2) == ["g0.xml", "g1.xml"]
+    # replay the same committed range: identical file set
+    assert [p.path for p in r.partitions(end, end2)] == [p.path for p in batch2]
+
+    # a LATE file with an mtime behind the committed watermark is
+    # never selected by any later range — documented watermark trade-off
+    late = drop / "late.xml"
+    late.write_text(INCIDENTS_B)
+    os.utime(late, ns=(5 * 10**9, 5 * 10**9))
+    end3 = r.latestOffset()
+    assert all(
+        os.path.basename(p.path) != "late.xml"
+        for p in r.partitions(end2, end3)
+    )
+
+    # executor-side read parses one file per partition
+    rows = list(r.read(batch2[0]))
+    assert rows and all(row[-1] == batch2[0].path for row in rows)

@@ -266,11 +266,13 @@ ORDER BY s_suppkey
 """,
 )
 def q_dominant_part_suppliers(spark, sf_dir):
-    """Q20 shape (availqty threshold := majority of a part's shipped
-    volume — this corpus has no partsupp): suppliers who shipped more
-    than a fifth of some part's total quantity (the corpus's supplier
-    shares top out at ~25%, so a majority threshold selects nobody), selected by a semi join
-    over a two-level nested aggregate. The per-part total is a window
+    """Q20 shape (this corpus has no partsupp, so the availqty
+    predicate becomes a shipped-share threshold): suppliers who shipped
+    more than a FIFTH of some part's total quantity, selected by a semi
+    join over a two-level nested aggregate. (An earlier majority->50%
+    variant was replaced: supplier shares in this corpus top out at
+    ~25%, so any threshold above that selects nobody and proves
+    nothing; one fifth keeps the result set non-trivial.) The per-part total is a window
     sum over the (part, supplier) rollup — NOT a re-aggregate joined
     back, which would plan TWO scans of the fact table (the shape this
     replaced; the plan test pins single-scan). Exchanges touch only

@@ -238,6 +238,10 @@ def _make_abandon_fn(start_step: str, convert_step: str, within_ms: int,
             pend = list(zip(pend_ts, pend_et))
         else:
             t1, converted, emitted, pend = _UNSET, False, False, []
+        # decided-ness as PERSISTED before this invocation: a timeout
+        # arriving on already-decided state is the TTL timer (the only
+        # timer armed for that shape), not a ripen/deadline wake-up
+        was_decided = converted or emitted
 
         if state.hasTimedOut:
             pdfs = iter(())  # wake-up only: the deadline/ripen check below runs
@@ -265,6 +269,19 @@ def _make_abandon_fn(start_step: str, convert_step: str, within_ms: int,
             emitted = True
             out = (int(key[0]), t1, t1 + within_ms)
 
+        if state.hasTimedOut and not pend and was_decided:
+            # TTL eviction for DECIDED state (advice r3): this wake-up
+            # is the ``wm + state_ttl_ms`` timer armed when the user was
+            # decided (converted, or absence already emitted) with
+            # nothing pending — the re-emission guard has now held for
+            # the full TTL horizon. Re-arming again (the pre-r4
+            # behavior) would retain every decided user forever:
+            # unbounded state on an unbounded stream. Mirrors the
+            # funnel/sequence operators' pend-empty timeout eviction;
+            # after eviction a later view may legitimately restart
+            # tracking (the documented retained-until-TTL contract).
+            state.remove()
+            return
         if not pend and t1 == _UNSET and not emitted and not converted:
             # nothing tracked at all: never materialize state
             if state.exists:
