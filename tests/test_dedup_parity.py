@@ -9,26 +9,35 @@ from pyspark.sql import functions as F
 
 from vector_search_service_spark.functions.hashing import (
     band_key_from_hashes_col,
-    shingle_hashes_col,
+    hashed_shingles_col,
     shingles_col,
     simhash16_col,
     token_digests_col,
+    token_hashes_col,
     words_col,
 )
 from vector_search_service_spark.operators.dedup import (
     DEFAULT_BANDS,
     band_keys_udf,
+    hashed_shingle_set_udf,
     shingle_set_udf,
     simhash16_udf,
 )
 from vector_search_service_spark.sources.tables import load_table
 
 
+def _expr_hashed_set(text_col):
+    """The r4 rolling-hash shingle-set expression pipeline (defines
+    the oracle SQL; the UDFs must match it bit-for-bit)."""
+    return F.array_sort(F.array_distinct(
+        hashed_shingles_col(token_hashes_col(words_col(text_col)))
+    ))
+
+
 def test_band_keys_udf_matches_expression(spark):
     docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(100)
     expr_df = (
-        docs.withColumn("_sh", F.array_distinct(shingles_col(words_col(F.col("text")))))
-            .withColumn("_h", shingle_hashes_col(F.col("_sh")))
+        docs.withColumn("_h", _expr_hashed_set(F.col("text")))
             .select(
                 "doc_id",
                 F.array(*[
@@ -42,7 +51,24 @@ def test_band_keys_udf_matches_expression(spark):
     assert expr == udf
 
 
+def test_hashed_shingle_set_udf_matches_expression(spark):
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(100)
+    expr = {
+        r["doc_id"]: list(r["sh"])
+        for r in docs.select("doc_id", _expr_hashed_set(F.col("text")).alias("sh")).collect()
+    }
+    udf = {
+        r["doc_id"]: list(r["sh"])
+        for r in docs.select(
+            "doc_id", hashed_shingle_set_udf()(F.col("text")).alias("sh")
+        ).collect()
+    }
+    assert expr == udf
+
+
 def test_shingle_set_udf_matches_expression(spark):
+    """String-shingle sets still back the n-gram Jaccard verifier
+    family (ngram_jaccard_dedup / components / canonical_pick)."""
     docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(100)
     expr = {
         r["doc_id"]: sorted(r["sh"])
@@ -208,10 +234,7 @@ def test_band_keys_parity_on_adversarial_unicode(spark):
         }
         want = {
             r["doc_id"]: [r[f"b{i}"] for i in range(len(bands))]
-            for r in df.withColumn(
-                "_h", shingle_hashes_col(
-                    F.array_distinct(shingles_col(words_col(F.col("text")))))
-            ).select(
+            for r in df.withColumn("_h", _expr_hashed_set(F.col("text"))).select(
                 "doc_id",
                 *[band_key_from_hashes_col(F.col("_h"), seeds).alias(f"b{i}")
                   for i, seeds in enumerate(bands)],

@@ -8,9 +8,10 @@ shapes:
 - **exact**: hash → groupBy. One shuffle on a high-cardinality
   uniformly-distributed key (sha256) — the best-case shuffle; AQE
   coalesces post-shuffle partitions.
-- **MinHash LSH**: shingle → one md5 per shingle → k integer
+- **MinHash LSH**: one md5 per TOKEN → k-window Horner rolling
+  shingle hashes (no shingle strings built; r4) → k integer
   permutations → band keys → explode → self-join per band bucket →
-  Jaccard verify. The join is on band keys, whose fan-out is bounded
+  Jaccard verify on the hashed shingle sets. The join is on band keys, whose fan-out is bounded
   by bucket size, not corpus size: at 100 TB you never compare all
   pairs, only within-bucket pairs. Hot buckets (boilerplate text) are
   the classic skew source — AQE skew-join splitting handles moderate
@@ -43,7 +44,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.hashing import MINHASH_P, _perm_coeffs, jaccard_col
+from ..functions.hashing import MINHASH_P, ROLL_C, _perm_coeffs, jaccard_col
 
 
 def exact_dedup(df: DataFrame, *, text_col: str = "text",
@@ -74,10 +75,79 @@ def _shingle_set(text: str, k: int = 3) -> set[str]:
     return {" ".join(w[i:i + k]) for i in range(n)}
 
 
+def _token_hashes_np(text: str, np):
+    """Token hashes, low 31 bits of md5 mod P — the vectorized mirror
+    of ``functions.hashing.token_hashes_col`` (int(hexdigest()[:8],
+    16) == big-endian digest()[:4]: same value, no hex-string
+    detour). Single-doc path; the Arrow-batch UDFs use
+    ``_batch_token_hash_arrays`` instead."""
+    md5 = hashlib.md5
+    w = [t for t in _SPLIT.split((text or "").lower()) if t]
+    if not w:
+        return np.empty(0, dtype=np.uint64)
+    buf = b"".join(md5(t.encode()).digest()[:4] for t in w)
+    return (
+        np.frombuffer(buf, dtype=">u4").astype(np.uint64) % (1 << 31)
+    ) % np.uint64(MINHASH_P)
+
+
+def _batch_token_hash_arrays(texts, np) -> list:
+    """Token-hash arrays for a whole Arrow batch at once: tokenize,
+    ``pd.factorize`` the flat token stream (C-level), md5 ONCE per
+    distinct token in the batch, then a vectorized gather back to
+    per-occurrence hashes. The corpus vocabulary is far smaller than
+    the token stream (stopwords repeat in every document), and md5()
+    cost is per CALL, not per byte — this is where the rolling-hash
+    contract's digest savings actually land (measured: the per-token
+    Python loop was the band-keys hot spot, not the digest bytes)."""
+    md5 = hashlib.md5
+    tok_lists = [
+        [t for t in _SPLIT.split((x or "").lower()) if t] for x in texts
+    ]
+    flat = [t for lst in tok_lists for t in lst]
+    if not flat:
+        return [np.empty(0, dtype=np.uint64) for _ in tok_lists]
+    codes, uniques = pd.factorize(flat)
+    uh = np.fromiter(
+        (int.from_bytes(md5(u.encode()).digest()[:4], "big") for u in uniques),
+        dtype=np.uint64,
+        count=len(uniques),
+    ) % np.uint64(1 << 31) % np.uint64(MINHASH_P)
+    th_all = uh[codes]
+    out, pos = [], 0
+    for lst in tok_lists:
+        out.append(th_all[pos:pos + len(lst)])
+        pos += len(lst)
+    return out
+
+
+def _hashed_shingles_np(th, k: int, np):
+    """Vectorized k-window Horner rolling hashes, mirror of
+    ``functions.hashing.hashed_shingles_col`` — empty docs pin to the
+    single shingle 0, short docs fold all their tokens (acc·C < 2^52:
+    exact in uint64)."""
+    C, P = np.uint64(ROLL_C), np.uint64(MINHASH_P)
+    n = int(th.size)
+    if n == 0:
+        return np.zeros(1, dtype=np.uint64)
+    if n < k:
+        acc = np.uint64(0)
+        for j in range(n):
+            acc = (acc * C + th[j]) % P
+        return np.array([acc], dtype=np.uint64)
+    acc = th[: n - k + 1].copy()
+    for j in range(1, k):
+        acc = (acc * C + th[j : j + n - k + 1]) % P
+    return acc
+
+
 def band_keys_udf(bands: tuple[tuple[int, ...], ...] = DEFAULT_BANDS, k: int = 3):
     """Arrow-batched band keys: array of one md5-hex key per band,
-    value-identical to the expression pipeline (shingle md5 low 31
-    bits → (a·h+b) mod p minhash → md5 of the joined band values)."""
+    value-identical to the expression pipeline (token md5 low 31 bits
+    → k-window Horner rolling shingle hash → (a·h+b) mod p minhash →
+    md5 of the joined band values). r4 moved the digest work from one
+    md5 per shingle STRING to one md5 per token (~k× fewer digest
+    bytes, no join-the-words string building)."""
     import numpy as np
 
     coeffs = [[_perm_coeffs(s) for s in band] for band in bands]
@@ -99,24 +169,38 @@ def band_keys_udf(bands: tuple[tuple[int, ...], ...] = DEFAULT_BANDS, k: int = 3
     def keys(texts: pd.Series) -> pd.Series:
         md5 = hashlib.md5
 
-        def one(text: str) -> list[str]:
-            # int(hexdigest()[:8], 16) == big-endian digest()[:4] —
-            # same value, no hex-string detour; frombuffer turns the
-            # concatenated 4-byte prefixes into the hash vector with
-            # zero per-shingle Python int work
-            hs = np.frombuffer(
-                b"".join(md5(s.encode()).digest()[:4] for s in _shingle_set(text, k)),
-                dtype=">u4",
-            ).astype(np.uint64) % (1 << 31)
+        def one(th) -> list[str]:
+            hs = np.unique(_hashed_shingles_np(th, k, np))
             mins = ((_A * hs[None, :] + _B) % _P).min(axis=1)
             return [
                 md5("|".join(str(int(m)) for m in mins[lo:hi]).encode()).hexdigest()
                 for lo, hi in zip(_edges, _edges[1:])
             ]
 
-        return texts.map(one)
+        return pd.Series(
+            [one(th) for th in _batch_token_hash_arrays(texts, np)],
+            index=texts.index,
+        )
 
     return keys
+
+
+def hashed_shingle_set_udf(k: int = 3):
+    """Sorted distinct rolling shingle hashes per doc (the Jaccard
+    verify representation: 8-byte ints instead of shingle strings)."""
+    import numpy as np
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sh(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                np.unique(_hashed_shingles_np(th, k, np)).astype(np.int64).tolist()
+                for th in _batch_token_hash_arrays(texts, np)
+            ],
+            index=texts.index,
+        )
+
+    return sh
 
 
 def shingle_set_udf(k: int = 3):
@@ -159,7 +243,10 @@ def shingle_hashes64_udf(k: int = 3):
 
 def minhash_band_keys(df: DataFrame, *, text_col: str = "text",
                       bands: tuple[tuple[int, ...], ...] = DEFAULT_BANDS) -> DataFrame:
-    """Per-document LSH band keys: (…, band, band_key)."""
+    """Per-document LSH band keys: (…, band, band_key). (The optimizer
+    prunes unused child columns through the Generate on its own — an
+    explicit pre-explode drop(text) was A/B-measured SLOWER at sf0.1,
+    0.96s vs 0.71s, by forcing an extra projection stage.)"""
     return (
         df.select("*", F.posexplode(band_keys_udf(bands)(F.col(text_col))))
           .withColumnRenamed("pos", "band")
@@ -228,14 +315,15 @@ def minhash_lsh_pairs(df: DataFrame, *, text_col: str = "text",
     )
     # verification: filter FIRST (broadcast semi-join on the rare
     # candidate ids), THEN compute shingles — the UDF touches only
-    # candidate rows, not the corpus
+    # candidate rows, not the corpus; the hashed-set representation
+    # (8-byte ints) keeps the Jaccard intersect off strings entirely
     def _sh_side(alias: str) -> DataFrame:
         ids = pairs.select(F.col(alias).alias(id_col)).distinct()
         return (
             df.join(F.broadcast(ids), id_col, "left_semi")
               .select(
                   F.col(id_col).alias(alias),
-                  shingle_set_udf()(F.col(text_col)).alias(f"sh_{alias[-1]}"),
+                  hashed_shingle_set_udf()(F.col(text_col)).alias(f"sh_{alias[-1]}"),
               )
         )
 

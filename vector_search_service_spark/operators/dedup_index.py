@@ -32,7 +32,7 @@ from .dedup import (
     DEFAULT_BANDS,
     DEFAULT_MAX_BUCKET,
     minhash_band_keys,
-    shingle_set_udf,
+    hashed_shingle_set_udf,
 )
 
 
@@ -98,8 +98,9 @@ class MinHashIndexStore:
     def verify_pairs(self, pairs: DataFrame, corpus: DataFrame, *,
                      text_col: str = "text", id_col: str = "doc_id",
                      jaccard_threshold: float = 0.8) -> DataFrame:
-        """Exact shingle-Jaccard verification against the corpus store
-        (candidates only behind broadcast semi-joins — same shape as
+        """Exact hashed-shingle-Jaccard verification against the
+        corpus store (r4 rolling-hash representation; candidates only
+        behind broadcast semi-joins — same shape as
         ``minhash_lsh_pairs``)."""
         pairs = pairs.localCheckpoint(eager=False)
 
@@ -108,7 +109,7 @@ class MinHashIndexStore:
             return (
                 corpus.join(F.broadcast(ids), id_col, "left_semi")
                       .select(F.col(id_col).alias(alias),
-                              shingle_set_udf()(F.col(text_col)).alias(f"sh_{alias[-1]}"))
+                              hashed_shingle_set_udf()(F.col(text_col)).alias(f"sh_{alias[-1]}"))
             )
 
         return (
