@@ -36,5 +36,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable oracle SQL per query; omitted entries are the
-    consciously non-SQL-expressible ops (driver does rows-only)."""
+    consciously non-SQL-expressible ops. (Observed driver behavior,
+    r1/r2: oracle-less entries record an ``err: no_oracle`` row rather
+    than a rows-only check — so the registry keeps every such entry
+    OUT of the 50-entry driver window and gives each family an oracled
+    sibling instead; see ``registry._DRIVER_PRIORITY``.)"""
     return _registry.oracle_sql()

@@ -22,10 +22,13 @@ from tests.oracle_harness import compare, register_duck_views
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    # the driver's own session: plain defaults per the driver prompt
+    # the driver's own session: plain defaults per the driver prompt.
+    # MIMIC_MASTER/MIMIC_SHUFFLE let the four-axis matrix re-run the
+    # identical harness at constrained parallelism (local[2], 2).
     spark = (
-        SparkSession.builder.master("local[32]")
-        .config("spark.sql.shuffle.partitions", "32")
+        SparkSession.builder.master(os.environ.get("MIMIC_MASTER", "local[32]"))
+        .config("spark.sql.shuffle.partitions",
+                os.environ.get("MIMIC_SHUFFLE", "32"))
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

@@ -323,6 +323,80 @@ def q_cep_funnel_stream(spark, sf_dir):
 
 
 @register(
+    "cep_abandon_stream",
+    survey_ref="extension: stateful streaming absence detection, driver-checked — "
+               "timeout-driven emission == batch anti-join == SQL oracle",
+    tags=("events", "streaming"),
+    oracle="""
+WITH v AS (
+  SELECT user_id, CAST(epoch_ms(min(ts)) AS BIGINT) AS t1_ms
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT DISTINCT e.user_id
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'purchase'
+    AND epoch_ms(e.ts) > v.t1_ms
+    AND epoch_ms(e.ts) <= v.t1_ms + 86400000
+)
+SELECT user_id, t1_ms, t1_ms + 86400000 AS deadline_ms
+FROM v
+WHERE user_id NOT IN (SELECT user_id FROM c)
+ORDER BY user_id
+""",
+)
+def q_cep_abandon_stream(spark, sf_dir):
+    """The ABSENCE operator driven through the driver's gate — the
+    harder stateful shape, because emission is purely timeout-driven
+    (nothing ever arrives to trigger an absence row; only the
+    watermark passing a user's deadline can emit). Events replay
+    out-of-event-time-order through ``streaming_abandonment``
+    (``applyInPandasWithState``, event-time timeout) with a far-future
+    flush sentinel under ``availableNow``; the emitted set is checked
+    against the SAME SQL oracle as the batch ``abandoned_first_view``
+    anti-join. Exercises the r4 TTL-eviction path end to end."""
+    import datetime
+    import tempfile
+    import uuid
+
+    from .streaming.cep import streaming_abandonment
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    tag = uuid.uuid4().hex[:12]
+    root = tempfile.mkdtemp(prefix=f"cep_abandon_{tag}_")
+    src = f"{root}/src"
+    ev.repartition(4).write.parquet(src)
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    delay_days = 3650
+    sentinel_ts = max_ts + datetime.timedelta(days=2 * delay_days)
+    spark.createDataFrame(
+        [(int(-1), sentinel_ts, "view")],
+        "user_id long, ts timestamp, event_type string",
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_abandonment(stream, watermark=f"{delay_days} days")
+    table = f"cep_abandon_drv_{tag}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(table)
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(table)
+        .filter(F.col("user_id") >= 0)  # drop the flush sentinel
+        .orderBy("user_id")
+    )
+
+
+@register(
     "abandoned_first_view",
     survey_ref="extension: absence detection (first view with no purchase in 24h) — CEP batch parity",
     tags=("events",),
