@@ -42,6 +42,9 @@ NOTES = {
     "fts_probe_topk": "pre-built postings store probed with lex_bucket partition pruning (reads |terms| buckets); matched ids broadcast into the corpus scan.",
     "importance_ratio_topk": "≤4096-bucket scored feature table broadcast into the token stream; per-doc integer sums map-side combined; TakeOrdered top-K.",
     "funnel_user_times": "three-stage min-after-min joins all shuffling on the same user_id key family; stage outputs only shrink.",
+    "hybrid_rrf_topk": "r4: NO WindowExec — each TakeOrdered top-100 side packs into one sorted array (collect_list+array_sort) and posexplodes back to ranks; full-outer fuse on doc_id; 10-row top-k.",
+    "pq_ann_topk": "full-probe PQ: codes scan with the ADC table folded in as an array literal (codegen lookups, no UDF); exact cosine rerank bounded by the candidate limit.",
+    "quality_model_calibration": "corpus scanned once for features; LR inference is a map-only projection (broadcast coefficients); band rollup partial-aggregated before one tiny Exchange.",
 }
 
 

@@ -397,6 +397,99 @@ def q_cep_abandon_stream(spark, sf_dir):
 
 
 @register(
+    "cep_sequence_stream",
+    survey_ref="extension: generic N-step stateful sequence CEP, driver-checked — "
+               "4-step chain, stream == batch == SQL oracle",
+    tags=("events", "streaming"),
+    oracle="""
+WITH s0 AS (
+  SELECT user_id, min(ts) AS t0 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+s1 AS (
+  SELECT e.user_id, min(e.ts) AS t1, any_value(s0.t0) AS t0
+  FROM events e JOIN s0 ON e.user_id = s0.user_id
+  WHERE e.event_type = 'view' AND e.ts > s0.t0 GROUP BY e.user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2, any_value(s1.t0) AS t0, any_value(s1.t1) AS t1
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3,
+         any_value(s2.t0) AS t0, any_value(s2.t1) AS t1, any_value(s2.t2) AS t2
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id
+)
+SELECT user_id,
+       CAST(epoch_ms(t0) AS BIGINT) AS t1_ms,
+       CAST(epoch_ms(t1) AS BIGINT) AS t2_ms,
+       CAST(epoch_ms(t2) AS BIGINT) AS t3_ms,
+       CAST(epoch_ms(t3) AS BIGINT) AS t4_ms
+FROM s3 ORDER BY user_id
+""",
+)
+def q_cep_sequence_stream(spark, sf_dir):
+    """The GENERIC N-step sequence operator (any ordered pattern,
+    ``streaming/cep.py::streaming_sequence_matches``) driven through
+    the driver's gate on a 4-step signup→view→click→purchase chain:
+    out-of-event-time-order replay + flush sentinel under
+    ``availableNow``, emitted stage-time arrays flattened to scalar
+    columns and checked against an independent min-after-min SQL
+    chain. Completes the CEP family's driver coverage: funnel
+    (3-step named), absence (timeout-emission), and the N-step
+    generalization."""
+    import datetime
+    import tempfile
+    import uuid
+
+    from .streaming.cep import streaming_sequence_matches
+
+    steps = ("signup", "view", "click", "purchase")
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    tag = uuid.uuid4().hex[:12]
+    root = tempfile.mkdtemp(prefix=f"cep_seq_{tag}_")
+    src = f"{root}/src"
+    ev.repartition(4).write.parquet(src)
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    delay_days = 3650
+    sentinel_ts = max_ts + datetime.timedelta(days=2 * delay_days)
+    spark.createDataFrame(
+        [(int(-1), sentinel_ts, steps[0])],
+        "user_id long, ts timestamp, event_type string",
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_sequence_matches(stream, steps, watermark=f"{delay_days} days")
+    table = f"cep_seq_drv_{tag}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(table)
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(table)
+        .filter(F.col("user_id") >= 0)
+        .select(
+            "user_id",
+            *[
+                F.element_at("step_ts_ms", i + 1).alias(f"t{i + 1}_ms")
+                for i in range(len(steps))
+            ],
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
     "abandoned_first_view",
     survey_ref="extension: absence detection (first view with no purchase in 24h) — CEP batch parity",
     tags=("events",),

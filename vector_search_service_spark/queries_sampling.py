@@ -227,3 +227,65 @@ def q_mixture_token_sample(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "weighted_sample_topk",
+    survey_ref="extension: weighted sampling WITHOUT replacement "
+               "(hash-race order statistics, integer/string-exact)",
+    tags=("sampling",),
+    oracle="""
+WITH base AS (
+  SELECT doc_id,
+         least(CAST(floor(length(text) / 100) AS INT) + 1, 6) AS w
+  FROM documents
+),
+draws AS (
+  SELECT doc_id, w, unnest(range(1, w + 1)) AS d FROM base
+),
+raced AS (
+  SELECT doc_id, CAST(w AS INT) AS w,
+         min(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(d AS VARCHAR))) AS p
+  FROM draws GROUP BY doc_id, w
+)
+SELECT doc_id, w, p FROM raced ORDER BY p ASC, doc_id ASC LIMIT 20
+""",
+)
+def q_weighted_sample_topk(spark, sf_dir):
+    """Weighted sampling without replacement, deterministically and
+    with NO floating point: each doc gets ``w`` integer-weight hash
+    draws (here w = length-derived 1..6) and races on the minimum
+    md5(doc_id:draw); the top-k docs by that minimum are an exact
+    weighted-without-replacement sample. Proof sketch: all Σw draws
+    are exchangeable uniforms, so the argmin lands on doc i with
+    probability w_i/Σw, and conditioning on removal recurses — the
+    min-hash order restricted to first appearances IS the A-Res
+    order, with none of A-Res's cross-engine pow/log ulp risk
+    (md5-hex comparisons are byte-exact in both engines).
+
+    Scale: the explode is bounded by the weight cap (≤6 rows/doc of
+    (id, small int) — no text), the min-race is a map-side-combined
+    groupBy, and the final k rows come from TakeOrdered. At 100 TB
+    the corpus text never shuffles; only ids race."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.least(
+            F.floor(F.length("text") / 100).cast("int") + F.lit(1), F.lit(6)
+        ).alias("w"),
+    )
+    return (
+        base.select(
+            "doc_id", "w",
+            F.explode(F.sequence(F.lit(1), F.col("w"))).alias("d"),
+        )
+        .withColumn(
+            "p",
+            F.md5(F.concat_ws(":", F.col("doc_id").cast("string"),
+                              F.col("d").cast("string"))),
+        )
+        .groupBy("doc_id", "w")
+        .agg(F.min("p").alias("p"))
+        .orderBy(F.col("p").asc(), F.col("doc_id").asc())
+        .limit(20)
+    )
