@@ -105,3 +105,14 @@ def test_ivf_pq_recall_and_full_probe_exact(spark, emb):
     # the coded table preserves list assignment: probe scans a strict subset
     probed = coded.filter(F.col("list_id").isin([0])).count()
     assert 0 < probed < n
+
+
+def test_pq_query_plan_has_no_python_nodes(spark, emb, pq):
+    """The ADC scan + exact rerank must be pure JVM/codegen — the
+    codebook folds in as an array literal, never a UDF (the 'Querying'
+    contract in operators/pq.py). A PythonUDF/ArrowEval node in this
+    plan means the 32x-compressed scan fell off the codegen path."""
+    cb, coded = pq
+    plan = pq_topk(coded, cb, QUERY_VEC, k=10, rerank=100)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Python" not in plan and "BatchEval" not in plan and "ArrowEval" not in plan

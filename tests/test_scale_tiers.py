@@ -50,3 +50,78 @@ def test_quantized_topk_recall_vs_exact(spark):
     quant = [r["vec_id"] for r in q_quantized_vector_topk(spark, SF_SMOKE).collect()]
     exact = [r["vec_id"] for r in q_vector_topk(spark, SF_SMOKE).collect()]
     assert quant == exact
+
+
+def test_weighted_sample_overrepresents_heavy_docs(spark):
+    """weighted_sample_topk semantics: with two weight classes the
+    heavy class must win sample slots well beyond its population
+    share (exact A-Res ordering via the min-of-w-hash race), and with
+    ALL weights equal the race must reduce to the plain min-hash
+    uniform sample — same ids either way the weights enter."""
+    from pyspark.sql import functions as F
+
+    n = 400
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        # heavy class: ids < 40 get weight 8; the rest weight 1
+        F.when(F.col("id") < 40, F.lit(8)).otherwise(F.lit(1)).alias("w"),
+    )
+
+    def race(frame, k=50):
+        return (
+            frame.select(
+                "doc_id", "w",
+                F.explode(F.sequence(F.lit(1), F.col("w"))).alias("d"),
+            )
+            .withColumn("p", F.md5(F.concat_ws(
+                ":", F.col("doc_id").cast("string"), F.col("d").cast("string"))))
+            .groupBy("doc_id", "w").agg(F.min("p").alias("p"))
+            .orderBy(F.col("p").asc(), F.col("doc_id").asc())
+            .limit(k)
+        )
+
+    got = race(df).collect()
+    heavy = sum(1 for r in got if r["w"] == 8)
+    # heavy share of draw mass = 320/680 ≈ 47%; population share = 10%.
+    # Expect ≈ 23 of 50; assert comfortably above the uniform expectation.
+    assert heavy >= 15, f"heavy docs won only {heavy}/50 slots"
+
+    uniform = df.select("doc_id", F.lit(1).alias("w"))
+    ids_weighted_as_uniform = [r["doc_id"] for r in race(uniform).collect()]
+    plain_minhash = [
+        r["doc_id"]
+        for r in uniform.withColumn(
+            "p", F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), F.lit("1")))
+        ).orderBy(F.col("p").asc(), F.col("doc_id").asc()).limit(50).collect()
+    ]
+    assert ids_weighted_as_uniform == plain_minhash
+
+
+def test_multifile_corpus_parallelizes_scan_and_preserves_results(spark, tmp_path):
+    """The local corpus is one single-row-group parquet file per table,
+    so scans plan as ONE task — the only reason compute-heavy UDF
+    stages look serial locally. This pins the at-scale claim: the SAME
+    plan over a multi-file copy of the corpus (what 100 TB actually
+    looks like) fans out to one task per split with bit-identical
+    results — scan parallelism comes from layout, not query changes."""
+    from pyspark.sql import functions as F
+
+    from vector_search_service_spark.operators.dedup import minhash_band_keys
+    from vector_search_service_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    multi = str(tmp_path / "docs_multifile")
+    docs.repartition(8, F.col("doc_id")).write.parquet(multi)
+
+    docs_multi = spark.read.parquet(multi)
+    assert docs.rdd.getNumPartitions() == 1  # the local single-file bound
+    assert docs_multi.rdd.getNumPartitions() >= 8
+
+    def keys(frame):
+        return sorted(
+            (r["doc_id"], r["band"], r["band_key"])
+            for r in minhash_band_keys(frame).select(
+                "doc_id", "band", "band_key").collect()
+        )
+
+    assert keys(docs) == keys(docs_multi)
