@@ -232,3 +232,60 @@ def test_abandon_decided_state_evicted_at_ttl():
     state._wm = state._timeout
     assert list(fn((7,), iter(()), state)) == []
     assert not state.exists, "converted state must also evict at TTL"
+
+
+def test_funnel_stream_restart_recovers_state_from_checkpoint(spark, tmp_path):
+    """Crash/restart path of the stateful funnel: run 1 ingests half
+    the events and stops with every match still buffered in the state
+    store (watermark far behind — nothing finalized, nothing emitted);
+    run 2 (same checkpoint) delivers the other half + the flush
+    sentinel. The union of emissions must equal the batch funnel over
+    ALL events — i.e. partially-built per-user state genuinely
+    round-trips through the checkpoint across query restarts, not just
+    across micro-batches of one run."""
+    full = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    ev = full.select("user_id", "ts", "event_type")
+    src = tmp_path / "stream_src"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    half1 = full.filter(F.col("event_id") % 2 == 0).drop("event_id")
+    half2 = full.filter(F.col("event_id") % 2 == 1).drop("event_id")
+    half1.repartition(2).write.parquet(str(src))
+
+    delay_days = 3650
+
+    def run():
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = (
+            streaming_funnel_matches(stream, watermark=f"{delay_days} days")
+            .writeStream.format("parquet")  # memory sink can't recover a checkpoint
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run()  # run 1: state built, watermark never advances -> zero emissions
+    assert spark.read.parquet(out).count() == 0
+
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    sentinel_ts = max_ts + datetime.timedelta(days=2 * delay_days)
+    half2.repartition(2).write.mode("append").parquet(str(src))
+    spark.createDataFrame(
+        [(int(-1), sentinel_ts, "view")],
+        "user_id long, ts timestamp, event_type string",
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    run()  # run 2: same checkpoint — only new files play, then flush
+    got = spark.read.parquet(out).filter(F.col("user_id") >= 0)
+    want = batch_funnel_user_times(ev)
+    assert _canon(got) == _canon(want)
+    assert got.count() > 0
