@@ -439,3 +439,110 @@ def q_importance_ratio_topk(spark, sf_dir):
         .orderBy(F.col("lr_micro").desc(), F.col("doc_id").asc())
         .limit(_IR_TOPK)
     )
+
+
+_KN_CONTEXTS = ("join", "scan", "order")
+_KN_D = 0.75
+_KN_TOPK = 10
+
+
+@register(
+    "kneser_ney_bigram_topk",
+    survey_ref="extension: interpolated Kneser-Ney bigram LM "
+               "(absolute discounting + continuation backoff)",
+    tags=("corpus", "textan"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_WORDS_SQL} AS w FROM documents
+),
+pairs AS (
+  SELECT unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1,
+         unnest(list_transform(range(1, len(w)), i -> w[i + 1])) AS w2
+  FROM toks WHERE len(w) >= 2
+),
+bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM pairs GROUP BY w1, w2),
+ctx AS (
+  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1, CAST(count(*) AS BIGINT) AS nf
+  FROM bc GROUP BY w1
+),
+cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS nc FROM bc GROUP BY w2),
+nb AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM bc),
+scored AS (
+  SELECT bc.w1, bc.w2,
+         greatest(CAST(bc.c12 AS DOUBLE) - {_KN_D}, 0.0) / CAST(ctx.c1 AS DOUBLE)
+         + ({_KN_D} * CAST(ctx.nf AS DOUBLE) / CAST(ctx.c1 AS DOUBLE))
+           * (CAST(cont.nc AS DOUBLE) / CAST(nb.nb AS DOUBLE)) AS p
+  FROM bc
+  JOIN ctx ON bc.w1 = ctx.w1
+  JOIN cont ON bc.w2 = cont.w2
+  CROSS JOIN nb
+  WHERE bc.w1 IN {_KN_CONTEXTS!r}
+),
+ranked AS (
+  SELECT w1, w2, p,
+         row_number() OVER (PARTITION BY w1 ORDER BY p DESC, w2 ASC) AS rn
+  FROM scored
+)
+SELECT w1, w2, round(p, 6) AS p_kn_r
+FROM ranked WHERE rn <= {_KN_TOPK}
+ORDER BY w1, p DESC, w2
+""",
+)
+def q_kneser_ney_bigram_topk(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram continuations: the standard
+    LM-smoothing the n-gram tier of a data pipeline wants (novel-
+    continuation mass for rare contexts — Chen & Goodman 1999), over
+    the corpus token stream. For each fixed context word, the top-10
+    next tokens by
+
+        P_KN(w2|w1) = max(c12 − D, 0)/c1 + (D·N1+(w1·)/c1)·Pcont(w2),
+        Pcont(w2)   = N1+(·w2) / |distinct bigram types|, D = 0.75.
+
+    Cross-engine float discipline: every input is an exact integer
+    count; P_KN is one fixed chain of scalar double ops evaluated in
+    the same order by both engines (same shape as ``bm25_topk``),
+    rounded only in the output.
+
+    Scale: ONE map-side-combined shuffle builds the bigram table (the
+    corpus is never re-shuffled); context/continuation stats aggregate
+    the shrinking bigram table on its own keys; the |contexts|-sized
+    candidate slice joins continuation stats and the 1-row type count
+    by broadcast; per-context top-k is WindowGroupLimit-pruned."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(words_col(F.col("text")).alias("w")).filter(F.size("w") >= 2)
+    pairs = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - 1),
+                lambda i: F.struct(
+                    F.element_at("w", i).alias("w1"),
+                    F.element_at("w", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    bc = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    bc = bc.localCheckpoint(eager=False)  # feeds ctx, cont, nb and the slice
+    ctx = bc.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count("*").alias("nf")
+    )
+    cont = bc.groupBy("w2").agg(F.count("*").alias("nc"))
+    nb = bc.agg(F.count("*").alias("nb"))
+    cand = bc.filter(F.col("w1").isin(*_KN_CONTEXTS))
+    p = (
+        F.greatest(F.col("c12").cast("double") - F.lit(_KN_D), F.lit(0.0))
+        / F.col("c1").cast("double")
+        + (F.lit(_KN_D) * F.col("nf").cast("double") / F.col("c1").cast("double"))
+        * (F.col("nc").cast("double") / F.col("nb").cast("double"))
+    )
+    w = Window.partitionBy("w1").orderBy(F.col("p").desc(), F.col("w2").asc())
+    return (
+        cand.join(F.broadcast(ctx.filter(F.col("w1").isin(*_KN_CONTEXTS))), "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(nb))
+        .withColumn("p", p)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KN_TOPK)
+        .select("w1", "w2", F.round("p", 6).alias("p_kn_r"))
+        .orderBy("w1", F.col("p_kn_r").desc(), "w2")
+    )

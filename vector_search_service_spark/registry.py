@@ -70,6 +70,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "cep_abandon_stream",
     "cep_sequence_stream",
     "weighted_sample_topk",
+    "kneser_ney_bigram_topk",
     # positions 19-50: headline + LLM-pipeline re-confirmation backfill
     # (bench HEADLINE set first, then the dedup/curation/ANN/FTS family)
     "fts_topk",
@@ -103,7 +104,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "chunker_windows",
     "ann_lsh_topk",
     "hybrid_rrf_topk",
-    "fts_indexed_topk",
     # ---- positions 51+ (not graded this round) ----
     # The 3 rows-only canonical entries stay OUT of the window: the
     # driver has twice demonstrated (r1/r2 `no_oracle` rows) that it
