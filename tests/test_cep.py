@@ -289,3 +289,56 @@ def test_funnel_stream_restart_recovers_state_from_checkpoint(spark, tmp_path):
     want = batch_funnel_user_times(ev)
     assert _canon(got) == _canon(want)
     assert got.count() > 0
+
+
+def test_abandon_ripen_timer_does_not_evict_early():
+    """Review-caught r4 regression: a ripen wake-up that merely drains
+    a post-decision buffered view must NOT be mistaken for the TTL
+    timer — early eviction would let a later view restart tracking and
+    emit an abandonment for a user who CONVERTED, inside the TTL
+    horizon (diverging from the batch anti-join). TTL recognition must
+    key on the persisted shape at entry (decided + nothing pending)."""
+    import pandas as pd
+
+    from tests.test_cep_property import FakeGroupState
+    from vector_search_service_spark.streaming.cep import _make_abandon_fn
+
+    within, ttl = 100, 1000
+    fn = _make_abandon_fn("view", "purchase", within, ttl)
+    state = FakeGroupState()
+
+    # batch 1: view@10 + purchase@50 arrive, ripen at wm=60 -> converted
+    state._wm = 0
+    pdf = pd.DataFrame([(10, "view"), (50, "purchase")],
+                       columns=["ts_ms", "event_type"])
+    assert list(fn((7,), iter([pdf]), state)) == []
+    state._wm, state.hasTimedOut = 60, True
+    assert list(fn((7,), iter(()), state)) == []
+    assert state.exists and state._timeout == 60 + ttl
+
+    # batch 2: a POST-decision view@500 is buffered into decided state
+    state._wm, state.hasTimedOut = 60, False
+    pdf2 = pd.DataFrame([(500, "view")], columns=["ts_ms", "event_type"])
+    assert list(fn((7,), iter([pdf2]), state)) == []
+    assert state.exists and state._timeout == 501  # ripen timer, NOT TTL
+
+    # the ripen timer fires: state had pending at entry -> NOT the TTL
+    # timer -> must stay retained (the buggy version evicted here)
+    state._wm, state.hasTimedOut = 501, True
+    assert list(fn((7,), iter(()), state)) == []
+    assert state.exists, "ripen wake-up must not TTL-evict decided state"
+    assert state._timeout == 501 + ttl
+
+    # a later view@600 inside the horizon is absorbed, never emitted
+    state._wm, state.hasTimedOut = 501, False
+    pdf3 = pd.DataFrame([(600, "view")], columns=["ts_ms", "event_type"])
+    assert list(fn((7,), iter([pdf3]), state)) == []
+    state._wm, state.hasTimedOut = 601, True
+    assert list(fn((7,), iter(()), state)) == []
+    assert state.exists, "converted user must not re-emit inside TTL"
+
+    # the genuine TTL timer (armed from the decided/no-pend shape)
+    # finally evicts
+    state._wm, state.hasTimedOut = state._timeout, True
+    assert list(fn((7,), iter(()), state)) == []
+    assert not state.exists

@@ -75,22 +75,6 @@ def _shingle_set(text: str, k: int = 3) -> set[str]:
     return {" ".join(w[i:i + k]) for i in range(n)}
 
 
-def _token_hashes_np(text: str, np):
-    """Token hashes, low 31 bits of md5 mod P — the vectorized mirror
-    of ``functions.hashing.token_hashes_col`` (int(hexdigest()[:8],
-    16) == big-endian digest()[:4]: same value, no hex-string
-    detour). Single-doc path; the Arrow-batch UDFs use
-    ``_batch_token_hash_arrays`` instead."""
-    md5 = hashlib.md5
-    w = [t for t in _SPLIT.split((text or "").lower()) if t]
-    if not w:
-        return np.empty(0, dtype=np.uint64)
-    buf = b"".join(md5(t.encode()).digest()[:4] for t in w)
-    return (
-        np.frombuffer(buf, dtype=">u4").astype(np.uint64) % (1 << 31)
-    ) % np.uint64(MINHASH_P)
-
-
 def _batch_token_hash_arrays(texts, np) -> list:
     """Token-hash arrays for a whole Arrow batch at once: tokenize,
     ``pd.factorize`` the flat token stream (C-level), md5 ONCE per

@@ -183,9 +183,13 @@ def encode_pq(embeddings: DataFrame, codebook: PqCodebook, *,
 
 
 def pq_topk(coded: DataFrame, codebook: PqCodebook, query: list[float], *,
-            k: int = 10, rerank: int = 50,
+            k: int = 10, rerank: int | None = 50,
             vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
-    """ADC scan -> top-`rerank` candidates -> exact cosine top-k."""
+    """ADC scan -> top-`rerank` candidates -> exact cosine top-k.
+    ``rerank=None`` = full-probe exactness mode: no candidate cut, so
+    the output provably equals the exact top-k WITHOUT an extra
+    count-the-corpus job to size the cut (the ADC column is still
+    computed, exercising the code path; it just cannot drop rows)."""
     qf = [float(x) for x in query]
     qn = math.sqrt(sum(x * x for x in qf)) or 1.0
     table = codebook.adc_table([x / qn for x in qf])
@@ -201,11 +205,9 @@ def pq_topk(coded: DataFrame, codebook: PqCodebook, query: list[float], *,
         lambda acc, x: acc + x,
     )
     qcol = F.array(*[F.lit(float(x)) for x in query])
-    cand = (
-        coded.withColumn("_approx", approx)
-        .orderBy(F.col("_approx").asc(), F.col(id_col).asc())
-        .limit(rerank)
-    )
+    cand = coded.withColumn("_approx", approx)
+    if rerank is not None:
+        cand = cand.orderBy(F.col("_approx").asc(), F.col(id_col).asc()).limit(rerank)
     return (
         cand.withColumn("distance", cosine_distance_col(F.col(vec_col), qcol))
         .orderBy(F.col("distance").asc(), F.col(id_col).asc())
@@ -247,7 +249,7 @@ def build_ivf_pq(embeddings: DataFrame, *, nlist: int = 16, m: int = 8,
 
 
 def ivf_pq_topk(idx, cb: PqCodebook, coded: DataFrame, query: list[float], *,
-                nprobe: int = 4, k: int = 10, rerank: int = 50,
+                nprobe: int = 4, k: int = 10, rerank: int | None = 50,
                 vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
     """Probe the ``nprobe`` nearest lists, ADC-scan only their codes,
     exact-rerank the union's top-``rerank``. Scan cost vs brute force:

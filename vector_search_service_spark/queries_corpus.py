@@ -543,6 +543,10 @@ def q_kneser_ney_bigram_topk(spark, sf_dir):
         .withColumn("p", p)
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _KN_TOPK)
+        # order on the RAW p (the window's own sort key), not the
+        # rounded output — two continuations can round to the same 6dp
+        # value while raw p still orders them (review-caught; rounding
+        # belongs in the output, never the ordering — vector_topk rule)
+        .orderBy("w1", F.col("p").desc(), "w2")
         .select("w1", "w2", F.round("p", 6).alias("p_kn_r"))
-        .orderBy("w1", F.col("p_kn_r").desc(), "w2")
     )

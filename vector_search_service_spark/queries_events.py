@@ -236,6 +236,58 @@ def q_funnel_user_times(spark, sf_dir):
     return batch_funnel_user_times(ev).orderBy("user_id")
 
 
+def _replay_cep_stream(spark, sf_dir, build_matches, *, sentinel_step, prefix,
+                       delay_days=3650):
+    """Shared driver-entry replay harness for the stateful CEP
+    operators: write the events table as four parquet files (the
+    repartition scatters event-times, so each micro-batch is genuinely
+    out of event-time order), append a far-future watermark-flush
+    sentinel, replay one-file-per-micro-batch under ``availableNow``
+    into a memory sink, and return the emitted rows (sentinel user
+    dropped). Per-invocation unique source/checkpoint/table names keep
+    re-runs and the driver's own session isolated; the on-disk corpus
+    copy + checkpoint are deleted once the bounded run terminates (the
+    memory sink holds the rows in the session, not on disk)."""
+    import datetime
+    import shutil
+    import tempfile
+    import uuid
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    tag = uuid.uuid4().hex[:12]
+    root = tempfile.mkdtemp(prefix=f"{prefix}_{tag}_")
+    src = f"{root}/src"
+    ev.repartition(4).write.parquet(src)
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    sentinel_ts = max_ts + datetime.timedelta(days=2 * delay_days)
+    spark.createDataFrame(
+        [(int(-1), sentinel_ts, sentinel_step)],
+        "user_id long, ts timestamp, event_type string",
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    table = f"{prefix}_drv_{tag}"
+    q = (
+        build_matches(stream, f"{delay_days} days")
+        .writeStream.format("memory")
+        .queryName(table)
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    # a silent timeout here would hash a PARTIAL memory table into the
+    # driver's correctness row (review-caught): fail loudly instead
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(f"{table}: availableNow replay exceeded 300s")
+    shutil.rmtree(root, ignore_errors=True)
+    return spark.table(table).filter(F.col("user_id") >= 0)
+
+
 @register(
     "cep_funnel_stream",
     survey_ref="extension: stateful streaming CEP, driver-checked (judge r3 #4) — "
@@ -277,49 +329,14 @@ def q_cep_funnel_stream(spark, sf_dir):
     driver-hash-checked equality (tests/test_cep.py proves the
     stream == batch leg on every suite run).
 
-    Per-invocation unique checkpoint/source/table names keep re-runs
-    and the driver's own session isolated."""
-    import datetime
-    import tempfile
-    import uuid
-
+    Replay mechanics in ``_replay_cep_stream``."""
     from .streaming.cep import streaming_funnel_matches
 
-    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
-    tag = uuid.uuid4().hex[:12]
-    root = tempfile.mkdtemp(prefix=f"cep_stream_{tag}_")
-    src = f"{root}/src"
-    # repartition scatters event-times across files: each micro-batch
-    # is genuinely out of event-time order
-    ev.repartition(4).write.parquet(src)
-    max_ts = ev.agg(F.max("ts")).first()[0]
-    delay_days = 3650
-    sentinel_ts = max_ts + datetime.timedelta(days=2 * delay_days)
-    spark.createDataFrame(
-        [(int(-1), sentinel_ts, "view")],
-        "user_id long, ts timestamp, event_type string",
-    ).coalesce(1).write.mode("append").parquet(src)
-
-    stream = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
-    matches = streaming_funnel_matches(stream, watermark=f"{delay_days} days")
-    table = f"cep_funnel_drv_{tag}"
-    q = (
-        matches.writeStream.format("memory")
-        .queryName(table)
-        .option("checkpointLocation", f"{root}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    return (
-        spark.table(table)
-        .filter(F.col("user_id") >= 0)  # drop the flush sentinel
-        .orderBy("user_id")
-    )
+    return _replay_cep_stream(
+        spark, sf_dir,
+        lambda stream, wm: streaming_funnel_matches(stream, watermark=wm),
+        sentinel_step="view", prefix="cep_funnel",
+    ).orderBy("user_id")
 
 
 @register(
@@ -354,46 +371,15 @@ def q_cep_abandon_stream(spark, sf_dir):
     (``applyInPandasWithState``, event-time timeout) with a far-future
     flush sentinel under ``availableNow``; the emitted set is checked
     against the SAME SQL oracle as the batch ``abandoned_first_view``
-    anti-join. Exercises the r4 TTL-eviction path end to end."""
-    import datetime
-    import tempfile
-    import uuid
-
+    anti-join. Exercises the r4 TTL-eviction path end to end.
+    Replay mechanics in ``_replay_cep_stream``."""
     from .streaming.cep import streaming_abandonment
 
-    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
-    tag = uuid.uuid4().hex[:12]
-    root = tempfile.mkdtemp(prefix=f"cep_abandon_{tag}_")
-    src = f"{root}/src"
-    ev.repartition(4).write.parquet(src)
-    max_ts = ev.agg(F.max("ts")).first()[0]
-    delay_days = 3650
-    sentinel_ts = max_ts + datetime.timedelta(days=2 * delay_days)
-    spark.createDataFrame(
-        [(int(-1), sentinel_ts, "view")],
-        "user_id long, ts timestamp, event_type string",
-    ).coalesce(1).write.mode("append").parquet(src)
-
-    stream = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
-    out = streaming_abandonment(stream, watermark=f"{delay_days} days")
-    table = f"cep_abandon_drv_{tag}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(table)
-        .option("checkpointLocation", f"{root}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    return (
-        spark.table(table)
-        .filter(F.col("user_id") >= 0)  # drop the flush sentinel
-        .orderBy("user_id")
-    )
+    return _replay_cep_stream(
+        spark, sf_dir,
+        lambda stream, wm: streaming_abandonment(stream, watermark=wm),
+        sentinel_step="view", prefix="cep_abandon",
+    ).orderBy("user_id")
 
 
 @register(
@@ -439,45 +425,16 @@ def q_cep_sequence_stream(spark, sf_dir):
     columns and checked against an independent min-after-min SQL
     chain. Completes the CEP family's driver coverage: funnel
     (3-step named), absence (timeout-emission), and the N-step
-    generalization."""
-    import datetime
-    import tempfile
-    import uuid
-
+    generalization. Replay mechanics in ``_replay_cep_stream``."""
     from .streaming.cep import streaming_sequence_matches
 
     steps = ("signup", "view", "click", "purchase")
-    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
-    tag = uuid.uuid4().hex[:12]
-    root = tempfile.mkdtemp(prefix=f"cep_seq_{tag}_")
-    src = f"{root}/src"
-    ev.repartition(4).write.parquet(src)
-    max_ts = ev.agg(F.max("ts")).first()[0]
-    delay_days = 3650
-    sentinel_ts = max_ts + datetime.timedelta(days=2 * delay_days)
-    spark.createDataFrame(
-        [(int(-1), sentinel_ts, steps[0])],
-        "user_id long, ts timestamp, event_type string",
-    ).coalesce(1).write.mode("append").parquet(src)
-
-    stream = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
-    out = streaming_sequence_matches(stream, steps, watermark=f"{delay_days} days")
-    table = f"cep_seq_drv_{tag}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(table)
-        .option("checkpointLocation", f"{root}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
     return (
-        spark.table(table)
-        .filter(F.col("user_id") >= 0)
+        _replay_cep_stream(
+            spark, sf_dir,
+            lambda stream, wm: streaming_sequence_matches(stream, steps, watermark=wm),
+            sentinel_step=steps[0], prefix="cep_seq",
+        )
         .select(
             "user_id",
             *[

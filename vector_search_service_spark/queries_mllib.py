@@ -72,17 +72,18 @@ def q_pq_ann_topk(spark, sf_dir):
     rerank with rerank = corpus size — which makes the output the
     exact top-10 (tests/test_pq.py::test_rerank_all_equals_exact) and
     therefore DuckDB-oracle-checkable end to end THROUGH the PQ
-    machinery: a codebook/encode/ADC bug surfaces as a candidate-set
-    or ordering change. The production configuration (rerank=100) is
-    ``pq_ann_approx_topk`` (tier=extra, recall-pinned)."""
+    pipeline (train/encode/ADC all execute; approximation QUALITY is
+    what the tier=extra recall entries pin — with no candidate cut the
+    ADC column cannot change the output). The production configuration
+    (rerank=100) is ``pq_ann_approx_topk`` (tier=extra,
+    recall-pinned)."""
     from .operators.pq import encode_pq, pq_topk, train_pq
     from .queries_reference import QUERY_VEC
 
     emb = load_table(spark, sf_dir, "embeddings")
     cb = train_pq(emb, m=8, k=32, iters=8)
     coded = encode_pq(emb, cb)
-    n = emb.count()
-    return pq_topk(coded, cb, QUERY_VEC, k=10, rerank=n).select(
+    return pq_topk(coded, cb, QUERY_VEC, k=10, rerank=None).select(
         "vec_id", "label", F.round("distance", 6).alias("distance_r")
     )
 
@@ -244,19 +245,19 @@ def q_ivf_pq_topk(spark, sf_dir):
     """IVF-PQ in full-probe exactness mode: nprobe = nlist (every
     KMeans list scanned) and rerank = corpus size, so the composition
     must reproduce the exact cosine top-10
-    (tests/test_pq.py::test_ivf_pq_recall_and_full_probe_exact) — a list
-    assignment dropping rows or an ADC/codebook bug breaks the driver
-    hash. Production config (nprobe=4, rerank=100) is
-    ``ivf_pq_approx_topk`` (tier=extra, recall-pinned)."""
+    (tests/test_pq.py::test_ivf_pq_recall_and_full_probe_exact) — a
+    KMeans list assignment dropping or duplicating rows breaks the
+    driver hash (the coded table is rebuilt through the assignment).
+    Production config (nprobe=4, rerank=100) is ``ivf_pq_approx_topk``
+    (tier=extra, recall-pinned)."""
     from .operators.pq import build_ivf_pq, ivf_pq_topk
     from .queries_reference import QUERY_VEC
 
     emb = load_table(spark, sf_dir, "embeddings")
     idx, cb, coded = build_ivf_pq(emb, nlist=16, m=8, k=32, iters=6)
-    n = emb.count()
-    return ivf_pq_topk(idx, cb, coded, QUERY_VEC, nprobe=16, k=10, rerank=n).select(
-        "vec_id", "label", F.round("distance", 6).alias("distance_r")
-    )
+    return ivf_pq_topk(
+        idx, cb, coded, QUERY_VEC, nprobe=16, k=10, rerank=None
+    ).select("vec_id", "label", F.round("distance", 6).alias("distance_r"))
 
 
 @register(

@@ -167,23 +167,15 @@ class ServiceNowPartitionStreamReader(DataSourceStreamReader):
             "names": sorted(f for m, f in files if m == tick),
         }
 
-    @staticmethod
-    def _beyond(mtime: int, name: str, off: dict) -> bool:
-        return mtime > off["mtime_ms"] or (
-            mtime == off["mtime_ms"] and name not in set(off["names"])
-        )
-
-    @staticmethod
-    def _within(mtime: int, name: str, off: dict) -> bool:
-        return mtime < off["mtime_ms"] or (
-            mtime == off["mtime_ms"] and name in set(off["names"])
-        )
-
     def partitions(self, start: dict, end: dict):
+        # hoist the tick name-sets once — membership is tested per file
+        start_tick, start_names = start["mtime_ms"], set(start["names"])
+        end_tick, end_names = end["mtime_ms"], set(end["names"])
         return [
             _FilePartition(f)
             for m, f in self._listing()
-            if self._beyond(m, f, start) and self._within(m, f, end)
+            if (m > start_tick or (m == start_tick and f not in start_names))
+            and (m < end_tick or (m == end_tick and f in end_names))
         ]
 
     def read(self, partition: _FilePartition) -> Iterator[tuple]:

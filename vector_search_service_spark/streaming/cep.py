@@ -238,10 +238,17 @@ def _make_abandon_fn(start_step: str, convert_step: str, within_ms: int,
             pend = list(zip(pend_ts, pend_et))
         else:
             t1, converted, emitted, pend = _UNSET, False, False, []
-        # decided-ness as PERSISTED before this invocation: a timeout
-        # arriving on already-decided state is the TTL timer (the only
-        # timer armed for that shape), not a ripen/deadline wake-up
+        # TTL-timer recognition must use the PERSISTED shape at entry:
+        # the wm+TTL timer is armed only when the state was decided
+        # (converted / absence emitted) with NOTHING pending. Testing
+        # pend AFTER the ripen fold instead (the first r4 attempt)
+        # mis-classified a ripen wake-up that merely drained a
+        # post-decision buffered view as the TTL timer and evicted
+        # early — letting a later view restart tracking and emit a
+        # second abandonment inside the TTL horizon (caught in review,
+        # pinned by test_abandon_ripen_timer_does_not_evict_early).
         was_decided = converted or emitted
+        had_pend = bool(pend)
 
         if state.hasTimedOut:
             pdfs = iter(())  # wake-up only: the deadline/ripen check below runs
@@ -269,7 +276,7 @@ def _make_abandon_fn(start_step: str, convert_step: str, within_ms: int,
             emitted = True
             out = (int(key[0]), t1, t1 + within_ms)
 
-        if state.hasTimedOut and not pend and was_decided:
+        if state.hasTimedOut and was_decided and not had_pend:
             # TTL eviction for DECIDED state (advice r3): this wake-up
             # is the ``wm + state_ttl_ms`` timer armed when the user was
             # decided (converted, or absence already emitted) with
