@@ -491,3 +491,20 @@ def test_hybrid_rrf_has_no_window_exec(spark):
     assert "Generate" in plan  # the posexplode re-expansion
     # results still come back: the shape is an optimization, not a stub
     assert len(df.collect()) > 0
+
+
+def test_bigram_kn_logprob_no_global_sort(spark):
+    """KN perplexity filter (queries_corpus, r4): the LM stats must
+    reach the scoring join as broadcasts, the output limit must be
+    TakeOrdered, and nothing corpus-sized may globally sort — the only
+    Sorts allowed are inside SMJ/TakeOrdered, and at SF_SMOKE the plan
+    has none at all outside TakeOrderedAndProject."""
+    from vector_search_service_spark.registry import all_queries
+
+    df = all_queries()["bigram_kn_logprob"].fn(spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert has_top_k(df)
+    assert has_broadcast_join(df)
+    # no global Sort operator: every "Sort " occurrence must belong to
+    # TakeOrderedAndProject's own description, not a standalone node
+    assert "\n   Sort " not in plan and "+- Sort " not in plan

@@ -550,3 +550,121 @@ def q_kneser_ney_bigram_topk(spark, sf_dir):
         .orderBy("w1", F.col("p").desc(), "w2")
         .select("w1", "w2", F.round("p", 6).alias("p_kn_r"))
     )
+
+
+@register(
+    "bigram_kn_logprob",
+    survey_ref="extension: per-document perplexity under the interpolated "
+               "Kneser-Ney bigram LM (CCNet-style quality filter)",
+    tags=("corpus", "textan"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_WORDS_SQL} AS w FROM documents
+),
+pairs AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1,
+         unnest(list_transform(range(1, len(w)), i -> w[i + 1])) AS w2
+  FROM toks WHERE len(w) >= 2
+),
+bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM pairs GROUP BY w1, w2),
+ctx AS (
+  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1, CAST(count(*) AS BIGINT) AS nf
+  FROM bc GROUP BY w1
+),
+cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS nc FROM bc GROUP BY w2),
+nb AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM bc),
+scored AS (
+  SELECT bc.w1, bc.w2,
+         CAST(round(ln(
+           greatest(CAST(bc.c12 AS DOUBLE) - {_KN_D}, 0.0) / CAST(ctx.c1 AS DOUBLE)
+           + ({_KN_D} * CAST(ctx.nf AS DOUBLE) / CAST(ctx.c1 AS DOUBLE))
+             * (CAST(cont.nc AS DOUBLE) / CAST(nb.nb AS DOUBLE))
+         ) * 1000000) AS BIGINT) AS micro
+  FROM bc
+  JOIN ctx ON bc.w1 = ctx.w1
+  JOIN cont ON bc.w2 = cont.w2
+  CROSS JOIN nb
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(micro) AS BIGINT) AS kn_micro,
+       round(CAST(sum(micro) AS DOUBLE) / (count(*) * 1000000.0), 6) AS mean_kn_r
+FROM pairs JOIN scored USING (w1, w2)
+GROUP BY doc_id ORDER BY doc_id LIMIT 500
+""",
+)
+def q_bigram_kn_logprob(spark, sf_dir):
+    """Per-document mean bigram log-probability under the corpus's own
+    interpolated Kneser-Ney LM — the CCNet-style perplexity filter
+    (Wenzek et al. 2020): low mean log-prob = surprising/garbled text,
+    high = boilerplate-typical. This is ``unigram_logprob``'s
+    production-grade sibling: the bigram LM with KN smoothing is what
+    perplexity-based quality filtering actually runs.
+
+    Exactness (same discipline as ``unigram_logprob`` /
+    ``importance_ratio_topk``): ln P_KN is computed ONCE per *bigram
+    type* — every input to the P_KN chain is an exact integer count,
+    so both engines evaluate the identical scalar double chain — and
+    quantized to integer micro-nats there; the per-document aggregate
+    sums integers, so it is order-, partition- and engine-independent.
+    In-doc bigrams always exist in the corpus bigram table (it was
+    built from the same stream), so the scoring join is total and no
+    unseen-event backoff path is needed here.
+
+    Scale: ONE map-side-combined shuffle builds the bigram-type table
+    (the corpus position stream is streamed through it, never
+    checkpointed); the LM stats aggregate the shrinking type table on
+    its own keys; scoring is a shuffle join of (doc_id, w1, w2)
+    positions against the (w1, w2, micro) type table — both sides
+    partition on the bigram key, nothing corpus-sized ever sorts. The
+    type table for a 100 TB corpus exceeds broadcast range, which is
+    why the join is left to shuffle (contrast the ≤4096-row DSIR
+    feature table, which broadcasts by construction)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", words_col(F.col("text")).alias("w"))
+        .filter(F.size("w") >= 2)
+    )
+    pairs = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - 1),
+                lambda i: F.struct(
+                    F.element_at("w", i).alias("w1"),
+                    F.element_at("w", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    bc = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    bc = bc.localCheckpoint(eager=False)  # feeds ctx, cont, nb and scoring
+    ctx = bc.groupBy("w1").agg(F.sum("c12").alias("c1"), F.count("*").alias("nf"))
+    cont = bc.groupBy("w2").agg(F.count("*").alias("nc"))
+    nb = bc.agg(F.count("*").alias("nb"))
+    p = (
+        F.greatest(F.col("c12").cast("double") - F.lit(_KN_D), F.lit(0.0))
+        / F.col("c1").cast("double")
+        + (F.lit(_KN_D) * F.col("nf").cast("double") / F.col("c1").cast("double"))
+        * (F.col("nc").cast("double") / F.col("nb").cast("double"))
+    )
+    scored = (
+        bc.join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(nb))
+        .select("w1", "w2", F.round(F.log(p) * 1_000_000).cast("long").alias("micro"))
+    )
+    return (
+        pairs.join(scored, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum("micro").alias("kn_micro"),
+            F.round(
+                F.sum("micro").cast("double") / (F.count("*") * F.lit(1_000_000.0)), 6
+            ).alias("mean_kn_r"),
+        )
+        .orderBy("doc_id")
+        .limit(500)
+    )

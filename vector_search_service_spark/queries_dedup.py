@@ -417,3 +417,71 @@ def q_fuzzy_blocked_pairs(spark, sf_dir):
         .orderBy("id_a", "id_b")
         .limit(100)
     )
+
+
+@register(
+    "stream_dedup_replay",
+    survey_ref="extension: streaming exact dedup — dropDuplicates state "
+               "across micro-batches, driver-checked via availableNow replay",
+    tags=("dedup", "streaming"),
+    oracle=f"""
+WITH d AS (
+  SELECT sha256(array_to_string(list_slice({_WORDS}, 1, 2), ' ')) AS content_sha
+  FROM documents
+)
+SELECT DISTINCT content_sha FROM d ORDER BY content_sha
+""",
+)
+def q_stream_dedup_replay(spark, sf_dir):
+    """Streaming exact deduplication: the ingest-time twin of
+    ``exact_dedup_groups``. Documents are replayed one-file-per-micro-
+    batch; ``dropDuplicates`` on the content sha keeps one row per key
+    in the state store, so a duplicate arriving in a LATER micro-batch
+    is suppressed by state, not by a batch shuffle — the property this
+    entry drives end to end (the repartition(4) scatters each dup
+    group's members across files). Only the key column is emitted:
+    which group member wins is arrival-order-dependent, the key SET is
+    exactly the batch-distinct result the oracle computes.
+
+    Scale: state is one 32-byte key per distinct document (RocksDB
+    state store on a real cluster), partitioned by key hash —
+    arbitrarily many executors each own a slice; the stream never
+    shuffles more than (key) per row. Unbounded corpora bound the
+    horizon with ``dropDuplicatesWithinWatermark`` instead; the keeper-
+    choice policies (min-id canonical pick) live in the batch operator.
+    Same replay mechanics as the CEP entries (unique source/checkpoint/
+    table per invocation, loud timeout, bounded ``availableNow`` run).
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    tag = uuid.uuid4().hex[:12]
+    root = tempfile.mkdtemp(prefix=f"stream_dedup_{tag}_")
+    src = f"{root}/src"
+    docs.repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    deduped = stream.select(
+        F.sha2(
+            F.concat_ws(" ", F.slice(words_col(F.col("text")), 1, 2)), 256
+        ).alias("content_sha")
+    ).dropDuplicates(["content_sha"])
+    table = f"stream_dedup_drv_{tag}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(table)
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(f"{table}: availableNow replay exceeded 300s")
+    shutil.rmtree(root, ignore_errors=True)
+    return spark.table(table).orderBy("content_sha")
