@@ -446,6 +446,37 @@ _KN_D = 0.75
 _KN_TOPK = 10
 
 
+def kn_bigram_stats(pairs):
+    """Interpolated-KN LM stat tables from a (w1, w2) bigram stream:
+    bigram counts ``bc(w1, w2, c12)``, context totals ``ctx(w1, c1,
+    nf)``, continuation fan-in ``cont(w2, nc)`` and the 1-row distinct-
+    type count ``nb``. Shared by the two KN entries; the estimator's
+    semantics (Σ_w2 P_KN(w2|w1) = 1 over the continuation vocabulary)
+    are pinned by tests/test_kn_lm.py, independent of the DuckDB
+    oracle (which re-implements the same formula and so cannot catch a
+    formula error)."""
+    bc = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    bc = bc.localCheckpoint(eager=False)  # feeds all three stats + scoring
+    ctx = bc.groupBy("w1").agg(F.sum("c12").alias("c1"), F.count("*").alias("nf"))
+    cont = bc.groupBy("w2").agg(F.count("*").alias("nc"))
+    nb = bc.agg(F.count("*").alias("nb"))
+    return bc, ctx, cont, nb
+
+
+def kn_p_col():
+    """P_KN(w2|w1) over joined (c12, c1, nf, nc, nb) columns — ONE
+    fixed chain of scalar double ops from exact integer counts, so
+    both engines produce bit-identical doubles (the oracle SQL mirrors
+    this chain verbatim). ``c12`` may be 0 for an unseen pair (the
+    discounted term vanishes; only continuation mass remains)."""
+    return (
+        F.greatest(F.col("c12").cast("double") - F.lit(_KN_D), F.lit(0.0))
+        / F.col("c1").cast("double")
+        + (F.lit(_KN_D) * F.col("nf").cast("double") / F.col("c1").cast("double"))
+        * (F.col("nc").cast("double") / F.col("nb").cast("double"))
+    )
+
+
 @register(
     "kneser_ney_bigram_topk",
     survey_ref="extension: interpolated Kneser-Ney bigram LM "
@@ -521,26 +552,14 @@ def q_kneser_ney_bigram_topk(spark, sf_dir):
             )
         ).alias("b")
     ).select("b.w1", "b.w2")
-    bc = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
-    bc = bc.localCheckpoint(eager=False)  # feeds ctx, cont, nb and the slice
-    ctx = bc.groupBy("w1").agg(
-        F.sum("c12").alias("c1"), F.count("*").alias("nf")
-    )
-    cont = bc.groupBy("w2").agg(F.count("*").alias("nc"))
-    nb = bc.agg(F.count("*").alias("nb"))
+    bc, ctx, cont, nb = kn_bigram_stats(pairs)
     cand = bc.filter(F.col("w1").isin(*_KN_CONTEXTS))
-    p = (
-        F.greatest(F.col("c12").cast("double") - F.lit(_KN_D), F.lit(0.0))
-        / F.col("c1").cast("double")
-        + (F.lit(_KN_D) * F.col("nf").cast("double") / F.col("c1").cast("double"))
-        * (F.col("nc").cast("double") / F.col("nb").cast("double"))
-    )
     w = Window.partitionBy("w1").orderBy(F.col("p").desc(), F.col("w2").asc())
     return (
         cand.join(F.broadcast(ctx.filter(F.col("w1").isin(*_KN_CONTEXTS))), "w1")
         .join(cont, "w2")
         .crossJoin(F.broadcast(nb))
-        .withColumn("p", p)
+        .withColumn("p", kn_p_col())
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _KN_TOPK)
         # order on the RAW p (the window's own sort key), not the
@@ -638,22 +657,15 @@ def q_bigram_kn_logprob(spark, sf_dir):
             )
         ).alias("b"),
     ).select("doc_id", "b.w1", "b.w2")
-    bc = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
-    bc = bc.localCheckpoint(eager=False)  # feeds ctx, cont, nb and scoring
-    ctx = bc.groupBy("w1").agg(F.sum("c12").alias("c1"), F.count("*").alias("nf"))
-    cont = bc.groupBy("w2").agg(F.count("*").alias("nc"))
-    nb = bc.agg(F.count("*").alias("nb"))
-    p = (
-        F.greatest(F.col("c12").cast("double") - F.lit(_KN_D), F.lit(0.0))
-        / F.col("c1").cast("double")
-        + (F.lit(_KN_D) * F.col("nf").cast("double") / F.col("c1").cast("double"))
-        * (F.col("nc").cast("double") / F.col("nb").cast("double"))
-    )
+    bc, ctx, cont, nb = kn_bigram_stats(pairs)
     scored = (
         bc.join(ctx, "w1")
         .join(cont, "w2")
         .crossJoin(F.broadcast(nb))
-        .select("w1", "w2", F.round(F.log(p) * 1_000_000).cast("long").alias("micro"))
+        .select(
+            "w1", "w2",
+            F.round(F.log(kn_p_col()) * 1_000_000).cast("long").alias("micro"),
+        )
     )
     return (
         pairs.join(scored, ["w1", "w2"])
