@@ -478,3 +478,85 @@ def q_abandoned_first_view(spark, sf_dir):
 
     ev = load_table(spark, sf_dir, "events")
     return batch_abandoned_first_view(ev).orderBy("user_id")
+
+
+@register(
+    "stream_interval_join",
+    survey_ref="extension: stream-stream event-time interval join "
+               "(state-evictable two-stream join), driver-checked via "
+               "availableNow replay",
+    tags=("streaming", "events"),
+    oracle="""
+SELECT v.user_id AS user_id,
+       v.event_id AS view_id,
+       c.event_id AS click_id,
+       CAST(epoch_ms(v.ts) AS BIGINT) AS view_ms,
+       CAST(epoch_ms(c.ts) AS BIGINT) AS click_ms
+FROM events v
+JOIN events c
+  ON v.user_id = c.user_id
+ AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+WHERE v.event_type = 'view' AND c.event_type = 'click'
+ORDER BY user_id, view_id, click_id
+""",
+)
+def q_stream_interval_join(spark, sf_dir):
+    """Stream-stream inner join with an event-time bound: each view
+    joined to the same user's clicks within 1 h afterwards, BOTH sides
+    streaming (`streaming/windows.py::click_after_view_pairs` — one
+    expression, batch and stream). The explicit time bound is what
+    lets Structured Streaming evict join state: a buffered view is
+    droppable once the click-side watermark passes view_ts + 1 h, so
+    state is one interval of events per side, not history. Replayed
+    one-file-per-micro-batch (repartition scatters event-time order)
+    under ``availableNow`` into a memory sink; the emitted pair set is
+    checked against the batch theta-join oracle — an inner interval
+    join's output SET is batch-boundary-independent, so the driver
+    hash is deterministic with no flush sentinel needed.
+
+    Completes the streaming families' driver coverage: windowed aggs,
+    sessionization, CEP (funnel/absence/N-step), exact dedup, and now
+    the two-stream join."""
+    import shutil
+    import tempfile
+    import uuid
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    tag = uuid.uuid4().hex[:12]
+    root = tempfile.mkdtemp(prefix=f"ssjoin_{tag}_")
+    src = f"{root}/src"
+    ev.repartition(4).write.parquet(src)
+
+    from .streaming.windows import click_after_view_pairs
+
+    def _stream():
+        # two independent readers of the same drop directory — the
+        # join is two-stream, not a stream self-join
+        return (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    out = click_after_view_pairs(
+        _stream().filter(F.col("event_type") == "view"),
+        _stream().filter(F.col("event_type") == "click"),
+        within="1 hour",
+        watermark="3650 days",  # replay spans years: nothing is late
+    )
+    table = f"ssjoin_drv_{tag}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("append")
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(f"{table}: availableNow replay exceeded 300s")
+    shutil.rmtree(root, ignore_errors=True)
+    return spark.table(table).orderBy("user_id", "view_id", "click_id")
