@@ -680,3 +680,106 @@ def q_bigram_kn_logprob(spark, sf_dir):
         .orderBy("doc_id")
         .limit(500)
     )
+
+
+@register(
+    "dedup_span_clean",
+    survey_ref="LLM-pipeline: exact-substring duplicate REMOVAL (the "
+               "transform behind the duplicate_ngram_spans measurement; "
+               "Lee et al. 2022 / C4-style span cleaning)",
+    tags=("dedup", "corpus"),
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, {_WORDS_SQL} AS words FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(range(1, len(words) - 1)) AS j, words
+  FROM w WHERE len(words) >= 3
+),
+sh2 AS (
+  SELECT doc_id, j, array_to_string(list_slice(words, j, j + 2), ' ') AS s
+  FROM sh
+),
+dup AS (SELECT s FROM sh2 GROUP BY s HAVING count(DISTINCT doc_id) >= 2),
+cov AS (
+  SELECT DISTINCT sh2.doc_id, sh2.j + t.d AS p
+  FROM sh2 JOIN dup USING (s), unnest([0, 1, 2]) AS t(d)
+),
+covl AS (SELECT doc_id, list(p) AS ps FROM cov GROUP BY doc_id)
+SELECT w.doc_id,
+       CAST(len(words) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(len(ps), 0) AS BIGINT) AS n_removed,
+       -- array_to_string([]) is NULL in DuckDB (Spark concat_ws gives
+       -- ''): coalesce so a fully-cut document hashes the empty string
+       sha256(COALESCE(array_to_string(
+         list_transform(
+           list_filter(range(1, len(words) + 1),
+                       p -> NOT list_contains(COALESCE(ps, []), p)),
+           p -> words[p]), ' '), '')) AS cleaned_sha
+FROM w LEFT JOIN covl ON w.doc_id = covl.doc_id
+ORDER BY w.doc_id LIMIT 500
+""",
+)
+def q_dedup_span_clean(spark, sf_dir):
+    """Exact-substring duplicate REMOVAL — the transform
+    ``duplicate_ngram_spans`` only measures: every token position
+    covered by a 3-gram that occurs in ≥2 distinct documents is
+    dropped, and the cleaned document is re-emitted (as its sha256, so
+    the rewrite itself is what the driver hashes). Docs shorter than
+    one window (< 3 tokens) are never cut.
+
+    Scale shape: the corpus text NEVER shuffles. The exploded stream is
+    (doc_id, position, hash64) — 16 B/row — positional duplicates come
+    from the same min≠max window as the measurement entry, covered
+    positions collapse to ONE small int-array per affected document
+    (bounded by doc length), and that array joins back to the documents
+    table where the rewrite is a map-side array expression
+    (filter/transform over the words column — codegen, no UDF). The
+    oracle groups raw shingle strings; hash identity is Spark-side only
+    (same 64-bit collision-odds caveat as ``duplicate_ngram_spans``,
+    and the deliberate-collision parity caveat documented there)."""
+    from .operators.dedup import shingle_hashes64_udf
+    from .sources.tables import parallelize_scan
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", words_col(F.col("text")).alias("words"))
+    sh = parallelize_scan(docs.select("doc_id", "text"), spark).filter(
+        F.size(words_col(F.col("text"))) >= 3
+    )
+    pairs = sh.select(
+        "doc_id", F.posexplode(shingle_hashes64_udf(3)(F.col("text")))
+    ).select("doc_id", (F.col("pos") + 1).alias("j"), F.col("col").alias("s64"))
+    w = Window.partitionBy("s64")
+    cov = (
+        pairs.withColumn(
+            "is_dup", F.min("doc_id").over(w) != F.max("doc_id").over(w)
+        )
+        .filter("is_dup")
+        .select(
+            "doc_id",
+            F.explode(
+                F.array(F.col("j"), F.col("j") + 1, F.col("j") + 2)
+            ).alias("p"),
+        )
+        .distinct()
+    )
+    covl = cov.groupBy("doc_id").agg(F.collect_set("p").alias("ps"))
+    kept = F.transform(
+        F.filter(
+            F.sequence(F.lit(1), F.size("words")),
+            lambda p: ~F.exists("ps", lambda q: q == p),
+        ),
+        lambda p: F.element_at("words", p),
+    )
+    return (
+        base.join(covl, "doc_id", "left")
+        .withColumn("ps", F.coalesce("ps", F.array().cast("array<int>")))
+        .select(
+            "doc_id",
+            F.size("words").cast("long").alias("n_tokens"),
+            F.size("ps").cast("long").alias("n_removed"),
+            F.sha2(F.concat_ws(" ", kept), 256).alias("cleaned_sha"),
+        )
+        .orderBy("doc_id")
+        .limit(500)
+    )
