@@ -472,16 +472,19 @@ def q_stream_dedup_replay(spark, sf_dir):
             F.concat_ws(" ", F.slice(words_col(F.col("text")), 1, 2)), 256
         ).alias("content_sha")
     ).dropDuplicates(["content_sha"])
+    from .streaming.windows import bounded_shuffle
+
     table = f"stream_dedup_drv_{tag}"
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(table)
-        .option("checkpointLocation", f"{root}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError(f"{table}: availableNow replay exceeded 300s")
+    with bounded_shuffle(spark):  # cap per-trigger state partitions
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(table)
+            .option("checkpointLocation", f"{root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(f"{table}: availableNow replay exceeded 300s")
     shutil.rmtree(root, ignore_errors=True)
     return spark.table(table).orderBy("content_sha")

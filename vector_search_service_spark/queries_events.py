@@ -265,25 +265,28 @@ def _replay_cep_stream(spark, sf_dir, build_matches, *, sentinel_step, prefix,
         "user_id long, ts timestamp, event_type string",
     ).coalesce(1).write.mode("append").parquet(src)
 
+    from .streaming.windows import bounded_shuffle
+
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
     table = f"{prefix}_drv_{tag}"
-    q = (
-        build_matches(stream, f"{delay_days} days")
-        .writeStream.format("memory")
-        .queryName(table)
-        .option("checkpointLocation", f"{root}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    # a silent timeout here would hash a PARTIAL memory table into the
-    # driver's correctness row (review-caught): fail loudly instead
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError(f"{table}: availableNow replay exceeded 300s")
+    with bounded_shuffle(spark):  # cap per-trigger state partitions
+        q = (
+            build_matches(stream, f"{delay_days} days")
+            .writeStream.format("memory")
+            .queryName(table)
+            .option("checkpointLocation", f"{root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        # a silent timeout here would hash a PARTIAL memory table into
+        # the driver's correctness row (review-caught): fail loudly
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(f"{table}: availableNow replay exceeded 300s")
     shutil.rmtree(root, ignore_errors=True)
     return spark.table(table).filter(F.col("user_id") >= 0)
 
@@ -540,6 +543,8 @@ def q_stream_interval_join(spark, sf_dir):
             .parquet(src)
         )
 
+    from .streaming.windows import bounded_shuffle
+
     out = click_after_view_pairs(
         _stream().filter(F.col("event_type") == "view"),
         _stream().filter(F.col("event_type") == "click"),
@@ -547,16 +552,17 @@ def q_stream_interval_join(spark, sf_dir):
         watermark="3650 days",  # replay spans years: nothing is late
     )
     table = f"ssjoin_drv_{tag}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(table)
-        .outputMode("append")
-        .option("checkpointLocation", f"{root}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError(f"{table}: availableNow replay exceeded 300s")
+    with bounded_shuffle(spark):  # cap per-trigger state partitions
+        q = (
+            out.writeStream.format("memory")
+            .queryName(table)
+            .outputMode("append")
+            .option("checkpointLocation", f"{root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(f"{table}: availableNow replay exceeded 300s")
     shutil.rmtree(root, ignore_errors=True)
     return spark.table(table).orderBy("user_id", "view_id", "click_id")
