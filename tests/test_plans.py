@@ -501,10 +501,15 @@ def test_bigram_kn_logprob_no_global_sort(spark):
     has none at all outside TakeOrderedAndProject."""
     from vector_search_service_spark.registry import all_queries
 
+    import re
+
     df = all_queries()["bigram_kn_logprob"].fn(spark, SF_SMOKE)
     plan = explain_str(df)
     assert has_top_k(df)
     assert has_broadcast_join(df)
-    # no global Sort operator: every "Sort " occurrence must belong to
-    # TakeOrderedAndProject's own description, not a standalone node
-    assert "\n   Sort " not in plan and "+- Sort " not in plan
+    # no standalone Sort node anywhere — formatted mode renders nodes
+    # as "Sort (n)" regardless of branch prefix (+-, :-, indentation),
+    # and neither TakeOrderedAndProject nor SortAggregate matches the
+    # word-bounded form (review-caught: the earlier prefix-substring
+    # check missed ":- Sort" on binary operators' left branches)
+    assert not re.search(r"\bSort \(", plan)

@@ -761,16 +761,21 @@ def q_dedup_span_clean(spark, sf_dir):
                 F.array(F.col("j"), F.col("j") + 1, F.col("j") + 2)
             ).alias("p"),
         )
-        .distinct()
+        # no .distinct() here: the collect_set below IS the per-doc
+        # dedup — a pre-distinct would shuffle the coverage stream twice
     )
     covl = cov.groupBy("doc_id").agg(F.collect_set("p").alias("ps"))
-    kept = F.transform(
+    # a zero-token doc must yield []: F.sequence(1, 0) is the
+    # DESCENDING [1, 0] and element_at(words, 0) throws, where the
+    # oracle's range(1, 1) is empty (review-caught; pinned by
+    # tests/test_span_clean.py on a synthetic empty-text doc)
+    kept = F.when(F.size("words") > 0, F.transform(
         F.filter(
             F.sequence(F.lit(1), F.size("words")),
             lambda p: ~F.exists("ps", lambda q: q == p),
         ),
         lambda p: F.element_at("words", p),
-    )
+    )).otherwise(F.array().cast("array<string>"))
     return (
         base.join(covl, "doc_id", "left")
         .withColumn("ps", F.coalesce("ps", F.array().cast("array<int>")))

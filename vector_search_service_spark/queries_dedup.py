@@ -449,42 +449,18 @@ def q_stream_dedup_replay(spark, sf_dir):
     shuffles more than (key) per row. Unbounded corpora bound the
     horizon with ``dropDuplicatesWithinWatermark`` instead; the keeper-
     choice policies (min-id canonical pick) live in the batch operator.
-    Same replay mechanics as the CEP entries (unique source/checkpoint/
-    table per invocation, loud timeout, bounded ``availableNow`` run).
-    """
-    import shutil
-    import tempfile
-    import uuid
+    Replay mechanics in ``streaming/windows.py::replay_available_now``
+    (unique source/checkpoint/table per invocation, bounded shuffle,
+    loud timeout, cleanup on every exit path)."""
+    from .streaming.windows import replay_available_now
 
     docs = load_table(spark, sf_dir, "documents").select("text")
-    tag = uuid.uuid4().hex[:12]
-    root = tempfile.mkdtemp(prefix=f"stream_dedup_{tag}_")
-    src = f"{root}/src"
-    docs.repartition(4).write.parquet(src)
-
-    stream = (
-        spark.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
-    deduped = stream.select(
-        F.sha2(
-            F.concat_ws(" ", F.slice(words_col(F.col("text")), 1, 2)), 256
-        ).alias("content_sha")
-    ).dropDuplicates(["content_sha"])
-    from .streaming.windows import bounded_shuffle
-
-    table = f"stream_dedup_drv_{tag}"
-    with bounded_shuffle(spark):  # cap per-trigger state partitions
-        q = (
-            deduped.writeStream.format("memory")
-            .queryName(table)
-            .option("checkpointLocation", f"{root}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError(f"{table}: availableNow replay exceeded 300s")
-    shutil.rmtree(root, ignore_errors=True)
-    return spark.table(table).orderBy("content_sha")
+    return replay_available_now(
+        spark, docs,
+        lambda make_stream: make_stream().select(
+            F.sha2(
+                F.concat_ws(" ", F.slice(words_col(F.col("text")), 1, 2)), 256
+            ).alias("content_sha")
+        ).dropDuplicates(["content_sha"]),
+        prefix="stream_dedup",
+    ).orderBy("content_sha")

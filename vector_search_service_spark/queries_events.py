@@ -238,57 +238,27 @@ def q_funnel_user_times(spark, sf_dir):
 
 def _replay_cep_stream(spark, sf_dir, build_matches, *, sentinel_step, prefix,
                        delay_days=3650):
-    """Shared driver-entry replay harness for the stateful CEP
-    operators: write the events table as four parquet files (the
-    repartition scatters event-times, so each micro-batch is genuinely
-    out of event-time order), append a far-future watermark-flush
-    sentinel, replay one-file-per-micro-batch under ``availableNow``
-    into a memory sink, and return the emitted rows (sentinel user
-    dropped). Per-invocation unique source/checkpoint/table names keep
-    re-runs and the driver's own session isolated; the on-disk corpus
-    copy + checkpoint are deleted once the bounded run terminates (the
-    memory sink holds the rows in the session, not on disk)."""
+    """Driver-entry replay for the stateful CEP operators: the shared
+    ``replay_available_now`` scaffold (out-of-order file micro-batches,
+    bounded shuffle, loud timeout, cleanup on every exit path) plus the
+    CEP-specific far-future watermark-flush sentinel, whose user is
+    dropped from the returned rows."""
     import datetime
-    import shutil
-    import tempfile
-    import uuid
+
+    from .streaming.windows import replay_available_now
 
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
-    tag = uuid.uuid4().hex[:12]
-    root = tempfile.mkdtemp(prefix=f"{prefix}_{tag}_")
-    src = f"{root}/src"
-    ev.repartition(4).write.parquet(src)
     max_ts = ev.agg(F.max("ts")).first()[0]
     sentinel_ts = max_ts + datetime.timedelta(days=2 * delay_days)
-    spark.createDataFrame(
+    sentinel = spark.createDataFrame(
         [(int(-1), sentinel_ts, sentinel_step)],
         "user_id long, ts timestamp, event_type string",
-    ).coalesce(1).write.mode("append").parquet(src)
-
-    from .streaming.windows import bounded_shuffle
-
-    stream = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
     )
-    table = f"{prefix}_drv_{tag}"
-    with bounded_shuffle(spark):  # cap per-trigger state partitions
-        q = (
-            build_matches(stream, f"{delay_days} days")
-            .writeStream.format("memory")
-            .queryName(table)
-            .option("checkpointLocation", f"{root}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        # a silent timeout here would hash a PARTIAL memory table into
-        # the driver's correctness row (review-caught): fail loudly
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError(f"{table}: availableNow replay exceeded 300s")
-    shutil.rmtree(root, ignore_errors=True)
-    return spark.table(table).filter(F.col("user_id") >= 0)
+    return replay_available_now(
+        spark, ev,
+        lambda make_stream: build_matches(make_stream(), f"{delay_days} days"),
+        prefix=prefix, append_df=sentinel,
+    ).filter(F.col("user_id") >= 0)
 
 
 @register(
@@ -519,50 +489,22 @@ def q_stream_interval_join(spark, sf_dir):
 
     Completes the streaming families' driver coverage: windowed aggs,
     sessionization, CEP (funnel/absence/N-step), exact dedup, and now
-    the two-stream join."""
-    import shutil
-    import tempfile
-    import uuid
+    the two-stream join. Replay mechanics in
+    ``streaming/windows.py::replay_available_now`` (the callback calls
+    ``make_stream()`` twice — two independent readers of the same drop
+    directory, a genuine two-stream join, not a stream self-join)."""
+    from .streaming.windows import click_after_view_pairs, replay_available_now
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type"
     )
-    tag = uuid.uuid4().hex[:12]
-    root = tempfile.mkdtemp(prefix=f"ssjoin_{tag}_")
-    src = f"{root}/src"
-    ev.repartition(4).write.parquet(src)
-
-    from .streaming.windows import click_after_view_pairs
-
-    def _stream():
-        # two independent readers of the same drop directory — the
-        # join is two-stream, not a stream self-join
-        return (
-            spark.readStream.schema(ev.schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(src)
-        )
-
-    from .streaming.windows import bounded_shuffle
-
-    out = click_after_view_pairs(
-        _stream().filter(F.col("event_type") == "view"),
-        _stream().filter(F.col("event_type") == "click"),
-        within="1 hour",
-        watermark="3650 days",  # replay spans years: nothing is late
-    )
-    table = f"ssjoin_drv_{tag}"
-    with bounded_shuffle(spark):  # cap per-trigger state partitions
-        q = (
-            out.writeStream.format("memory")
-            .queryName(table)
-            .outputMode("append")
-            .option("checkpointLocation", f"{root}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError(f"{table}: availableNow replay exceeded 300s")
-    shutil.rmtree(root, ignore_errors=True)
-    return spark.table(table).orderBy("user_id", "view_id", "click_id")
+    return replay_available_now(
+        spark, ev,
+        lambda make_stream: click_after_view_pairs(
+            make_stream().filter(F.col("event_type") == "view"),
+            make_stream().filter(F.col("event_type") == "click"),
+            within="1 hour",
+            watermark="3650 days",  # replay spans years: nothing is late
+        ),
+        prefix="ssjoin",
+    ).orderBy("user_id", "view_id", "click_id")

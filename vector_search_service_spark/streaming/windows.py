@@ -43,6 +43,61 @@ def bounded_shuffle(spark, n: int = 8):
             spark.conf.set(key, prev)
 
 
+def replay_available_now(spark, batch_df: DataFrame, build_query, *,
+                         prefix: str, n_files: int = 4, append_df=None,
+                         timeout: int = 300) -> DataFrame:
+    """Shared ``availableNow`` replay scaffold for the driver-entry
+    streaming queries: write ``batch_df`` as ``n_files`` parquet files
+    (the repartition scatters event-time order, so micro-batches are
+    genuinely out of order) plus an optional one-file ``append_df``
+    (watermark-flush sentinels), then run
+    ``build_query(make_stream)`` — the callback calls ``make_stream()``
+    once per stream side it needs (twice for a stream-stream join) —
+    one-file-per-micro-batch into a uniquely-named memory sink under
+    ``bounded_shuffle``. Fails LOUDLY on timeout (a silent partial
+    memory table would hash into a driver correctness row), and the
+    on-disk corpus copy + checkpoint are removed on every exit path
+    (the memory sink holds rows in the session, not on disk)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    tag = uuid.uuid4().hex[:12]
+    root = tempfile.mkdtemp(prefix=f"{prefix}_{tag}_")
+    table = f"{prefix}_drv_{tag}"
+    try:
+        src = f"{root}/src"
+        batch_df.repartition(n_files).write.parquet(src)
+        if append_df is not None:
+            append_df.coalesce(1).write.mode("append").parquet(src)
+
+        def make_stream() -> DataFrame:
+            return (
+                spark.readStream.schema(batch_df.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+
+        with bounded_shuffle(spark):  # cap per-trigger state partitions
+            q = (
+                build_query(make_stream)
+                .writeStream.format("memory")
+                .queryName(table)
+                .outputMode("append")
+                .option("checkpointLocation", f"{root}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(timeout):
+                q.stop()
+                raise TimeoutError(
+                    f"{table}: availableNow replay exceeded {timeout}s"
+                )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.table(table)
+
+
 def tumbling_counts(events: DataFrame, *, width: str = "1 hour",
                     ts_col: str = "ts", watermark: str | None = None) -> DataFrame:
     """Tumbling event-time windows: count + exact value sum per
