@@ -121,3 +121,94 @@ def q_timeseries_gapfill(spark, sf_dir):
         )
         .orderBy("user_id", "hour_ms")
     )
+
+
+@register(
+    "expsmooth_forecast",
+    survey_ref="extension: time-series forecasting — exponential "
+               "smoothing as a declarative sequential fold",
+    tags=("streaming", "profile"),
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(count(*) AS DOUBLE) AS x
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+),
+series AS (
+  SELECT event_type, list(x ORDER BY h) AS xs
+  FROM hourly GROUP BY event_type
+)
+-- 0.5e0: a bare 0.5 literal is DECIMAL in DuckDB and would drag the
+-- whole fold into decimal arithmetic
+SELECT event_type,
+       CAST(len(xs) AS BIGINT) AS n_hours,
+       round(list_reduce(xs, (a, x) -> 0.5e0 * x + 0.5e0 * a), 6) AS level_r,
+       -- + 0.0e0 normalizes the signed zero: round() of a tiny
+       -- negative residual is -0.0 in DuckDB, +0.0 in Spark
+       round(xs[len(xs)]
+             - list_reduce(xs, (a, x) -> 0.5e0 * x + 0.5e0 * a), 6)
+         + 0.0e0 AS resid_r
+FROM series
+ORDER BY event_type
+""",
+)
+def q_expsmooth_forecast(spark, sf_dir):
+    """Exponential smoothing over the per-type hourly event-count
+    series — the time-series FORECASTING family (``timeseries_gapfill``
+    regularizes a series; this projects it forward): the smoothed
+    level IS the one-step forecast, and the last observation's
+    deviation from it (``resid_r``) is the standard smoothing anomaly
+    score. Update: l' = x/2 + l/2, init l = x₁, α = 1/2.
+
+    Exactness: the recursive fold is one fixed chain of scalar double
+    ops from exact integer counts, executed in the identical order by
+    both engines (the bm25/KN discipline — for a multi-hundred-step
+    recursion op-order identity is the ONLY cross-engine guarantee;
+    rounding happens once, in the output). The state is deliberately a
+    SINGLE scalar: a Holt (level+trend) variant was attempted and its
+    oracle is not expressible — DuckDB's ``list_reduce`` struct
+    accumulator is reused across chained steps, so the second field's
+    expression observes the first field's already-updated value
+    (reproduced: [1,2,4] folds to b=0.46875 where the spec chain gives
+    0.8125). Trend forecasting on Spark would use the same
+    ``F.aggregate`` with a struct accumulator, which does evaluate
+    against the pre-step state.
+
+    Scale: the hourly pre-aggregation is the only corpus-sized shuffle
+    (map-side combined); the fold runs over the per-type hourly series
+    — thousands of points per YEAR, bounded by calendar time, not
+    event volume — inside ONE codegen'd ``F.aggregate`` expression, no
+    UDF, no window, no driver loop. A streaming deployment maintains
+    the level per key in state instead of re-folding (the fold IS the
+    state-update function)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").cast("double").alias("x"))
+    series = hourly.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("h", "x"))).alias("s")
+    )
+    xs = F.transform(F.col("s"), lambda r: r["x"])
+    level = F.aggregate(
+        F.slice(xs, 2, F.greatest(F.size(xs) - 1, F.lit(0))),
+        F.element_at(xs, 1),
+        lambda a, x: F.lit(0.5) * x + F.lit(0.5) * a,
+    )
+    return (
+        series.select(
+            "event_type",
+            F.size("s").cast("long").alias("n_hours"),
+            level.alias("level"),
+            F.element_at(xs, F.size("s")).alias("last_x"),
+        )
+        .select(
+            "event_type",
+            "n_hours",
+            F.round("level", 6).alias("level_r"),
+            # + 0.0 mirrors the oracle's signed-zero normalization
+            (F.round(F.col("last_x") - F.col("level"), 6) + F.lit(0.0)).alias(
+                "resid_r"
+            ),
+        )
+        .orderBy("event_type")
+    )
