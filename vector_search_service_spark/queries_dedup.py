@@ -42,7 +42,7 @@ _WORDS = sql_words_expr("text")
     oracle=f"""
 WITH d AS (
   SELECT doc_id,
-         array_to_string(list_slice({_WORDS}, 1, 2), ' ') AS head
+         COALESCE(array_to_string(list_slice({_WORDS}, 1, 2), ' '), '') AS head
   FROM documents
 ),
 g AS (
@@ -426,7 +426,7 @@ def q_fuzzy_blocked_pairs(spark, sf_dir):
     tags=("dedup", "streaming"),
     oracle=f"""
 WITH d AS (
-  SELECT sha256(array_to_string(list_slice({_WORDS}, 1, 2), ' ')) AS content_sha
+  SELECT sha256(COALESCE(array_to_string(list_slice({_WORDS}, 1, 2), ' '), '')) AS content_sha
   FROM documents
 )
 SELECT DISTINCT content_sha FROM d ORDER BY content_sha

@@ -439,3 +439,111 @@ def q_fts_snippet(spark, sf_dir):
 
 
 _R2["fts_snippet"].oracle = _snippet_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Retrieve -> rerank: cross-encoder-style second stage over ANN candidates
+# ---------------------------------------------------------------------------
+
+_RERANK_QUERY = "hash join merge"
+_RERANK_CAND = 50  # first-stage retrieval depth
+_RERANK_K = 10
+
+
+def _rerank_oracle() -> str:
+    from .functions.analysis import analyze_terms, sql_raw_tokens_expr
+    from .queries_reference import _QV_SQL
+
+    terms = analyze_terms(_RERANK_QUERY)
+    score = " + ".join(
+        f"CASE WHEN coalesce(list_position(toks, '{t}'), 0) = 0 THEN 0 "
+        f"ELSE CAST(floor(1000000 / (1 + list_position(toks, '{t}'))) AS BIGINT) END"
+        for t in terms
+    )
+    toks = sql_raw_tokens_expr("d.text")
+    return f"""
+WITH q AS (SELECT {_QV_SQL} AS qv),
+cand AS (
+  SELECT vec_id AS doc_id,
+         1.0 - (
+           list_inner_product(CAST(embedding AS DOUBLE[]), qv)
+           / (sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+              * sqrt(list_inner_product(qv, qv)))
+         ) AS distance
+  FROM embeddings, q
+  ORDER BY distance ASC, vec_id ASC
+  LIMIT {_RERANK_CAND}
+),
+scored AS (
+  SELECT c.doc_id, c.distance, {toks} AS toks
+  FROM cand c JOIN documents d ON d.doc_id = c.doc_id
+)
+SELECT doc_id,
+       CAST({score} AS BIGINT) AS score_micro,
+       round(greatest(distance, 0), 6) AS distance_r
+FROM scored
+ORDER BY score_micro DESC, doc_id ASC
+LIMIT {_RERANK_K}
+"""
+
+
+@register(
+    "rerank_cross_topk",
+    survey_ref="extension: retrieve->rerank (ANN candidates re-scored by a "
+               "deterministic cross-encoder-style pairwise scorer)",
+    tags=("vector", "fts"),
+    oracle=None,  # set below (query-vector literal)
+)
+def q_rerank_cross_topk(spark, sf_dir):
+    """Two-stage retrieval the way production vector search ships it:
+    a cheap first stage recalls ``_RERANK_CAND`` candidates (exact
+    cosine top-50 here — the driver-checkable stand-in for the
+    PQ/IVF/LSH tiers, which share this exact candidate contract), then
+    an expensive *pairwise* scorer re-orders only those candidates.
+    The scorer is a deterministic cross-encoder STUB: it consumes the
+    (query, document) pair jointly — position-discounted hits,
+    ``score = Σ_t 1e6 // (1 + first_pos(t))`` in integer micro-units —
+    which is the real cross-encoder dataflow (per-pair scoring over a
+    bounded candidate set) with a sandbox-runnable scoring function; a
+    model-backed scorer drops into the same ``mapInPandas`` slot as
+    ``functions/embed.py`` batch inference, batched over ≤CAND rows.
+
+    Scale: stage 1 is a TakeOrdered scan (no shuffle); the ≤50-row
+    candidate set BROADCASTS into the documents join, so the corpus
+    text is touched only by its own scan and never shuffles; the
+    rerank itself is O(CAND), corpus-size-independent. Integer
+    micro-unit scores + the ±0 clamp keep the oracle hash-exact."""
+    from .functions.analysis import analyze_terms, raw_tokens_col
+    from .operators.search import vector_search
+    from .queries_reference import QUERY_VEC
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    cand = (
+        vector_search(emb, QUERY_VEC, limit=_RERANK_CAND)
+        .select(F.col("vec_id").alias("doc_id"), "distance")
+    )
+    joined = F.broadcast(cand).join(docs.select("doc_id", "text"), "doc_id")
+    toks = raw_tokens_col(F.col("text"))
+    contribs = []
+    for t in analyze_terms(_RERANK_QUERY):
+        pos = F.array_position(toks, t)
+        contribs.append(
+            F.when(pos > 0, F.floor(1_000_000 / (F.lit(1) + pos)).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+    score = contribs[0]
+    for c in contribs[1:]:
+        score = score + c
+    return (
+        joined.select(
+            "doc_id",
+            score.cast("long").alias("score_micro"),
+            F.round(F.greatest(F.col("distance"), F.lit(0.0)), 6).alias("distance_r"),
+        )
+        .orderBy(F.col("score_micro").desc(), F.col("doc_id").asc())
+        .limit(_RERANK_K)
+    )
+
+
+_R2["rerank_cross_topk"].oracle = _rerank_oracle()

@@ -289,3 +289,79 @@ def q_weighted_sample_topk(spark, sf_dir):
         .orderBy(F.col("p").asc(), F.col("doc_id").asc())
         .limit(20)
     )
+
+
+@register(
+    "reservoir_stratum_sample",
+    survey_ref="extension: weighted reservoir sampling per stratum "
+               "(A-Res order via integer hash-race, exact)",
+    tags=("sampling",),
+    oracle="""
+WITH base AS (
+  SELECT doc_id, lang,
+         least(CAST(floor(length(text) / 100) AS INT) + 1, 6) AS w
+  FROM documents
+),
+draws AS (
+  SELECT doc_id, lang, w, unnest(range(1, w + 1)) AS d FROM base
+),
+raced AS (
+  SELECT doc_id, lang, CAST(w AS INT) AS w,
+         min(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(d AS VARCHAR))) AS p
+  FROM draws GROUP BY doc_id, lang, w
+),
+ranked AS (
+  SELECT lang, doc_id, w,
+         CAST(row_number() OVER (PARTITION BY lang ORDER BY p, doc_id) AS BIGINT) AS rn
+  FROM raced
+)
+SELECT lang, doc_id, w, rn FROM ranked WHERE rn <= 10 ORDER BY lang, rn
+""",
+)
+def q_reservoir_stratum_sample(spark, sf_dir):
+    """Weighted reservoir sampling, K=10 PER STRATUM (language), exact
+    and deterministic: the per-stratum generalization of
+    ``weighted_sample_topk``. Each doc races ``w`` integer hash draws
+    (w = length-derived 1..6) and the stratum keeps its K smallest
+    minima — restricted to first appearances this IS the A-Res /
+    Efraimidis-Spirakis reservoir order (exchangeable-uniforms
+    argument, see weighted_sample_topk), with zero float risk: md5-hex
+    string comparison is byte-identical in both engines.
+
+    Scale: the draw explode is bounded (≤6 ids-only rows per doc), the
+    min-race is a map-side-combined groupBy, and the per-stratum
+    row_number windows over (lang, doc_id, w, p) ≈ 50 B/doc — the text
+    never shuffles. A streaming ingest keeps the same reservoir
+    incrementally: state = K (p, doc_id) pairs per stratum, new rows
+    race against the stratum max — the batch and streaming results
+    coincide exactly because the order statistic is a pure function of
+    the key set, independent of arrival order or partitioning."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "lang",
+        F.least(
+            F.floor(F.length("text") / 100).cast("int") + F.lit(1), F.lit(6)
+        ).alias("w"),
+    )
+    raced = (
+        base.select(
+            "doc_id", "lang", "w",
+            F.explode(F.sequence(F.lit(1), F.col("w"))).alias("d"),
+        )
+        .withColumn(
+            "p",
+            F.md5(F.concat_ws(":", F.col("doc_id").cast("string"),
+                              F.col("d").cast("string"))),
+        )
+        .groupBy("doc_id", "lang", "w")
+        .agg(F.min("p").alias("p"))
+    )
+    w_rank = Window.partitionBy("lang").orderBy(F.col("p").asc(), F.col("doc_id").asc())
+    return (
+        raced.select(
+            "lang", "doc_id", "w",
+            F.row_number().over(w_rank).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= 10)
+        .orderBy("lang", "rn")
+    )

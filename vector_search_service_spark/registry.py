@@ -42,75 +42,77 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # (registry − ∪ CORRECTNESS_r*.json keys), oracled entries first.
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # ---- round-4 window (50), re-derived per VERDICT r3 next-round #1 ----
-    # position 1: the round-3 red row, fixed (signed-zero clamp) — must
-    # re-grade green
-    "vector_threshold",
-    # positions 2-11: the 10 oracled entries never driver-graded (landed
-    # after the r3 window was frozen)
-    "fts_probe_topk",
-    "funnel_user_times",
-    "importance_ratio_topk",
-    "abandoned_first_view",
-    "profit_by_nation_year",
-    "returned_item_revenue",
-    "linestatus_priority_counts",
-    "top_revenue_supplier",
-    "supplier_diversity_by_part",
-    "dominant_part_suppliers",
-    # positions 12-18: new round-4 oracled surface — full-probe ANN
-    # exactness modes (judge r3 #3), the quality-model calibration curve
-    # (judge r3 #8), the three stateful streaming CEP replays (judge r3
-    # #4: funnel, timeout-emission absence, generic N-step), and
-    # integer-exact weighted sampling without replacement
-    "pq_ann_topk",
-    "ivf_pq_topk",
-    "quality_model_calibration",
-    "cep_funnel_stream",
-    "cep_abandon_stream",
-    "cep_sequence_stream",
-    "weighted_sample_topk",
-    "kneser_ney_bigram_topk",
-    # positions 19-50: headline + LLM-pipeline re-confirmation backfill
-    # (bench HEADLINE set first, then the dedup/curation/ANN/FTS family)
-    "fts_topk",
-    "fts_match_count_by_lang",
-    "vector_topk",
-    "count_per_group",
-    "decimal_exact_revenue",
-    "semi_join_resolve",
-    "content_stats",
-    "scalar_subquery_avg",
-    "range_join_pairs",
-    "hash_split_train_test",
-    "sole_fault_supplier",
-    "decontaminate_overlap",
-    "timeseries_gapfill",
-    "exact_dedup_groups",
-    "minhash_lsh_dedup",
-    "simhash_dedup",
-    "ngram_jaccard_dedup",
-    "embedding_near_dup",
-    "dedup_components",
-    "dedup_canonical_pick",
-    "fuzzy_blocked_pairs",
-    "curate_corpus",
-    "bm25_topk",
-    "duplicate_ngram_spans",
-    "unigram_logprob",
-    "boilerplate_ngrams",
-    "pii_scrub",
-    "embed_documents",
-    "chunker_windows",
-    "ann_lsh_topk",
-    "hybrid_rrf_topk",
+    # ---- round-5 window (50), re-derived per VERDICT r4 next-round #1 ----
+    # positions 1-5: the five oracled entries that landed after the r4
+    # window froze and have never been driver-graded
+    "bigram_kn_logprob",
+    "stream_dedup_replay",
+    "stream_interval_join",
+    "dedup_span_clean",
+    "expsmooth_forecast",
+    # positions 6-7: NEW round-5 oracled surface — per-stratum weighted
+    # reservoir (A-Res hash-race) and the retrieve->rerank cross-encoder
+    # stage (judge r4 next-round #6)
+    "reservoir_stratum_sample",
+    "rerank_cross_topk",
+    # positions 8-17: stale-row refresh — the 10 entries whose only
+    # driver row is r1 (four rounds old)
+    "point_lookup",
+    "full_scan_list",
+    "json_key_filter",
+    "anti_join_delete",
+    "searchable_text",
+    "sha_doc_id",
+    "topk_by_value",
+    "quantile_stats",
+    "media_image_decode",
+    "media_audio_features",
+    # positions 18-36: stale-row refresh — the 19 oracled entries whose
+    # last driver row is r2 (ann_ivf_probe / fts_cover_topk are the two
+    # r2-era rows-only entries and stay out of the window)
+    "content_type_detect",
+    "date_range_agg",
+    "doc_preprocess",
+    "fts_indexed_topk",
+    "fts_metadata_filter",
+    "fts_snippet",
+    "funnel_conversion",
+    "hourly_rollup_finalized",
+    "join_agg_topk",
+    "maxsim_topk",
+    "mixture_interleave",
+    "multilang_token_stats",
+    "rolling_avg_range_window",
+    "star_join_by_nation",
+    "title_extract",
+    "tpch_q1_full",
+    "validation_flags",
+    "value_outliers_zscore",
+    "vector_topk_per_label",
+    # positions 37-50: stale-row refresh — 14 of the 44 r3-era rows,
+    # one per family (relational/window/asof/sampling/skew/streaming-
+    # batch/sketch/profile/textan/pretrain); the rest rotate in r6
+    "projection_rename_iso",
+    "set_operations",
+    "window_rank_per_group",
+    "asof_join_events",
+    "per_stratum_sample",
+    "salted_group_agg",
+    "events_tumbling_hourly",
+    "sketch_distinct_tolerance",
+    "table_profile",
+    "lang_id",
+    "quality_score",
+    "token_count",
+    "doc_fingerprint",
+    "sequence_pack_spans",
     # ---- positions 51+ (not graded this round) ----
-    # The 3 rows-only canonical entries stay OUT of the window: the
-    # driver has twice demonstrated (r1/r2 `no_oracle` rows) that it
-    # errors rather than rows-only-checks oracle-less entries. Their
-    # families are now driver-visible through the oracled full-probe /
-    # calibration entries above; the approximate configs remain pinned
-    # by tests/test_pq.py, test_ann_ivf.py, test_quality_model.py.
+    # Rows-only canonical entries stay OUT of the window: the driver
+    # has twice demonstrated (r1/r2 `no_oracle` rows) that it errors
+    # rather than rows-only-checks oracle-less entries. Their families
+    # are driver-visible through oracled siblings (full-probe PQ/IVF,
+    # quality calibration, CEP replays); approximate configs remain
+    # pinned by tests/test_pq.py, test_ann_ivf.py, test_quality_model.py.
 )
 
 # Registry hygiene (judge r2 #7): near-duplicate / variant shapes that stay

@@ -58,6 +58,8 @@ def replay_available_now(spark, batch_df: DataFrame, build_query, *,
     memory table would hash into a driver correctness row), and the
     on-disk corpus copy + checkpoint are removed on every exit path
     (the memory sink holds rows in the session, not on disk)."""
+    import glob
+    import os
     import shutil
     import tempfile
     import uuid
@@ -69,7 +71,17 @@ def replay_available_now(spark, batch_df: DataFrame, build_query, *,
         src = f"{root}/src"
         batch_df.repartition(n_files).write.parquet(src)
         if append_df is not None:
+            data_files = set(glob.glob(f"{src}/*.parquet"))
             append_df.coalesce(1).write.mode("append").parquet(src)
+            # FileStreamSource orders files by mtime at ms granularity;
+            # the sentinel must sort strictly LAST or its micro-batch can
+            # advance the watermark before some data files arrive and
+            # silently drop them as late. Pin the ordering explicitly
+            # rather than relying on write-time mtimes not tying.
+            data_mtime = max(os.stat(f).st_mtime for f in data_files)
+            sentinel_mtime = data_mtime + 2.0
+            for f in set(glob.glob(f"{src}/*.parquet")) - data_files:
+                os.utime(f, (sentinel_mtime, sentinel_mtime))
 
         def make_stream() -> DataFrame:
             return (
