@@ -22,10 +22,14 @@ TABLES = (
 
 
 def register_duck_views(con, sf_dir: str) -> None:
+    import os
+
     for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):  # multi-file table dir (distributed-writer layout)
+            path = f"{path}/*.parquet"
         con.execute(
-            f"CREATE OR REPLACE VIEW {t} AS "
-            f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
         )
 
 
