@@ -104,10 +104,12 @@ def test_batch_ingest_async_job_lifecycle(client):
     jobs = client.get("/api/v1/jobs?status=completed").get_json()
     assert any(j["job_id"] == out["job_id"] for j in jobs)
 
-    # 404s and cannot-cancel 400
+    # 404s, cancel-of-unknown 404, cannot-cancel-completed 409
+    # (declared contract: reference src/api/jobs.py:100-105)
     assert client.get("/api/v1/jobs/nope").status_code == 404
     assert client.get("/api/v1/jobs/nope/results").status_code == 404
-    assert client.delete(f"/api/v1/jobs/{out['job_id']}").status_code == 400
+    assert client.delete("/api/v1/jobs/nope").status_code == 404
+    assert client.delete(f"/api/v1/jobs/{out['job_id']}").status_code == 409
 
     # batch guards: missing collection 404, oversized 400, bad mode 422
     assert client.post("/api/v1/collections/ghost/documents/batch",

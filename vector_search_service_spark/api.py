@@ -74,12 +74,25 @@ def create_app(service):
 
     @app.get("/")
     def root():
+        # field set is the reference's literal root payload
+        # (src/main.py:102-108; openapi.yaml Root 200 schema)
         return jsonify({
             "service": "vector-search-service-spark",
             "version": "2.0.0",
             "status": "running",
+            "docs_url": "/docs",
             "health_url": "/api/v1/health",
         })
+
+    @app.get("/docs")
+    def docs():
+        # the reference serves FastAPI's generated docs here; Flask has
+        # none, so the advertised docs_url resolves to a JSON route
+        # index instead of a 404
+        return jsonify(sorted(
+            f"{','.join(sorted(r.methods - {'HEAD', 'OPTIONS'}))} {r.rule}"
+            for r in app.url_map.iter_rules() if r.rule != "/static/<path:filename>"
+        ))
 
     @app.get("/api/v1/health")
     def health():
@@ -251,8 +264,18 @@ def create_app(service):
 
     @app.delete("/api/v1/jobs/<job_id>")
     def cancel_job(job_id):
+        # declared contract (src/api/jobs.py:100-105 + openapi.yaml):
+        # 404 unknown job, 409 not-cancellable, 200 with the reference's
+        # literal cancel payload (jobs.py:124-129)
+        if service.job_status(job_id) is None:
+            return err(404, f"Job {job_id} not found")
         if not service.cancel_job(job_id):
-            return err(400, f"Job {job_id} cannot be cancelled")
-        return jsonify({"job_id": job_id, "status": "cancelled"})
+            return err(409, f"Job {job_id} cannot be cancelled")
+        return jsonify({
+            "message": f"Job {job_id} cancelled successfully",
+            "job_id": job_id,
+            "status": "cancelled",
+            "timestamp": datetime.now(timezone.utc).isoformat(),
+        })
 
     return app

@@ -35,6 +35,13 @@ MAX_BATCH_DOCUMENTS = 50  # src/config/settings.py:53
 DEFAULT_COLLECTION = "default"
 
 
+def _iso_utc(epoch_s: float) -> str:
+    """Epoch seconds → ISO-8601 UTC string (openapi.yaml date-time)."""
+    from datetime import datetime, timezone
+
+    return datetime.fromtimestamp(epoch_s, tz=timezone.utc).isoformat()
+
+
 class SearchService:
     def __init__(self, spark: SparkSession, data_root: str, *,
                  maintain_fts_index: bool = False):
@@ -205,14 +212,17 @@ class SearchService:
             return {
                 "job_id": None, "documents_queued": len(documents),
                 "status": "completed", "status_endpoint": None,
+                # reference sets None in both modes (documents.py:270,295)
+                "estimated_completion_time": None,
             }
         self.jobs.submit(job, body)
         return {
             "job_id": job.job_id,
             "documents_queued": len(documents),
             "status": job.status.value,
-            # literal reference contract (src/api/documents.py:271)
+            # literal reference contract (src/api/documents.py:270-271)
             "status_endpoint": f"/api/v1/jobs/{job.job_id}/status",
+            "estimated_completion_time": None,
         }
 
     def batch_search(self, queries: list[str], *,
@@ -317,11 +327,35 @@ class SearchService:
         d = job.to_dict()
         if d["status"] not in ("completed", "failed", "cancelled"):
             return {"job_id": job_id, "status": d["status"], "results": None}
-        return {"job_id": job_id, "status": d["status"], "results": d["result"]}
+        # terminal: the openapi.yaml job-results field set (jobs 200
+        # schema: job_id/status/results/processing_time_ms/completed_at
+        # — the reference's mock returns the same shape, src/api/jobs.py:80-86)
+        return {
+            "job_id": job_id, "status": d["status"], "results": d["result"],
+            "processing_time_ms": int((d["updated_at"] - d["created_at"]) * 1000),
+            "completed_at": _iso_utc(d["updated_at"]),
+        }
 
     def job_status(self, job_id: str) -> dict | None:
         job = self.jobs.get_job(job_id)
-        return job.to_dict() if job else None
+        if job is None:
+            return None
+        d = job.to_dict()
+        terminal = d["status"] in ("completed", "failed", "cancelled")
+        # superset contract: keep the operational counters (the real
+        # JobManager's to_dict, reference src/core/job_manager.py:55-69)
+        # AND the openapi.yaml JobStatus required/optional field set
+        # (models.py JobStatus: progress is 0-1, started_at/completed_at
+        # ISO, error_message, result_url)
+        d.update({
+            "progress": round(d["progress_percent"] / 100.0, 4),
+            "started_at": _iso_utc(d["created_at"]),
+            "completed_at": _iso_utc(d["updated_at"]) if terminal else None,
+            "error_message": d["error"],
+            "result_url": (f"/api/v1/jobs/{job_id}/results"
+                           if d["status"] == "completed" else None),
+        })
+        return d
 
     def list_jobs(self, status: str | None = None, limit: int = 100) -> list[dict]:
         return [j.to_dict() for j in self.jobs.list_jobs(status=status, limit=limit)]
