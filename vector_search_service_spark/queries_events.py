@@ -508,3 +508,62 @@ def q_stream_interval_join(spark, sf_dir):
         ),
         prefix="ssjoin",
     ).orderBy("user_id", "view_id", "click_id")
+
+
+@register(
+    "stream_session_replay",
+    survey_ref="extension: STREAMING sessionization — native session_window "
+               "state merging across out-of-order micro-batches, driver-checked "
+               "via availableNow replay",
+    tags=("events", "streaming"),
+    # identical SQL to the batch `events_sessions` oracle (the classic
+    # gaps-and-islands rewrite): stream == batch == oracle as one equality
+    oracle="""
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+s AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM o
+)
+SELECT user_id,
+       CAST(epoch_ms(min(ts)) AS BIGINT) AS session_start_ms,
+       CAST(epoch_ms(max(ts) + INTERVAL 30 MINUTE) AS BIGINT) AS session_end_ms,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, session_no
+ORDER BY user_id, session_start_ms
+""",
+)
+def q_stream_session_replay(spark, sf_dir):
+    """Gap-based sessionization as a STATEFUL STREAM, driver-checked:
+    the same ``session_windows`` helper the batch ``events_sessions``
+    entry uses (one expression, both modes — the Structured Streaming
+    contract), replayed one-file-per-micro-batch so a user's events
+    arrive scattered across out-of-order micro-batches and the state
+    store must MERGE partial sessions (native ``session_window``
+    gap-merge — the stateful path a batch groupBy never exercises).
+    Append-mode sessions only emit once the watermark passes their
+    close; the far-future sentinel row (dropped from the result)
+    flushes every session out, exactly the CEP entries' discipline.
+
+    Completes the stateful-streaming driver coverage matrix: windowed
+    aggs, CEP (funnel/absence/N-step), exact dedup, stream-stream
+    join, and now sessionization. Scale: state is one open session
+    struct per active user, partitioned by user hash, evicted at
+    watermark + gap — bounded by concurrent actives, not history.
+    Replay mechanics shared with ``_replay_cep_stream``."""
+    from .streaming.windows import session_windows
+
+    return _replay_cep_stream(
+        spark, sf_dir,
+        lambda stream, wm: session_windows(
+            stream, gap="30 minutes", watermark=wm),
+        sentinel_step="view", prefix="ssess",
+    ).orderBy("user_id", "session_start_ms")

@@ -50,12 +50,14 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_interval_join",
     "dedup_span_clean",
     "expsmooth_forecast",
-    # positions 6-7: NEW round-5 oracled surface — per-stratum weighted
-    # reservoir (A-Res hash-race) and the retrieve->rerank cross-encoder
-    # stage (judge r4 next-round #6)
+    # positions 6-8: NEW round-5 oracled surface — per-stratum weighted
+    # reservoir (A-Res hash-race), the retrieve->rerank cross-encoder
+    # stage (judge r4 next-round #6), and streaming sessionization
+    # (session_window state-merge replay)
     "reservoir_stratum_sample",
     "rerank_cross_topk",
-    # positions 8-17: stale-row refresh — the 10 entries whose only
+    "stream_session_replay",
+    # positions 9-18: stale-row refresh — the 10 entries whose only
     # driver row is r1 (four rounds old)
     "point_lookup",
     "full_scan_list",
@@ -67,7 +69,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "quantile_stats",
     "media_image_decode",
     "media_audio_features",
-    # positions 18-36: stale-row refresh — the 19 oracled entries whose
+    # positions 19-37: stale-row refresh — the 19 oracled entries whose
     # last driver row is r2 (ann_ivf_probe / fts_cover_topk are the two
     # r2-era rows-only entries and stay out of the window)
     "content_type_detect",
@@ -89,9 +91,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "validation_flags",
     "value_outliers_zscore",
     "vector_topk_per_label",
-    # positions 37-50: stale-row refresh — 14 of the 44 r3-era rows,
+    # positions 38-50: stale-row refresh — 13 of the 44 r3-era rows,
     # one per family (relational/window/asof/sampling/skew/streaming-
-    # batch/sketch/profile/textan/pretrain); the rest rotate in r6
+    # batch/sketch/profile/textan); the rest rotate in r6
     "projection_rename_iso",
     "set_operations",
     "window_rank_per_group",
@@ -105,7 +107,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "quality_score",
     "token_count",
     "doc_fingerprint",
-    "sequence_pack_spans",
     # ---- positions 51+ (not graded this round) ----
     # Rows-only canonical entries stay OUT of the window: the driver
     # has twice demonstrated (r1/r2 `no_oracle` rows) that it errors
