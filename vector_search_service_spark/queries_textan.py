@@ -107,3 +107,100 @@ def q_doc_fingerprint(spark, sf_dir):
         docs.orderBy("doc_id").limit(500)
         .select("doc_id", n.alias("fp_count"), lo.alias("fp_min"), hi.alias("fp_max"))
     )
+
+
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def _gopher_oracle() -> str:
+    stop_sum = " + ".join(
+        f"CASE WHEN list_contains(w, '{s}') THEN 1 ELSE 0 END"
+        for s in _GOPHER_STOPS
+    )
+    return f"""
+WITH d AS (
+  SELECT {_WORDS} AS w, text FROM documents
+),
+m AS (
+  SELECT CAST(len(w) AS BIGINT) AS cnt,
+         CAST(coalesce(list_sum(list_transform(w, x -> length(x))), 0) AS BIGINT) AS totlen,
+         CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
+         CAST({stop_sum} AS BIGINT) AS n_stop,
+         CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
+         CAST(length(text) - length(regexp_replace(text, '\\.\\.\\.', '', 'g')) AS BIGINT) AS diff3
+  FROM d
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN cnt BETWEEN 50 AND 100000 THEN 0 ELSE 1 END) AS BIGINT) AS fail_word_count,
+       CAST(sum(CASE WHEN 3 * cnt <= totlen AND totlen <= 10 * cnt THEN 0 ELSE 1 END) AS BIGINT) AS fail_mean_word_len,
+       CAST(sum(CASE WHEN 30 * n_hash + 10 * diff3 > 3 * cnt THEN 1 ELSE 0 END) AS BIGINT) AS fail_symbol_ratio,
+       CAST(sum(CASE WHEN 5 * n_alpha < 4 * cnt THEN 1 ELSE 0 END) AS BIGINT) AS fail_alpha_words,
+       CAST(sum(CASE WHEN n_stop < 2 THEN 1 ELSE 0 END) AS BIGINT) AS fail_stopwords,
+       CAST(sum(CASE WHEN cnt BETWEEN 50 AND 100000
+                      AND 3 * cnt <= totlen AND totlen <= 10 * cnt
+                      AND NOT (30 * n_hash + 10 * diff3 > 3 * cnt)
+                      AND NOT (5 * n_alpha < 4 * cnt)
+                      AND n_stop >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all
+FROM m
+"""
+
+
+@register(
+    "gopher_quality_flags",
+    survey_ref="extension: Gopher quality-rule filter (Rae et al. 2021 "
+               "rule set, integer-exact)",
+    tags=("textan", "corpus"),
+    oracle=None,  # set below
+)
+def q_gopher_quality_flags(spark, sf_dir):
+    """The published Gopher pretraining quality rules as a corpus
+    filter report: word count in [50, 1e5], mean word length in
+    [3, 10], symbol-to-word ratio (#/'...') <= 0.1, >=80% of words
+    containing an alphabetic character, and >=2 required stopwords
+    present. Every ratio test is INTEGER cross-multiplication
+    (``10*symbols > words`` instead of a float divide), so the per-doc
+    booleans — and therefore the corpus counts — are bit-identical in
+    both engines with no rounding discipline needed at all.
+
+    Scale: one narrow map stage (all five rules are expressions over
+    one tokenization, no UDF) into a single map-side-combined global
+    aggregate — the filter itself would be the WHERE clause of a
+    curation write, adding zero shuffles to the pipeline (compare
+    ``curate_corpus``, which composes this shape with dedup)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = words_col(F.col("text"))
+    cnt = F.size(w).cast("long")
+    totlen = F.aggregate(w, F.lit(0), lambda a, x: a + F.length(x)).cast("long")
+    n_alpha = F.size(F.filter(w, lambda x: x.rlike("[a-z]"))).cast("long")
+    n_stop = sum(
+        F.array_contains(w, s).cast("int") for s in _GOPHER_STOPS
+    ).cast("long")
+    n_hash = (F.length("text")
+              - F.length(F.regexp_replace("text", "#", ""))).cast("long")
+    diff3 = (F.length("text")
+             - F.length(F.regexp_replace("text", r"\.\.\.", ""))).cast("long")
+    m = docs.select(
+        cnt.alias("cnt"), totlen.alias("totlen"), n_alpha.alias("n_alpha"),
+        n_stop.alias("n_stop"), n_hash.alias("n_hash"), diff3.alias("diff3"),
+    )
+    ok_wc = F.col("cnt").between(50, 100_000)
+    ok_mwl = (3 * F.col("cnt") <= F.col("totlen")) & (F.col("totlen") <= 10 * F.col("cnt"))
+    bad_sym = 30 * F.col("n_hash") + 10 * F.col("diff3") > 3 * F.col("cnt")
+    bad_alpha = 5 * F.col("n_alpha") < 4 * F.col("cnt")
+    ok_stop = F.col("n_stop") >= 2
+    as_fail = lambda ok: F.sum((~ok).cast("long"))  # noqa: E731
+    return m.agg(
+        F.count("*").alias("n_docs"),
+        as_fail(ok_wc).alias("fail_word_count"),
+        as_fail(ok_mwl).alias("fail_mean_word_len"),
+        F.sum(bad_sym.cast("long")).alias("fail_symbol_ratio"),
+        F.sum(bad_alpha.cast("long")).alias("fail_alpha_words"),
+        as_fail(ok_stop).alias("fail_stopwords"),
+        F.sum((ok_wc & ok_mwl & ~bad_sym & ~bad_alpha & ok_stop).cast("long"))
+        .alias("n_pass_all"),
+    )
+
+
+from .registry import _REGISTRY as _RT  # noqa: E402
+
+_RT["gopher_quality_flags"].oracle = _gopher_oracle()

@@ -50,14 +50,16 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_interval_join",
     "dedup_span_clean",
     "expsmooth_forecast",
-    # positions 6-8: NEW round-5 oracled surface — per-stratum weighted
+    # positions 6-9: NEW round-5 oracled surface — per-stratum weighted
     # reservoir (A-Res hash-race), the retrieve->rerank cross-encoder
-    # stage (judge r4 next-round #6), and streaming sessionization
-    # (session_window state-merge replay)
+    # stage (judge r4 next-round #6), streaming sessionization
+    # (session_window state-merge replay), and the Gopher quality-rule
+    # filter (integer-exact ratio tests)
     "reservoir_stratum_sample",
     "rerank_cross_topk",
     "stream_session_replay",
-    # positions 9-18: stale-row refresh — the 10 entries whose only
+    "gopher_quality_flags",
+    # positions 10-19: stale-row refresh — the 10 entries whose only
     # driver row is r1 (four rounds old)
     "point_lookup",
     "full_scan_list",
@@ -69,7 +71,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "quantile_stats",
     "media_image_decode",
     "media_audio_features",
-    # positions 19-37: stale-row refresh — the 19 oracled entries whose
+    # positions 20-38: stale-row refresh — the 19 oracled entries whose
     # last driver row is r2 (ann_ivf_probe / fts_cover_topk are the two
     # r2-era rows-only entries and stay out of the window)
     "content_type_detect",
@@ -91,7 +93,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "validation_flags",
     "value_outliers_zscore",
     "vector_topk_per_label",
-    # positions 38-50: stale-row refresh — 13 of the 44 r3-era rows,
+    # positions 39-50: stale-row refresh — 12 of the 44 r3-era rows,
     # one per family (relational/window/asof/sampling/skew/streaming-
     # batch/sketch/profile/textan); the rest rotate in r6
     "projection_rename_iso",
@@ -105,7 +107,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "table_profile",
     "lang_id",
     "quality_score",
-    "token_count",
     "doc_fingerprint",
     # ---- positions 51+ (not graded this round) ----
     # Rows-only canonical entries stay OUT of the window: the driver
