@@ -513,3 +513,49 @@ def test_bigram_kn_logprob_no_global_sort(spark):
     # word-bounded form (review-caught: the earlier prefix-substring
     # check missed ":- Sort" on binary operators' left branches)
     assert not re.search(r"\bSort \(", plan)
+
+
+def test_rerank_candidates_broadcast_into_corpus_join(spark):
+    """Retrieve→rerank: the ≤50-row candidate set must BROADCAST into
+    the documents join (the corpus text never shuffles — rerank cost
+    is O(candidates), corpus-size-independent) and the final stage is
+    a top-k, not a global sort."""
+    from vector_search_service_spark.registry import all_queries
+
+    df = all_queries()["rerank_cross_topk"].fn(spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_reservoir_stratum_uses_window_group_limit_ids_only(spark):
+    """Per-stratum reservoir: the rn<=10 filter must plan
+    WindowGroupLimit (per-partition rank pruning before the stratum
+    sort — k rows per stratum shuffle, not the corpus), and the
+    documents scan must read only the three columns the race needs
+    (never the full row into the explode)."""
+    import re
+
+    from vector_search_service_spark.registry import all_queries
+
+    df = all_queries()["reservoir_stratum_sample"].fn(spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert "WindowGroupLimit" in plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {
+        "doc_id", "text", "lang"}
+
+
+def test_gopher_flags_single_pass_no_python(spark):
+    """The Gopher rule report must be ONE codegen'd pass: partial
+    HashAggregate map-side, one Exchange, no Python evaluation node —
+    all five rules are JVM expressions over one tokenization."""
+    import re
+
+    from vector_search_service_spark.registry import all_queries
+
+    df = all_queries()["gopher_quality_flags"].fn(spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1  # the single final agg
