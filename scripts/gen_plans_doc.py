@@ -46,6 +46,9 @@ NOTES = {
     "pq_ann_topk": "full-probe PQ: codes scan with the ADC table folded in as an array literal (codegen lookups, no UDF); exact cosine rerank bounded by the candidate limit.",
     "quality_model_calibration": "corpus scanned once for features; LR inference is a map-only projection (broadcast coefficients); band rollup partial-aggregated before one tiny Exchange.",
     "bigram_kn_logprob": "r4 perplexity filter: ONE map-side-combined shuffle builds the bigram-type table; LM stats aggregate the shrinking type table and broadcast; per-doc integer micro-nat sums partial-aggregated; TakeOrdered — no global Sort anywhere.",
+    "rerank_cross_topk": "r5 retrieve→rerank: TakeOrdered candidate scan, ≤50-row candidate set BroadcastHashJoin'd into the documents scan (corpus never shuffles), pairwise scorer in codegen, 10-row top-k.",
+    "reservoir_stratum_sample": "r5 weighted reservoir per stratum: bounded ids-only explode, map-side-combined min-race, WindowGroupLimit prunes to k rows per stratum before the sort; 3-column ReadSchema.",
+    "gopher_quality_flags": "r5 Gopher rule report: all five rules as JVM expressions over one tokenization, partial HashAggregate map-side, ONE Exchange, no Python node.",
 }
 
 
