@@ -38,9 +38,14 @@ def shingles_col(words: Column, k: int = 3) -> Column:
 
 
 def sql_shingles_expr(words: str, k: int = 3) -> str:
+    # COALESCE: DuckDB's array_to_string is NULL on an empty slice
+    # (zero-token doc) where Spark's concat_ws is total and yields ''.
+    # Without it every shingle-Jaccard oracle silently drops empty
+    # docs that the engine correctly pairs (caught by the edge-corpus
+    # sweep, tests/test_edge_corpus.py).
     return (
         f"list_transform(range(1, greatest(len({words}) - {k - 1}, 1) + 1), "
-        f"i -> array_to_string(list_slice({words}, i, i + {k - 1}), ' '))"
+        f"i -> COALESCE(array_to_string(list_slice({words}, i, i + {k - 1}), ' '), ''))"
     )
 
 

@@ -403,7 +403,11 @@ def q_fuzzy_blocked_pairs(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     b = docs.select(
         "doc_id",
-        F.element_at(words_col(F.col("text")), 1).alias("blk"),
+        # try_element_at: a zero-token doc has no blocking key. Plain
+        # element_at THROWS under ANSI mode on the empty array (caught
+        # by the edge-corpus sweep); NULL matches DuckDB list_extract
+        # and falls out of the equi-join in both engines.
+        F.try_element_at(words_col(F.col("text")), F.lit(1)).alias("blk"),
         F.substring("text", 1, 40).alias("pref"),
     )
     a = b.select(F.col("doc_id").alias("id_a"), F.col("blk"), F.col("pref").alias("pa"))
