@@ -112,3 +112,55 @@ def test_oracle_parity_on_edge_corpus(spark, duck, edge_dir, name):
     assert spec.oracle is not None, f"{name} must stay oracled for this sweep"
     ok, msg = compare(spec.fn(spark, edge_dir), duck, spec.oracle)
     assert ok, f"{name} on edge corpus: {msg}"
+
+
+def test_zero_norm_embedding_nan_sorts_last_not_crash(spark):
+    """Spark 4 ANSI mode turns the bare 0/0 cosine divide into a
+    job-killing exception, so ONE all-zeros embedding in a billion-row
+    corpus would abort every similarity scan. The guarded fold must
+    instead yield NaN (pgvector's answer for the undefined angle),
+    which sorts after every real distance in Spark, DuckDB and
+    PostgreSQL ascending order — degenerate vectors sink to the bottom
+    of the top-k instead of poisoning it."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from vector_search_service_spark.functions.vectors import (
+        cosine_distance_col,
+        l2_normalize_col,
+    )
+    from vector_search_service_spark.operators.search import vector_search
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.6, 0.8]), (3, [0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    res = vector_search(emb, [1.0, 0.0], limit=3).collect()  # must not raise
+    assert [r["vec_id"] for r in res] == [1, 2, 3]  # NaN last
+    assert math.isnan(res[2]["distance"])
+
+    # l2_normalize: zero vector stays the zero vector (pgvector), and
+    # real vectors normalize to unit norm
+    norms = emb.select(
+        "vec_id",
+        F.aggregate(
+            l2_normalize_col(F.col("embedding")),
+            F.lit(0.0), lambda a, x: a + x * x,
+        ).alias("n2"),
+    ).collect()
+    got = {r["vec_id"]: r["n2"] for r in norms}
+    assert got[3] == 0.0
+    assert abs(got[1] - 1.0) < 1e-12 and abs(got[2] - 1.0) < 1e-12
+
+    # distance threshold path: NaN fails every `<=` predicate, so the
+    # zero vector is naturally excluded from threshold queries too
+    thr = vector_search(emb, [1.0, 0.0], limit=3, distance_threshold=2.0)
+    assert [r["vec_id"] for r in thr.collect()] == [1, 2]
+
+    # the distance expression itself is NaN (not NULL, not an error)
+    d = emb.filter("vec_id = 3").select(
+        cosine_distance_col(F.col("embedding"), F.array(F.lit(1.0), F.lit(0.0)))
+        .alias("d")
+    ).first()["d"]
+    assert math.isnan(d)

@@ -34,18 +34,33 @@ def norm_col(u: Column) -> Column:
 
 
 def cosine_similarity_col(u: Column, v: Column) -> Column:
-    return dot_col(u, v) / (norm_col(u) * norm_col(v))
+    """Zero-norm guard: Spark 4's ANSI mode makes the bare ``0/0``
+    divide THROW, so one all-zeros embedding would kill the entire
+    scan job (caught by the edge-corpus hardening pass). pgvector
+    returns NaN for the undefined angle (``cosine_distance(0, q)``),
+    and NaN sorts AFTER every real distance in ascending order in
+    Spark, DuckDB and PostgreSQL alike — so degenerate vectors
+    harmlessly sink to the bottom of every top-k. Mirror that."""
+    denom = norm_col(u) * norm_col(v)
+    return F.when(denom == 0.0, F.lit(float("nan"))).otherwise(
+        dot_col(u, v) / denom
+    )
 
 
 def cosine_distance_col(u: Column, v: Column) -> Column:
-    """pgvector ``<=>``: 1 - cos(u, v)."""
+    """pgvector ``<=>``: 1 - cos(u, v). NaN for zero-norm inputs (see
+    cosine_similarity_col) — ``1.0 - NaN`` stays NaN."""
     return F.lit(1.0) - cosine_similarity_col(u, v)
 
 
 def l2_normalize_col(u: Column) -> Column:
-    """Ingest-time normalization so query-time distance is 1 - dot."""
+    """Ingest-time normalization so query-time distance is 1 - dot.
+    A zero vector normalizes to itself (pgvector ``l2_normalize``),
+    never a divide-by-zero error."""
     n = norm_col(u)
-    return F.transform(u, lambda x: x / n)
+    return F.transform(
+        u, lambda x: F.when(n == 0.0, x * F.lit(0.0)).otherwise(x / n)
+    )
 
 
 def euclidean_distance_col(u: Column, v: Column) -> Column:
