@@ -242,23 +242,28 @@ def _replay_cep_stream(spark, sf_dir, build_matches, *, sentinel_step, prefix,
     ``replay_available_now`` scaffold (out-of-order file micro-batches,
     bounded shuffle, loud timeout, cleanup on every exit path) plus the
     CEP-specific far-future watermark-flush sentinel, whose user is
-    dropped from the returned rows."""
+    dropped from the returned rows. The sentinel user id is
+    max(user_id)+1 — guaranteed collision-free for THIS corpus — not a
+    fixed reserved value: an earlier ``user_id >= 0`` drop silently
+    swallowed every legitimately-negative user id (caught by the
+    edge-events sweep, tests/test_edge_events.py)."""
     import datetime
 
     from .streaming.windows import replay_available_now
 
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
-    max_ts = ev.agg(F.max("ts")).first()[0]
+    max_ts, max_uid = ev.agg(F.max("ts"), F.max("user_id")).first()
     sentinel_ts = max_ts + datetime.timedelta(days=2 * delay_days)
+    sentinel_uid = int(max_uid) + 1
     sentinel = spark.createDataFrame(
-        [(int(-1), sentinel_ts, sentinel_step)],
+        [(sentinel_uid, sentinel_ts, sentinel_step)],
         "user_id long, ts timestamp, event_type string",
     )
     return replay_available_now(
         spark, ev,
         lambda make_stream: build_matches(make_stream(), f"{delay_days} days"),
         prefix=prefix, append_df=sentinel,
-    ).filter(F.col("user_id") >= 0)
+    ).filter(F.col("user_id") != sentinel_uid)
 
 
 @register(
