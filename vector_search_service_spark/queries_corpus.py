@@ -640,6 +640,25 @@ def q_bigram_kn_logprob(spark, sf_dir):
     type table for a 100 TB corpus exceeds broadcast range, which is
     why the join is left to shuffle (contrast the ≤4096-row DSIR
     feature table, which broadcasts by construction)."""
+    return (
+        _kn_doc_stats(spark, sf_dir)
+        .select(
+            "doc_id", "n_bigrams", "kn_micro",
+            F.round(
+                F.col("kn_micro").cast("double")
+                / (F.col("n_bigrams") * F.lit(1_000_000.0)), 6
+            ).alias("mean_kn_r"),
+        )
+        .orderBy("doc_id")
+        .limit(500)
+    )
+
+
+def _kn_doc_stats(spark, sf_dir):
+    """Per-document (n_bigrams, kn_micro) under the corpus KN bigram
+    LM — the shared scoring pipeline behind ``bigram_kn_logprob`` and
+    ``ccnet_ppl_buckets`` (identical operator sequence, so the two
+    entries are provably consistent)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = (
         docs.select("doc_id", words_col(F.col("text")).alias("w"))
@@ -673,12 +692,7 @@ def q_bigram_kn_logprob(spark, sf_dir):
         .agg(
             F.count("*").cast("long").alias("n_bigrams"),
             F.sum("micro").alias("kn_micro"),
-            F.round(
-                F.sum("micro").cast("double") / (F.count("*") * F.lit(1_000_000.0)), 6
-            ).alias("mean_kn_r"),
         )
-        .orderBy("doc_id")
-        .limit(500)
     )
 
 
@@ -787,4 +801,102 @@ def q_dedup_span_clean(spark, sf_dir):
         )
         .orderBy("doc_id")
         .limit(500)
+    )
+
+
+@register(
+    "ccnet_ppl_buckets",
+    survey_ref="extension: CCNet perplexity bucketing (head/middle/tail "
+               "terciles under the corpus KN bigram LM)",
+    tags=("corpus", "textan"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_WORDS_SQL} AS w FROM documents
+),
+pairs AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1,
+         unnest(list_transform(range(1, len(w)), i -> w[i + 1])) AS w2
+  FROM toks WHERE len(w) >= 2
+),
+bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM pairs GROUP BY w1, w2),
+ctx AS (
+  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1, CAST(count(*) AS BIGINT) AS nf
+  FROM bc GROUP BY w1
+),
+cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS nc FROM bc GROUP BY w2),
+nb AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM bc),
+scored AS (
+  SELECT bc.w1, bc.w2,
+         CAST(round(ln(
+           greatest(CAST(bc.c12 AS DOUBLE) - {_KN_D}, 0.0) / CAST(ctx.c1 AS DOUBLE)
+           + ({_KN_D} * CAST(ctx.nf AS DOUBLE) / CAST(ctx.c1 AS DOUBLE))
+             * (CAST(cont.nc AS DOUBLE) / CAST(nb.nb AS DOUBLE))
+         ) * 1000000) AS BIGINT) AS micro
+  FROM bc
+  JOIN ctx ON bc.w1 = ctx.w1
+  JOIN cont ON bc.w2 = cont.w2
+  CROSS JOIN nb
+),
+docstats AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS nb2, CAST(sum(micro) AS BIGINT) AS km
+  FROM pairs JOIN scored USING (w1, w2) GROUP BY doc_id
+),
+ranked AS (
+  SELECT doc_id, nb2, km,
+         row_number() OVER (ORDER BY CAST(km AS DOUBLE) / nb2 DESC, doc_id ASC) AS r,
+         count(*) OVER () AS n
+  FROM docstats
+)
+SELECT CASE WHEN r * 3 <= n THEN 'head'
+            WHEN r * 3 <= 2 * n THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(km) AS BIGINT) AS sum_kn_micro,
+       CAST(sum(nb2) AS BIGINT) AS sum_bigrams
+FROM ranked GROUP BY 1 ORDER BY bucket
+""",
+)
+def q_ccnet_ppl_buckets(spark, sf_dir):
+    """CCNet's head/middle/tail split (Wenzek et al. 2020): rank every
+    document by mean log-probability under the corpus's own KN bigram
+    LM (``_kn_doc_stats`` — the identical pipeline behind
+    ``bigram_kn_logprob``), then cut exact terciles — 'head' is the
+    most LM-typical third, the slice CCNet keeps for pretraining. The
+    per-doc mean is one division of exact integers (correctly-rounded
+    identical double in both engines); ties break on doc_id, so the
+    tercile assignment — and therefore the per-bucket integer rollup —
+    is deterministic.
+
+    Scale: the ranked input is the per-doc stats table (3 numbers per
+    doc — the corpus text stays in the scoring stage); the exact
+    tercile rank at 100 TB uses the two-phase range-partition rank
+    (``repartitionByRange`` + per-partition offsets, exactly the
+    ``range_shards`` construction) instead of this single global
+    window; CCNet itself only needs the two boundary VALUES, which
+    that pass yields for free."""
+    stats = _kn_doc_stats(spark, sf_dir)
+    w = Window.orderBy(
+        (F.col("kn_micro").cast("double") / F.col("n_bigrams")).desc(),
+        F.col("doc_id").asc(),
+    )
+    ranked = stats.select(
+        "doc_id", "n_bigrams", "kn_micro",
+        F.row_number().over(w).alias("r"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    bucket = (
+        F.when(F.col("r") * 3 <= F.col("n"), "head")
+        .when(F.col("r") * 3 <= 2 * F.col("n"), "middle")
+        .otherwise("tail")
+    )
+    return (
+        ranked.select(bucket.alias("bucket"), "kn_micro", "n_bigrams")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("kn_micro").alias("sum_kn_micro"),
+            F.sum("n_bigrams").alias("sum_bigrams"),
+        )
+        .orderBy("bucket")
     )
