@@ -60,6 +60,8 @@ ENTRIES = [
     "unigram_logprob",
     "boilerplate_ngrams",
     "bigram_kn_logprob",
+    "trigram_kn_logprob",
+    "ccnet_ppl_buckets",
     "sha_doc_id",
     "doc_preprocess",
     "content_type_detect",

@@ -900,3 +900,146 @@ def q_ccnet_ppl_buckets(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "trigram_kn_logprob",
+    survey_ref="extension: per-document perplexity under the fully "
+               "interpolated 3-level Kneser-Ney trigram LM",
+    tags=("corpus", "textan"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_WORDS_SQL} AS w FROM documents
+),
+tri AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w) - 1), i -> w[i])) AS w1,
+         unnest(list_transform(range(1, len(w) - 1), i -> w[i + 1])) AS w2,
+         unnest(list_transform(range(1, len(w) - 1), i -> w[i + 2])) AS w3
+  FROM toks WHERE len(w) >= 3
+),
+tc AS (SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS c123 FROM tri GROUP BY w1, w2, w3),
+ctx12 AS (
+  SELECT w1, w2, CAST(sum(c123) AS BIGINT) AS c12t, CAST(count(*) AS BIGINT) AS nf12
+  FROM tc GROUP BY w1, w2
+),
+mb AS (SELECT w2, w3, CAST(count(*) AS BIGINT) AS nmid FROM tc GROUP BY w2, w3),
+mctx AS (
+  SELECT w2, CAST(sum(nmid) AS BIGINT) AS mtot, CAST(count(*) AS BIGINT) AS mnf
+  FROM mb GROUP BY w2
+),
+lo AS (SELECT w3, CAST(count(*) AS BIGINT) AS nlo FROM mb GROUP BY w3),
+nbt AS (SELECT CAST(count(*) AS BIGINT) AS nbt FROM mb),
+scored AS (
+  SELECT tc.w1, tc.w2, tc.w3,
+         CAST(round(ln(
+           greatest(CAST(tc.c123 AS DOUBLE) - {_KN_D}, 0.0) / CAST(ctx12.c12t AS DOUBLE)
+           + ({_KN_D} * CAST(ctx12.nf12 AS DOUBLE) / CAST(ctx12.c12t AS DOUBLE)) * (
+               greatest(CAST(mb.nmid AS DOUBLE) - {_KN_D}, 0.0) / CAST(mctx.mtot AS DOUBLE)
+               + ({_KN_D} * CAST(mctx.mnf AS DOUBLE) / CAST(mctx.mtot AS DOUBLE))
+                 * (CAST(lo.nlo AS DOUBLE) / CAST(nbt.nbt AS DOUBLE))
+           )
+         ) * 1000000) AS BIGINT) AS micro
+  FROM tc
+  JOIN ctx12 ON tc.w1 = ctx12.w1 AND tc.w2 = ctx12.w2
+  JOIN mb ON tc.w2 = mb.w2 AND tc.w3 = mb.w3
+  JOIN mctx ON tc.w2 = mctx.w2
+  JOIN lo ON tc.w3 = lo.w3
+  CROSS JOIN nbt
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_trigrams,
+       CAST(sum(micro) AS BIGINT) AS kn3_micro,
+       round(CAST(sum(micro) AS DOUBLE) / (count(*) * 1000000.0), 6) AS mean_kn3_r
+FROM tri JOIN scored USING (w1, w2, w3)
+GROUP BY doc_id ORDER BY doc_id LIMIT 500
+""",
+)
+def q_trigram_kn_logprob(spark, sf_dir):
+    """Per-document mean trigram log-probability under the FULL
+    3-level interpolated Kneser-Ney LM — the recursion depth
+    production LMs actually smooth with (Chen & Goodman 1999):
+    discounted trigram ML interpolated with the KN *continuation*
+    bigram (type counts N1+(·w2w3)/N1+(·w2·), not raw bigram counts),
+    itself interpolated with the continuation unigram
+    N1+(·w3)/N1+(··). Extends ``bigram_kn_logprob`` one level up with
+    the same exactness discipline: every estimator input is an exact
+    integer TYPE count, ln P is computed once per trigram type as one
+    fixed scalar chain, quantized to integer micro-nats there, and the
+    per-document aggregate sums integers — order-, partition- and
+    engine-independent. In-doc trigrams always exist in the type table
+    (built from the same stream), so the scoring join is total.
+
+    Scale: three shrinking type tables (trigram, (w2,w3) continuation,
+    unigram fan-in), each built by a map-side-combined groupBy on its
+    own keys; scoring joins the position stream against the trigram
+    types on the trigram key — the same shuffle family the type table
+    was built on, nothing corpus-sized ever sorts. The KN property
+    tests (tests/test_kn_lm.py) pin normalization Σ P = 1 per context
+    at both levels, which the mirrored oracle cannot catch."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", words_col(F.col("text")).alias("w"))
+        .filter(F.size("w") >= 3)
+    )
+    tri = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - 2),
+                lambda i: F.struct(
+                    F.element_at("w", i).alias("w1"),
+                    F.element_at("w", i + 1).alias("w2"),
+                    F.element_at("w", i + 2).alias("w3"),
+                ),
+            )
+        ).alias("t"),
+    ).select("doc_id", "t.w1", "t.w2", "t.w3")
+    tc = tri.groupBy("w1", "w2", "w3").agg(F.count("*").alias("c123"))
+    tc = tc.localCheckpoint(eager=False)  # feeds four stats + scoring
+    ctx12 = tc.groupBy("w1", "w2").agg(
+        F.sum("c123").alias("c12t"), F.count("*").alias("nf12"))
+    mb = tc.groupBy("w2", "w3").agg(F.count("*").alias("nmid"))
+    mb = mb.localCheckpoint(eager=False)  # feeds two stats + scoring
+    mctx = mb.groupBy("w2").agg(
+        F.sum("nmid").alias("mtot"), F.count("*").alias("mnf"))
+    lo = mb.groupBy("w3").agg(F.count("*").alias("nlo"))
+    nbt = mb.agg(F.count("*").alias("nbt"))
+    d = F.lit(_KN_D)
+    p_cont_uni = F.col("nlo").cast("double") / F.col("nbt").cast("double")
+    p_mid = (
+        F.greatest(F.col("nmid").cast("double") - d, F.lit(0.0))
+        / F.col("mtot").cast("double")
+        + (d * F.col("mnf").cast("double") / F.col("mtot").cast("double"))
+        * p_cont_uni
+    )
+    p_tri = (
+        F.greatest(F.col("c123").cast("double") - d, F.lit(0.0))
+        / F.col("c12t").cast("double")
+        + (d * F.col("nf12").cast("double") / F.col("c12t").cast("double"))
+        * p_mid
+    )
+    scored = (
+        tc.join(ctx12, ["w1", "w2"])
+        .join(mb, ["w2", "w3"])
+        .join(mctx, "w2")
+        .join(lo, "w3")
+        .crossJoin(F.broadcast(nbt))
+        .select(
+            "w1", "w2", "w3",
+            F.round(F.log(p_tri) * 1_000_000).cast("long").alias("micro"),
+        )
+    )
+    return (
+        tri.join(scored, ["w1", "w2", "w3"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_trigrams"),
+            F.sum("micro").alias("kn3_micro"),
+            F.round(
+                F.sum("micro").cast("double") / (F.count("*") * F.lit(1_000_000.0)), 6
+            ).alias("mean_kn3_r"),
+        )
+        .orderBy("doc_id")
+        .limit(500)
+    )
