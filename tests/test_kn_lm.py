@@ -96,3 +96,64 @@ def test_discount_actually_discounts(spark):
     # exact value: (2-D)/2 + (D·1/2)·(1/2) with nc(y)=1, nb=2
     want = (2 - _KN_D) / 2 + (_KN_D / 2) * (1 / 2)
     assert abs(p_xy.p - want) < 1e-12
+
+
+def _norm_sums_trigram(spark, trigrams: list[tuple[str, str, str]]):
+    from vector_search_service_spark.queries_corpus import (
+        kn3_p_col,
+        kn_trigram_stats,
+    )
+
+    tri = spark.createDataFrame(trigrams, "w1 string, w2 string, w3 string")
+    tc, ctx12, mb, mctx, lo, nbt = kn_trigram_stats(tri)
+    # full (context × continuation-vocab) event space; unseen c123 and
+    # unseen (w2, w3) continuation pairs contribute backoff mass only
+    grid = (
+        ctx12.select("w1", "w2", "c12t", "nf12")
+        .crossJoin(lo.select("w3", "nlo"))
+        .join(tc, ["w1", "w2", "w3"], "left")
+        .withColumn("c123", F.coalesce("c123", F.lit(0)))
+        .join(mb, ["w2", "w3"], "left")
+        .withColumn("nmid", F.coalesce("nmid", F.lit(0)))
+        .join(mctx, "w2")
+        .crossJoin(F.broadcast(nbt))
+    )
+    return (
+        grid.withColumn("p", kn3_p_col())
+        .groupBy("w1", "w2")
+        .agg(F.sum("p").alias("total"), F.min("p").alias("pmin"))
+        .collect()
+    )
+
+
+def test_kn3_normalizes_on_fixed_corpus(spark):
+    """3-level KN: for every observed context (w1, w2), Σ over the
+    continuation vocabulary of P_KN3(w3|w1,w2) = 1. A wrong discount,
+    fan-in, continuation-type count, or backoff weight at ANY of the
+    three levels breaks the sum — which the mirrored DuckDB oracle
+    can never catch (it runs the same formula)."""
+    trigrams = [
+        ("a", "b", "c"), ("a", "b", "c"), ("a", "b", "d"),
+        ("b", "c", "a"), ("b", "c", "c"),
+        ("c", "a", "b"), ("c", "a", "b"), ("c", "a", "d"), ("c", "d", "a"),
+        ("d", "d", "b"),
+    ]
+    rows = _norm_sums_trigram(spark, trigrams)
+    assert len(rows) == 5
+    for r in rows:
+        assert abs(r.total - 1.0) < 1e-9, f"context ({r.w1},{r.w2}): Σp = {r.total}"
+        assert r.pmin > 0
+
+
+def test_kn3_normalizes_on_random_corpora(spark):
+    rng = random.Random(20260814)
+    vocab = [f"w{i}" for i in range(8)]
+    for _ in range(2):
+        n = rng.randrange(30, 90)
+        trigrams = [
+            (rng.choice(vocab), rng.choice(vocab), rng.choice(vocab))
+            for _ in range(n)
+        ]
+        for r in _norm_sums_trigram(spark, trigrams):
+            assert abs(r.total - 1.0) < 1e-9, (
+                f"context ({r.w1},{r.w2}): Σp = {r.total}")

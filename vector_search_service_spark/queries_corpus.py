@@ -902,6 +902,47 @@ def q_ccnet_ppl_buckets(spark, sf_dir):
     )
 
 
+def kn_trigram_stats(tri):
+    """3-level interpolated-KN stat tables from a (w1, w2, w3) trigram
+    stream: trigram type counts ``tc``, top context totals ``ctx12``,
+    the KN continuation bigram universe ``mb(w2, w3, nmid)`` with its
+    context totals ``mctx``, unigram fan-in ``lo`` and the 1-row
+    continuation-type total ``nbt``. Normalization Σ P = 1 per (w1,w2)
+    context is pinned by tests/test_kn_lm.py through THIS builder."""
+    tc = tri.groupBy("w1", "w2", "w3").agg(F.count("*").alias("c123"))
+    tc = tc.localCheckpoint(eager=False)  # feeds four stats + scoring
+    ctx12 = tc.groupBy("w1", "w2").agg(
+        F.sum("c123").alias("c12t"), F.count("*").alias("nf12"))
+    mb = tc.groupBy("w2", "w3").agg(F.count("*").alias("nmid"))
+    mb = mb.localCheckpoint(eager=False)  # feeds two stats + scoring
+    mctx = mb.groupBy("w2").agg(
+        F.sum("nmid").alias("mtot"), F.count("*").alias("mnf"))
+    lo = mb.groupBy("w3").agg(F.count("*").alias("nlo"))
+    nbt = mb.agg(F.count("*").alias("nbt"))
+    return tc, ctx12, mb, mctx, lo, nbt
+
+
+def kn3_p_col():
+    """P_KN3(w3|w1,w2) over joined (c123, c12t, nf12, nmid, mtot, mnf,
+    nlo, nbt) columns — one fixed scalar chain from exact integer type
+    counts (mirrored verbatim by the oracle SQL). ``c123`` / ``nmid``
+    may be 0 for unseen events (only backoff mass remains)."""
+    d = F.lit(_KN_D)
+    p_cont_uni = F.col("nlo").cast("double") / F.col("nbt").cast("double")
+    p_mid = (
+        F.greatest(F.col("nmid").cast("double") - d, F.lit(0.0))
+        / F.col("mtot").cast("double")
+        + (d * F.col("mnf").cast("double") / F.col("mtot").cast("double"))
+        * p_cont_uni
+    )
+    return (
+        F.greatest(F.col("c123").cast("double") - d, F.lit(0.0))
+        / F.col("c12t").cast("double")
+        + (d * F.col("nf12").cast("double") / F.col("c12t").cast("double"))
+        * p_mid
+    )
+
+
 @register(
     "trigram_kn_logprob",
     survey_ref="extension: per-document perplexity under the fully "
@@ -995,30 +1036,7 @@ def q_trigram_kn_logprob(spark, sf_dir):
             )
         ).alias("t"),
     ).select("doc_id", "t.w1", "t.w2", "t.w3")
-    tc = tri.groupBy("w1", "w2", "w3").agg(F.count("*").alias("c123"))
-    tc = tc.localCheckpoint(eager=False)  # feeds four stats + scoring
-    ctx12 = tc.groupBy("w1", "w2").agg(
-        F.sum("c123").alias("c12t"), F.count("*").alias("nf12"))
-    mb = tc.groupBy("w2", "w3").agg(F.count("*").alias("nmid"))
-    mb = mb.localCheckpoint(eager=False)  # feeds two stats + scoring
-    mctx = mb.groupBy("w2").agg(
-        F.sum("nmid").alias("mtot"), F.count("*").alias("mnf"))
-    lo = mb.groupBy("w3").agg(F.count("*").alias("nlo"))
-    nbt = mb.agg(F.count("*").alias("nbt"))
-    d = F.lit(_KN_D)
-    p_cont_uni = F.col("nlo").cast("double") / F.col("nbt").cast("double")
-    p_mid = (
-        F.greatest(F.col("nmid").cast("double") - d, F.lit(0.0))
-        / F.col("mtot").cast("double")
-        + (d * F.col("mnf").cast("double") / F.col("mtot").cast("double"))
-        * p_cont_uni
-    )
-    p_tri = (
-        F.greatest(F.col("c123").cast("double") - d, F.lit(0.0))
-        / F.col("c12t").cast("double")
-        + (d * F.col("nf12").cast("double") / F.col("c12t").cast("double"))
-        * p_mid
-    )
+    tc, ctx12, mb, mctx, lo, nbt = kn_trigram_stats(tri)
     scored = (
         tc.join(ctx12, ["w1", "w2"])
         .join(mb, ["w2", "w3"])
@@ -1027,7 +1045,7 @@ def q_trigram_kn_logprob(spark, sf_dir):
         .crossJoin(F.broadcast(nbt))
         .select(
             "w1", "w2", "w3",
-            F.round(F.log(p_tri) * 1_000_000).cast("long").alias("micro"),
+            F.round(F.log(kn3_p_col()) * 1_000_000).cast("long").alias("micro"),
         )
     )
     return (
