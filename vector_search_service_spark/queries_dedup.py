@@ -221,7 +221,7 @@ p AS (
   FROM e a, e b WHERE a.vec_id < b.vec_id
 )
 SELECT id_a, id_b, round(cos, 6) AS cosine_r
-FROM p WHERE cos >= 0.4
+FROM p WHERE cos >= 0.4 AND NOT isnan(cos)
 ORDER BY id_a, id_b
 """,
 )
@@ -236,7 +236,12 @@ def q_embedding_near_dup(spark, sf_dir):
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .withColumn("cos", cos)
-        .filter(F.col("cos") >= 0.4)
+        # NaN guard: Spark orders NaN ABOVE every number, so a bare
+        # `cos >= 0.4` marks a degenerate (zero/overflow-norm) vector
+        # as a near-duplicate of the ENTIRE corpus — the exact inverted
+        # failure a dedup pass cannot afford (caught by
+        # tests/test_edge_embeddings.py; DuckDB/NULL already excludes).
+        .filter(~F.isnan("cos") & (F.col("cos") >= 0.4))
         .select("id_a", "id_b", F.round("cos", 6).alias("cosine_r"))
         .orderBy("id_a", "id_b")
     )
