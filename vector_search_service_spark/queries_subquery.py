@@ -213,10 +213,11 @@ SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS custkey,
        CAST(coalesce(lag(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w, 0) AS BIGINT) AS prev_cents,
        CAST(coalesce(lead(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w, 0) AS BIGINT) AS next_cents,
        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
-            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate ASC NULLS FIRST, o_orderkey
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
 FROM orders
-WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC NULLS FIRST, o_orderkey)
 """,
 )
 def q_window_lead_lag_cumsum(spark, sf_dir):
@@ -227,7 +228,12 @@ def q_window_lead_lag_cumsum(spark, sf_dir):
     both engines see identical frames. Integer cents throughout."""
     orders = load_table(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    # NULLS FIRST pinned EXPLICITLY on both sides: Spark's ASC default
+    # is NULLS FIRST, DuckDB's is NULLS LAST — with a NULL o_orderdate
+    # the two engines would frame lag/lead/cumsum differently (caught
+    # by tests/test_edge_relational.py; latent on NULL-free TPC-H data)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc_nulls_first(), "o_orderkey")
     wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return orders.select(
         "o_orderkey",
