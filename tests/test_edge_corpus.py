@@ -28,6 +28,9 @@ from tests.oracle_harness import TABLES, compare, register_duck_views
 
 EDGE_DOCS = [
     # (doc_id, text, lang, source)
+    (-10, None, "en", "edge"),    # NULL text cell (raw-corpus reality)
+    (-9, "a null lang doc the of and", None, "edge"),
+    (-8, "null source doc", "en", None),
     (-7, "", "en", "edge"),
     (-6, "   ", "en", "edge"),
     (-5, "?!... --- ### ...", "en", "edge"),
@@ -92,7 +95,8 @@ def edge_dir(spark, tmp_path_factory):
             os.symlink(f"{SF_SMOKE}/{t}.parquet", out / f"{t}.parquet")
     docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
     edge = spark.createDataFrame(
-        [(i, txt, lang, src, len(txt)) for i, txt, lang, src in EDGE_DOCS],
+        [(i, txt, lang, src, len(txt) if txt is not None else None)
+         for i, txt, lang, src in EDGE_DOCS],
         "doc_id long, text string, lang string, source string, n_chars long",
     )
     tmp = str(out / "_docs_build")

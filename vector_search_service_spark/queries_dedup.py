@@ -87,9 +87,15 @@ def _sql_lsh_pairs() -> str:
     unions = " UNION ALL ".join(
         f"SELECT doc_id, {i} AS band, b{i} AS bk FROM k" for i in range(len(DEFAULT_BANDS))
     )
+    # COALESCE: the engine's Arrow UDF pipeline treats a NULL text cell
+    # as the empty document (pandas fillna at the batch boundary), so
+    # the oracle must tokenize the same total form — bare `text` would
+    # NULL-propagate and silently drop NULL-text docs from the pair
+    # space (caught by the NULL-row docs in tests/test_edge_corpus.py)
+    words_total = sql_words_expr("coalesce(text, '')")
     return f"""
 WITH t AS (
-  SELECT doc_id, {sql_token_hashes_expr(_WORDS)} AS th FROM documents
+  SELECT doc_id, {sql_token_hashes_expr(words_total)} AS th FROM documents
 ),
 d AS (
   -- r4 rolling-hash contract: the distinct k-window Horner hashes ARE

@@ -188,15 +188,21 @@ def q_gopher_quality_flags(spark, sf_dir):
     bad_sym = 30 * F.col("n_hash") + 10 * F.col("diff3") > 3 * F.col("cnt")
     bad_alpha = 5 * F.col("n_alpha") < 4 * F.col("cnt")
     ok_stop = F.col("n_stop") >= 2
-    as_fail = lambda ok: F.sum((~ok).cast("long"))  # noqa: E731
+    # CASE-shape flags, NOT boolean casts: a NULL-text doc makes every
+    # rule condition NULL, and Spark's sum() would silently SKIP the
+    # NULL cast while the oracle's CASE hits its ELSE — the doc must
+    # FAIL the rules in both engines (caught by the NULL-row docs in
+    # tests/test_edge_corpus.py).
+    as_fail = lambda ok: F.sum(F.when(ok, 0).otherwise(1))  # noqa: E731
+    as_hit = lambda bad: F.sum(F.when(bad, 1).otherwise(0))  # noqa: E731
     return m.agg(
         F.count("*").alias("n_docs"),
         as_fail(ok_wc).alias("fail_word_count"),
         as_fail(ok_mwl).alias("fail_mean_word_len"),
-        F.sum(bad_sym.cast("long")).alias("fail_symbol_ratio"),
-        F.sum(bad_alpha.cast("long")).alias("fail_alpha_words"),
+        as_hit(bad_sym).alias("fail_symbol_ratio"),
+        as_hit(bad_alpha).alias("fail_alpha_words"),
         as_fail(ok_stop).alias("fail_stopwords"),
-        F.sum((ok_wc & ok_mwl & ~bad_sym & ~bad_alpha & ok_stop).cast("long"))
+        as_hit(ok_wc & ok_mwl & ~bad_sym & ~bad_alpha & ok_stop)
         .alias("n_pass_all"),
     )
 
