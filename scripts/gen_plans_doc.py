@@ -49,6 +49,8 @@ NOTES = {
     "rerank_cross_topk": "r5 retrieve→rerank: TakeOrdered candidate scan, ≤50-row candidate set BroadcastHashJoin'd into the documents scan (corpus never shuffles), pairwise scorer in codegen, 10-row top-k.",
     "reservoir_stratum_sample": "r5 weighted reservoir per stratum: bounded ids-only explode, map-side-combined min-race, WindowGroupLimit prunes to k rows per stratum before the sort; 3-column ReadSchema.",
     "gopher_quality_flags": "r5 Gopher rule report: all five rules as JVM expressions over one tokenization, partial HashAggregate map-side, ONE Exchange, no Python node.",
+    "trigram_kn_logprob": "r5 3-level KN: three shrinking type tables (trigram / continuation-bigram / unigram fan-in), each map-side-combined on its own keys; scoring joins the position stream on the trigram key family; TakeOrdered, no global Sort.",
+    "ccnet_ppl_buckets": "r5 CCNet terciles: per-doc stats (3 numbers/doc) ranked once; integer rollup per bucket — the corpus text never leaves the scoring stage.",
 }
 
 
