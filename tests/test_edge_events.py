@@ -64,6 +64,7 @@ ENTRIES = [
     "sketch_heavy_hitters",
     "sketch_quantile_tolerance",
     "expsmooth_forecast",
+    "winsorized_value_stats",
     "stream_interval_join",
     "stream_session_replay",
     "stream_dedup_replay",

@@ -202,3 +202,93 @@ def q_exact_correlation(spark, sf_dir):
             6,
         ).alias("corr_qty_price")
     )
+
+
+@register(
+    "winsorized_value_stats",
+    survey_ref="extension: exact per-group winsorization (p05/p95 "
+               "order-statistic clamp, integer micro-units)",
+    tags=("profile", "events"),
+    oracle="""
+WITH b AS (
+  SELECT event_type, event_id, CAST(round(value * 1000000) AS BIGINT) AS m
+  FROM events WHERE value IS NOT NULL
+),
+r AS (
+  SELECT event_type, m,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY m ASC, event_id ASC) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM b
+),
+p AS (
+  SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+         CAST(max(CASE WHEN rn <= (n + 19) // 20 THEN m END) AS BIGINT) AS p05_micro,
+         CAST(max(CASE WHEN rn <= (19 * n + 19) // 20 THEN m END) AS BIGINT) AS p95_micro
+  FROM r GROUP BY event_type
+)
+SELECT b.event_type, p.n, p05_micro, p95_micro,
+       CAST(sum(least(greatest(m, p05_micro), p95_micro)) AS BIGINT) AS sum_clamped_micro,
+       CAST(sum(CASE WHEN m < p05_micro THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+       CAST(sum(CASE WHEN m > p95_micro THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+FROM b JOIN p USING (event_type)
+GROUP BY b.event_type, p.n, p05_micro, p95_micro
+ORDER BY event_type
+""",
+)
+def q_winsorized_value_stats(spark, sf_dir):
+    """Outlier clamping the way a feature/training pipeline actually
+    ships it: per event_type, clamp values to the EXACT p05/p95 order
+    statistics (k = ceil(0.05n) / ceil(0.95n), k-th smallest) and
+    report the clamped sum plus how many rows each tail clipped.
+    Engine percentile builtins interpolate differently per engine, so
+    the boundaries are computed as order statistics — rank over
+    integer micro-units with an event_id tiebreak; the value at rank k
+    is tie-order-independent, and every output is an exact integer.
+
+    Scale: the rank window PARTITIONS on event_type (no global sort —
+    contrast the ntile anti-pattern); the per-type (p05, p95) table is
+    a handful of rows broadcast back into a second scan for the
+    clamped aggregate. Two scans total; at 100 TB the first pass can
+    swap to the range-partitioned two-phase rank (the range_shards
+    construction) per type if one type dominates a partition."""
+    from pyspark.sql import Window
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type", "event_id",
+            F.round(F.col("value") * 1_000_000).cast("long").alias("m"),
+        )
+    )
+    w_rank = Window.partitionBy("event_type").orderBy(
+        F.col("m").asc(), F.col("event_id").asc())
+    w_all = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type", "m",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count("*").over(w_all).alias("n"),
+    )
+    k05 = F.floor((F.col("n") + 19) / 20)
+    k95 = F.floor((19 * F.col("n") + 19) / 20)
+    p = ranked.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.max(F.when(F.col("rn") <= k05, F.col("m"))).cast("long").alias("p05_micro"),
+        F.max(F.when(F.col("rn") <= k95, F.col("m"))).cast("long").alias("p95_micro"),
+    )
+    return (
+        ev.join(F.broadcast(p), "event_type")
+        .groupBy("event_type", "n", "p05_micro", "p95_micro")
+        .agg(
+            F.sum(
+                F.least(F.greatest(F.col("m"), F.col("p05_micro")),
+                        F.col("p95_micro"))
+            ).cast("long").alias("sum_clamped_micro"),
+            F.sum(F.when(F.col("m") < F.col("p05_micro"), 1).otherwise(0))
+            .cast("long").alias("n_low"),
+            F.sum(F.when(F.col("m") > F.col("p95_micro"), 1).otherwise(0))
+            .cast("long").alias("n_high"),
+        )
+        .orderBy("event_type")
+    )
