@@ -58,6 +58,7 @@ ENTRIES = [
     "token_count",
     "doc_fingerprint",
     "gopher_quality_flags",
+    "c4_clean_flags",
     "bm25_topk",
     "duplicate_ngram_spans",
     "unigram_logprob",

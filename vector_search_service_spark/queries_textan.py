@@ -210,3 +210,93 @@ def q_gopher_quality_flags(spark, sf_dir):
 from .registry import _REGISTRY as _RT  # noqa: E402
 
 _RT["gopher_quality_flags"].oracle = _gopher_oracle()
+
+
+_C4_BADWORDS = ("spam", "clickbait", "xxx")  # stand-in blocklist (the real
+# "List of Dirty, Naughty..." file ships with C4; the mechanism is identical)
+
+
+def _c4_oracle() -> str:
+    bad = " OR ".join(
+        f"list_contains(w, '{t}')" for t in _C4_BADWORDS
+    )
+    return f"""
+WITH d AS (
+  SELECT {_WORDS} AS w, COALESCE(text, '') AS t FROM documents
+),
+m AS (
+  SELECT CASE WHEN regexp_matches(t, '[.!?"]\\s*$') THEN 1 ELSE 0 END AS ok_punct,
+         CASE WHEN len(w) >= 5 THEN 1 ELSE 0 END AS ok_words,
+         CASE WHEN contains(lower(t), 'lorem ipsum') THEN 1 ELSE 0 END AS hit_lorem,
+         CASE WHEN contains(t, '{{') THEN 1 ELSE 0 END AS hit_brace,
+         CASE WHEN {bad} THEN 1 ELSE 0 END AS hit_badword
+  FROM d
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(1 - ok_punct) AS BIGINT) AS fail_terminal_punct,
+       CAST(sum(1 - ok_words) AS BIGINT) AS fail_min_words,
+       CAST(sum(hit_lorem) AS BIGINT) AS fail_lorem,
+       CAST(sum(hit_brace) AS BIGINT) AS fail_brace,
+       CAST(sum(hit_badword) AS BIGINT) AS fail_badwords,
+       CAST(sum(CASE WHEN ok_punct = 1 AND ok_words = 1 AND hit_lorem = 0
+                      AND hit_brace = 0 AND hit_badword = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all
+FROM m
+"""
+
+
+@register(
+    "c4_clean_flags",
+    survey_ref="extension: C4 cleaning rules (Raffel et al. 2020) as a "
+               "corpus filter report",
+    tags=("textan", "corpus"),
+    oracle=None,  # set below
+)
+def q_c4_clean_flags(spark, sf_dir):
+    """The C4 corpus-cleaning rules as a filter report, completing the
+    canonical published-filter trio beside ``gopher_quality_flags``
+    and ``ccnet_ppl_buckets``: terminal-punctuation requirement,
+    minimum word count, 'lorem ipsum' placeholder text, curly-brace
+    (code) pages, and blocklist terms (stand-in 3-word list; the real
+    C4 blocklist drops into the same ``list_contains`` OR-chain). All
+    flags are CASE-shaped integers on both sides — a NULL text cell
+    (coalesced to '') fails the keep-rules and trips no NULL-boolean
+    skew (the gopher lesson applied from the start).
+
+    Scale: one narrow map stage over one tokenization into a single
+    map-side-combined aggregate — the filter is the WHERE clause of a
+    curation write, zero extra shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    w = words_col(t)
+    ok_punct = F.when(t.rlike('[.!?"]\\s*$'), 1).otherwise(0)
+    ok_words = F.when(F.size(w) >= 5, 1).otherwise(0)
+    hit_lorem = F.when(F.lower(t).contains("lorem ipsum"), 1).otherwise(0)
+    hit_brace = F.when(t.contains("{"), 1).otherwise(0)
+    bad = F.lit(False)
+    for term in _C4_BADWORDS:
+        bad = bad | F.array_contains(w, term)
+    hit_bad = F.when(bad, 1).otherwise(0)
+    m = docs.select(
+        ok_punct.alias("ok_punct"), ok_words.alias("ok_words"),
+        hit_lorem.alias("hit_lorem"), hit_brace.alias("hit_brace"),
+        hit_bad.alias("hit_badword"),
+    )
+    return m.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(1 - F.col("ok_punct")).cast("long").alias("fail_terminal_punct"),
+        F.sum(1 - F.col("ok_words")).cast("long").alias("fail_min_words"),
+        F.sum("hit_lorem").cast("long").alias("fail_lorem"),
+        F.sum("hit_brace").cast("long").alias("fail_brace"),
+        F.sum("hit_badword").cast("long").alias("fail_badwords"),
+        F.sum(
+            F.when(
+                (F.col("ok_punct") == 1) & (F.col("ok_words") == 1)
+                & (F.col("hit_lorem") == 0) & (F.col("hit_brace") == 0)
+                & (F.col("hit_badword") == 0), 1
+            ).otherwise(0)
+        ).cast("long").alias("n_pass_all"),
+    )
+
+
+_RT["c4_clean_flags"].oracle = _c4_oracle()
