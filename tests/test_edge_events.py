@@ -38,6 +38,7 @@ EDGE_EVENTS = [
     (-4, T_EDGE, -50, "purchase", -3.5, '{"domain": "edge.example"}'),
     (-5, T_EDGE, -51, "view", 0.000001, "{}"),   # cross-user tie on the boundary
     (-6, T_MIN, -51, "error", 100.0, "{}"),      # at the corpus floor
+    (-7, T_TIE, None, "view", 2.0, "{}"),        # NULL user_id (raw reality)
 ]
 
 ENTRIES = [

@@ -258,8 +258,12 @@ def create_app(service):
         out = service.job_results(job_id)
         if out is None:
             return err(404, f"Job {job_id} not found")
-        if out["results"] is None:  # still running → 202 (src/api/jobs.py)
-            return jsonify(out), 202
+        # 202 keys on STATUS, not on the results payload: a failed or
+        # cancelled job is terminal with results None — keying on the
+        # payload made terminal jobs report "still processing" forever
+        # (review-caught)
+        if out["status"] not in ("completed", "failed", "cancelled"):
+            return jsonify(out), 202  # still running (src/api/jobs.py)
         return jsonify(out)
 
     @app.delete("/api/v1/jobs/<job_id>")
@@ -267,7 +271,7 @@ def create_app(service):
         # declared contract (src/api/jobs.py:100-105 + openapi.yaml):
         # 404 unknown job, 409 not-cancellable, 200 with the reference's
         # literal cancel payload (jobs.py:124-129)
-        if service.job_status(job_id) is None:
+        if service.jobs.get_job(job_id) is None:  # existence only — no payload build
             return err(404, f"Job {job_id} not found")
         if not service.cancel_job(job_id):
             return err(409, f"Job {job_id} cannot be cancelled")

@@ -247,7 +247,7 @@ WITH w AS (
 SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_tokens,
        CAST(sum(micro) AS BIGINT) AS logprob_micro,
-       round(CAST(sum(micro) AS DOUBLE) / (count(*) * 1000000.0), 6) AS mean_logprob_r
+       round(CAST(sum(micro) AS DOUBLE) / (count(*) * 1000000.0), 6) + 0.0 AS mean_logprob_r
 FROM pos JOIN scored USING (tok)
 GROUP BY doc_id ORDER BY doc_id LIMIT 500
 """,
@@ -285,10 +285,13 @@ def q_unigram_logprob(spark, sf_dir):
         .agg(
             F.count("*").cast("long").alias("n_tokens"),
             F.sum("micro").alias("logprob_micro"),
-            F.round(
+            # + 0.0 normalizes IEEE -0.0 to +0.0 (the byte-hash
+            # signed-zero class; a near-zero negative mean rounds to
+            # -0.0 in one engine and +0.0 in the other otherwise)
+            (F.round(
                 F.sum("micro").cast("double")
                 / (F.count("*") * F.lit(1000000.0)), 6,
-            ).alias("mean_logprob_r"),
+            ) + F.lit(0.0)).alias("mean_logprob_r"),
         )
         .orderBy("doc_id").limit(500)
     )
@@ -608,7 +611,7 @@ scored AS (
 SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_bigrams,
        CAST(sum(micro) AS BIGINT) AS kn_micro,
-       round(CAST(sum(micro) AS DOUBLE) / (count(*) * 1000000.0), 6) AS mean_kn_r
+       round(CAST(sum(micro) AS DOUBLE) / (count(*) * 1000000.0), 6) + 0.0 AS mean_kn_r
 FROM pairs JOIN scored USING (w1, w2)
 GROUP BY doc_id ORDER BY doc_id LIMIT 500
 """,
@@ -644,10 +647,11 @@ def q_bigram_kn_logprob(spark, sf_dir):
         _kn_doc_stats(spark, sf_dir)
         .select(
             "doc_id", "n_bigrams", "kn_micro",
-            F.round(
+            # + 0.0: signed-zero normalization (see mean_logprob_r)
+            (F.round(
                 F.col("kn_micro").cast("double")
                 / (F.col("n_bigrams") * F.lit(1_000_000.0)), 6
-            ).alias("mean_kn_r"),
+            ) + F.lit(0.0)).alias("mean_kn_r"),
         )
         .orderBy("doc_id")
         .limit(500)
@@ -991,7 +995,7 @@ scored AS (
 SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_trigrams,
        CAST(sum(micro) AS BIGINT) AS kn3_micro,
-       round(CAST(sum(micro) AS DOUBLE) / (count(*) * 1000000.0), 6) AS mean_kn3_r
+       round(CAST(sum(micro) AS DOUBLE) / (count(*) * 1000000.0), 6) + 0.0 AS mean_kn3_r
 FROM tri JOIN scored USING (w1, w2, w3)
 GROUP BY doc_id ORDER BY doc_id LIMIT 500
 """,
@@ -1054,9 +1058,10 @@ def q_trigram_kn_logprob(spark, sf_dir):
         .agg(
             F.count("*").cast("long").alias("n_trigrams"),
             F.sum("micro").alias("kn3_micro"),
-            F.round(
+            # + 0.0: signed-zero normalization (see mean_logprob_r)
+            (F.round(
                 F.sum("micro").cast("double") / (F.count("*") * F.lit(1_000_000.0)), 6
-            ).alias("mean_kn3_r"),
+            ) + F.lit(0.0)).alias("mean_kn3_r"),
         )
         .orderBy("doc_id")
         .limit(500)

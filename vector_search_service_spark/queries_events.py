@@ -253,8 +253,13 @@ def _replay_cep_stream(spark, sf_dir, build_matches, *, sentinel_step, prefix,
 
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
     max_ts, max_uid = ev.agg(F.max("ts"), F.max("user_id")).first()
+    # empty-corpus guard (review-caught): replay the sentinel alone —
+    # it flushes nothing and is filtered below, so the result is empty
+    # WITH the operator's schema instead of a TypeError on None + 1
+    if max_ts is None:
+        max_ts = datetime.datetime(1970, 1, 1)
     sentinel_ts = max_ts + datetime.timedelta(days=2 * delay_days)
-    sentinel_uid = int(max_uid) + 1
+    sentinel_uid = (int(max_uid) if max_uid is not None else 0) + 1
     sentinel = spark.createDataFrame(
         [(sentinel_uid, sentinel_ts, sentinel_step)],
         "user_id long, ts timestamp, event_type string",
@@ -263,7 +268,10 @@ def _replay_cep_stream(spark, sf_dir, build_matches, *, sentinel_step, prefix,
         spark, ev,
         lambda make_stream: build_matches(make_stream(), f"{delay_days} days"),
         prefix=prefix, append_df=sentinel,
-    ).filter(F.col("user_id") != sentinel_uid)
+        # eqNullSafe (review-caught): a plain != NULL-propagates and
+        # would silently drop NULL-user events that the batch oracles'
+        # GROUP BY keeps as the NULL group
+    ).filter(~F.col("user_id").eqNullSafe(F.lit(sentinel_uid)))
 
 
 @register(

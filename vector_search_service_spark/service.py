@@ -336,29 +336,34 @@ class SearchService:
             "completed_at": _iso_utc(d["updated_at"]),
         }
 
-    def job_status(self, job_id: str) -> dict | None:
-        job = self.jobs.get_job(job_id)
-        if job is None:
-            return None
+    @staticmethod
+    def _job_payload(job) -> dict:
+        """Superset contract: the operational counters (the real
+        JobManager's to_dict, reference src/core/job_manager.py:55-69)
+        AND the openapi.yaml JobStatus required/optional field set
+        (models.py JobStatus: progress is 0-1, started_at/completed_at
+        ISO, error_message, result_url). Shared by the status route AND
+        the jobs listing so the two accessors never diverge in shape
+        (review-caught)."""
         d = job.to_dict()
         terminal = d["status"] in ("completed", "failed", "cancelled")
-        # superset contract: keep the operational counters (the real
-        # JobManager's to_dict, reference src/core/job_manager.py:55-69)
-        # AND the openapi.yaml JobStatus required/optional field set
-        # (models.py JobStatus: progress is 0-1, started_at/completed_at
-        # ISO, error_message, result_url)
         d.update({
             "progress": round(d["progress_percent"] / 100.0, 4),
             "started_at": _iso_utc(d["created_at"]),
             "completed_at": _iso_utc(d["updated_at"]) if terminal else None,
             "error_message": d["error"],
-            "result_url": (f"/api/v1/jobs/{job_id}/results"
+            "result_url": (f"/api/v1/jobs/{d['job_id']}/results"
                            if d["status"] == "completed" else None),
         })
         return d
 
+    def job_status(self, job_id: str) -> dict | None:
+        job = self.jobs.get_job(job_id)
+        return self._job_payload(job) if job else None
+
     def list_jobs(self, status: str | None = None, limit: int = 100) -> list[dict]:
-        return [j.to_dict() for j in self.jobs.list_jobs(status=status, limit=limit)]
+        return [self._job_payload(j)
+                for j in self.jobs.list_jobs(status=status, limit=limit)]
 
     def cancel_job(self, job_id: str) -> bool:
         return self.jobs.cancel_job(job_id)

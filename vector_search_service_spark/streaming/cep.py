@@ -333,10 +333,16 @@ def streaming_abandonment(events: DataFrame, *,
     match can be emitted when its last event arrives; an absence can
     only be emitted by a watermark-driven timeout (nothing arrives to
     trigger it) — inexpressible with built-in streaming operators.
-    Batch parity: ``batch_abandoned_first_view``."""
+    Batch parity: ``batch_abandoned_first_view``. NULL identities are
+    excluded up front: absence is a statement about a USER never
+    converting, and an unattributable event can neither open nor close
+    a per-user deadline (also the NOT-IN semantics of the SQL oracle —
+    an engine that tracked the NULL group would mark it abandoned
+    while the oracle's NOT IN filters it; edge-events-sweep-caught)."""
     within_ms = _interval_ms(within)
     ev = (
-        events.withWatermark(ts_col, watermark)
+        events.filter(F.col("user_id").isNotNull())
+        .withWatermark(ts_col, watermark)
         .select(
             "user_id",
             F.unix_millis(F.col(ts_col)).alias("ts_ms"),
@@ -360,8 +366,11 @@ def batch_abandoned_first_view(events: DataFrame, *,
                                ts_col: str = "ts") -> DataFrame:
     """Batch recompute of the absence contract: first ``start_step``
     per user anti-joined against converting ``convert_step`` events in
-    its window. One user_id shuffle family + an anti join."""
+    its window. One user_id shuffle family + an anti join. NULL
+    identities excluded, matching the streaming twin (see
+    ``streaming_abandonment``)."""
     within_ms = _interval_ms(within)
+    events = events.filter(F.col("user_id").isNotNull())
     v = (
         events.filter(F.col("event_type") == start_step)
         .groupBy("user_id")

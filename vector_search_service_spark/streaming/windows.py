@@ -78,8 +78,9 @@ def replay_available_now(spark, batch_df: DataFrame, build_query, *,
             # advance the watermark before some data files arrive and
             # silently drop them as late. Pin the ordering explicitly
             # rather than relying on write-time mtimes not tying.
-            data_mtime = max(os.stat(f).st_mtime for f in data_files)
-            sentinel_mtime = data_mtime + 2.0
+            base = max((os.stat(f).st_mtime for f in data_files),
+                       default=os.path.getmtime(src))
+            sentinel_mtime = base + 2.0
             for f in set(glob.glob(f"{src}/*.parquet")) - data_files:
                 os.utime(f, (sentinel_mtime, sentinel_mtime))
 
