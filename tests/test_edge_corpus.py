@@ -83,6 +83,7 @@ ENTRIES = [
     "mixture_token_sample",
     "repetition_signals",
     "curate_corpus",
+    "domain_capped_reservoir",
 ]
 
 

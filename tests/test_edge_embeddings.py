@@ -39,6 +39,7 @@ ENTRIES = [
     "rerank_cross_topk",
     "vector_topk_per_label",
     "maxsim_topk",
+    "jl_ann_topk",
 ]
 
 

@@ -39,6 +39,11 @@ EDGE_EVENTS = [
     (-5, T_EDGE, -51, "view", 0.000001, "{}"),   # cross-user tie on the boundary
     (-6, T_MIN, -51, "error", 100.0, "{}"),      # at the corpus floor
     (-7, T_TIE, None, "view", 2.0, "{}"),        # NULL user_id (raw reality)
+    # NULL user completing the full funnel (view→click→purchase): the
+    # CEP emit path must never see this group (oracle equi-joins drop
+    # NULL keys; an unfiltered NULL-key group TypeErrors at int(key[0])).
+    (-8, datetime.datetime(2024, 1, 15, 9, 0, 0), None, "click", 1.0, "{}"),
+    (-9, datetime.datetime(2024, 1, 15, 10, 0, 0), None, "purchase", 5.0, "{}"),
 ]
 
 ENTRIES = [

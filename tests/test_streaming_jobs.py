@@ -198,6 +198,9 @@ def test_job_lifecycle(spark):
     jm = JobManager(spark)
     job = jm.create_job(total_documents=3)
     assert job.status == JobStatus.QUEUED and job.progress_percent == 0.0
+    # queued job has not started: started_at stays null until the job
+    # leaves the queue (reference JobStatus model semantics)
+    assert job.started_at is None and job.to_dict()["started_at"] is None
 
     def body(j):
         for i in range(1, 4):
@@ -208,6 +211,7 @@ def test_job_lifecycle(spark):
     jm.submit(job, body)
     done = jm.wait(job.job_id)
     assert done.status == JobStatus.COMPLETED
+    assert done.started_at is not None and done.started_at >= done.created_at
     assert done.progress_percent == 100.0
     assert done.result == {"ok": True}
     # terminal → not cancellable (Q4)

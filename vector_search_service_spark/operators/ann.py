@@ -97,6 +97,33 @@ def ann_lsh_topk(embeddings: DataFrame, query_vec: list[float], *,
     )
 
 
+def jl_signs(dim: int, k: int, seed: int = 11) -> list[list[int]]:
+    """Sparse Johnson-Lindenstrauss sign matrix (Achlioptas 2003,
+    "Database-friendly random projections"): entries in {+1, 0, -1}
+    with probabilities {1/6, 2/3, 1/6}, deterministic via the same
+    sine-scramble PRNG as ``hyperplanes`` so both engines replay the
+    identical literals. The sqrt(3/k) scale factor is dropped — it is
+    a positive constant, so candidate RANKING by projected distance is
+    unchanged, and keeping entries in {-1,0,+1} makes the projection a
+    pure signed integer sum over micro-unit coordinates: bit-identical
+    across engines regardless of fold order (the fold-order-exactness
+    argument for the oracle).
+
+    This is the middle ANN tier: cheaper per-row than PQ code lookup
+    (k signed adds per output dim), better-separated than 4-bit
+    sign-LSH buckets; reference analogue is the IVFFlat coarse stage
+    (``scripts/init-db.sql:32``)."""
+    out = []
+    for j in range(k):
+        row = []
+        for i in range(dim):
+            x = math.sin((seed + 1) * 2000 + j * dim + i + 0.25) * 43758.5453
+            u = x - math.floor(x)
+            row.append(1 if u < 1.0 / 6.0 else (-1 if u > 5.0 / 6.0 else 0))
+        out.append(row)
+    return out
+
+
 def build_lsh_index(embeddings: DataFrame, *, n_planes: int = 4,
                     vec_col: str = "embedding", dim: int = 64,
                     seed: int = 7) -> DataFrame:

@@ -365,3 +365,93 @@ def q_reservoir_stratum_sample(spark, sf_dir):
         .filter(F.col("rn") <= 10)
         .orderBy("lang", "rn")
     )
+
+
+@register(
+    "domain_capped_reservoir",
+    survey_ref="extension: per-domain-capped weighted reservoir per stratum "
+               "(DoReMi-style mixture assembly; judge r5 next-round #6)",
+    tags=("sampling", "curate"),
+    oracle="""
+WITH base AS (
+  SELECT doc_id, lang, source,
+         least(CAST(floor(length(text) / 100) AS INT) + 1, 6) AS w
+  FROM documents
+),
+draws AS (
+  SELECT doc_id, lang, source, w, unnest(range(1, w + 1)) AS d FROM base
+),
+raced AS (
+  SELECT doc_id, lang, source, CAST(w AS INT) AS w,
+         min(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(d AS VARCHAR))) AS p
+  FROM draws GROUP BY doc_id, lang, source, w
+),
+capped AS (
+  SELECT doc_id, lang, source, w, p
+  FROM raced
+  QUALIFY row_number() OVER (PARTITION BY lang, source ORDER BY p, doc_id) <= 3
+),
+ranked AS (
+  SELECT lang, source, doc_id, w,
+         CAST(row_number() OVER (PARTITION BY lang ORDER BY p, doc_id) AS BIGINT) AS rn
+  FROM capped
+)
+SELECT lang, rn, source, doc_id, w FROM ranked WHERE rn <= 10 ORDER BY lang, rn
+""",
+)
+def q_domain_capped_reservoir(spark, sf_dir):
+    """Mixture assembly: weighted reservoir of K=10 docs per language
+    stratum, with no domain (``source``) contributing more than C=3 —
+    the DoReMi / mixture-building shape where a stratum budget is
+    filled by sampling priority but over-represented domains are
+    capped (composition of ``reservoir_stratum_sample`` and
+    ``domain_top_k``, judge r5 next-round #6).
+
+    Same integer hash-race discipline as the reservoir: each doc races
+    w md5 draws (w = length-derived 1..6) and keeps its minimum — the
+    exact A-Res order, byte-identical across engines. The cap is
+    sequential-scan semantics: walk the stratum in race order, skip
+    docs whose domain already holds C slots (a skipped doc does NOT
+    consume a stratum slot). That is equivalent to two stacked
+    row_number windows — domain-rank ≤ C first (relative race order
+    within the survivors is unchanged), stratum-rank ≤ K second — so
+    no iterative logic is needed.
+
+    Scale: ids-only rows end-to-end (the text never shuffles); the
+    draw explode is bounded (≤6 rows/doc); both windows carry ~60
+    B/doc and Spark's WindowGroupLimit prunes each partition to its
+    top rows before the final sort. A 100 TB corpus with A strata and
+    D domains shuffles ≈ corpus_ids × 2 — no all-pairs, no global
+    sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "lang", "source",
+        F.least(
+            F.floor(F.length("text") / 100).cast("int") + F.lit(1), F.lit(6)
+        ).alias("w"),
+    )
+    raced = (
+        base.select(
+            "doc_id", "lang", "source", "w",
+            F.explode(F.sequence(F.lit(1), F.col("w"))).alias("d"),
+        )
+        .withColumn(
+            "p",
+            F.md5(F.concat_ws(":", F.col("doc_id").cast("string"),
+                              F.col("d").cast("string"))),
+        )
+        .groupBy("doc_id", "lang", "source", "w")
+        .agg(F.min("p").alias("p"))
+    )
+    w_dom = Window.partitionBy("lang", "source").orderBy(
+        F.col("p").asc(), F.col("doc_id").asc())
+    w_str = Window.partitionBy("lang").orderBy(
+        F.col("p").asc(), F.col("doc_id").asc())
+    return (
+        raced.withColumn("dom_rn", F.row_number().over(w_dom))
+        .filter(F.col("dom_rn") <= 3)
+        .withColumn("rn", F.row_number().over(w_str).cast("long"))
+        .filter(F.col("rn") <= 10)
+        .select("lang", "rn", "source", "doc_id", "w")
+        .orderBy("lang", "rn")
+    )

@@ -42,72 +42,70 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # (registry − ∪ CORRECTNESS_r*.json keys), oracled entries first.
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # ---- round-5 window (50), re-derived per VERDICT r4 next-round #1 ----
-    # positions 1-5: the five oracled entries that landed after the r4
+    # ---- round-6 window (50), re-derived per VERDICT r5 next-round #1 ----
+    # positions 1-4: the four oracled entries that landed after the r5
     # window froze and have never been driver-graded
-    "bigram_kn_logprob",
-    "stream_dedup_replay",
-    "stream_interval_join",
-    "dedup_span_clean",
-    "expsmooth_forecast",
-    # positions 6-9: NEW round-5 oracled surface — per-stratum weighted
-    # reservoir (A-Res hash-race), the retrieve->rerank cross-encoder
-    # stage (judge r4 next-round #6), streaming sessionization
-    # (session_window state-merge replay), and the Gopher quality-rule
-    # filter (integer-exact ratio tests)
-    "reservoir_stratum_sample",
-    "rerank_cross_topk",
-    "stream_session_replay",
-    "gopher_quality_flags",
-    # positions 10-19: stale-row refresh — the 10 entries whose only
-    # driver row is r1 (four rounds old)
-    "point_lookup",
-    "full_scan_list",
-    "json_key_filter",
-    "anti_join_delete",
-    "searchable_text",
-    "sha_doc_id",
-    "topk_by_value",
-    "quantile_stats",
-    "media_image_decode",
-    "media_audio_features",
-    # positions 20-38: stale-row refresh — the 19 oracled entries whose
-    # last driver row is r2 (ann_ivf_probe / fts_cover_topk are the two
-    # r2-era rows-only entries and stay out of the window)
-    "content_type_detect",
-    "date_range_agg",
-    "doc_preprocess",
-    "fts_indexed_topk",
-    "fts_metadata_filter",
-    "fts_snippet",
-    "funnel_conversion",
-    "hourly_rollup_finalized",
-    "join_agg_topk",
-    "maxsim_topk",
-    "mixture_interleave",
-    "multilang_token_stats",
-    "rolling_avg_range_window",
-    "star_join_by_nation",
-    "title_extract",
-    "tpch_q1_full",
-    "validation_flags",
-    "value_outliers_zscore",
-    "vector_topk_per_label",
-    # positions 39-50: stale-row refresh — 12 of the 44 r3-era rows,
-    # one per family (relational/window/asof/sampling/skew/streaming-
-    # batch/sketch/profile/textan); the rest rotate in r6
-    "projection_rename_iso",
-    "set_operations",
-    "window_rank_per_group",
-    "asof_join_events",
-    "per_stratum_sample",
-    "salted_group_agg",
-    "events_tumbling_hourly",
-    "sketch_distinct_tolerance",
-    "table_profile",
-    "lang_id",
-    "quality_score",
-    "doc_fingerprint",
+    "trigram_kn_logprob",
+    "ccnet_ppl_buckets",
+    "winsorized_value_stats",
+    "c4_clean_flags",
+    # positions 5-6: NEW round-6 oracled surface — the JL
+    # random-projection ANN tier (judge r5 next-round #5) and the
+    # per-domain reservoir + cap mixture composition (#6)
+    "jl_ann_topk",
+    "domain_capped_reservoir",
+    # positions 7-38: stale-row refresh — the 32 r3-era rows not
+    # refreshed in r5 (CORRECTNESS_r03 keys − r4 keys − r5 keys)
+    "correlated_min_joinback",
+    "disjunctive_pushdown",
+    "domain_top_k",
+    "embedding_dim_stats",
+    "events_progress",
+    "events_retention_filter",
+    "events_sessions",
+    "events_status_filter",
+    "exact_correlation",
+    "exists_semi_join",
+    "having_join_topk",
+    "idle_customer_balance",
+    "important_part_value",
+    "json_props_stats",
+    "market_share_by_year",
+    "mixture_token_sample",
+    "multi_distinct_agg",
+    "not_exists_anti",
+    "pivot_status_counts",
+    "promo_revenue_ratio",
+    "range_shards",
+    "repetition_signals",
+    "rollup_counts",
+    "sequence_pack_spans",
+    "sketch_heavy_hitters",
+    "sketch_quantile_tolerance",
+    "small_qty_revenue",
+    "token_count",
+    "value_histogram",
+    "variant_props_stats",
+    "volume_by_nation_pair",
+    "window_lead_lag_cumsum",
+    # positions 39-45: the 7 tier=extra ORACLED variants never
+    # driver-graded (judge r5 next-round #3) — rotated through spare
+    # slots to convert "locally pinned" to "driver-proven"; the
+    # ordering loop below lets prioritized extras through
+    "ntile_shards",
+    "cube_counts",
+    "asof_forward_events",
+    "events_sliding_2h",
+    "having_semi_topk",
+    "sketch_topk_exact_when_small",
+    "outer_count_distribution",
+    # positions 46-50: r4-era backfill, one per high-value family
+    # (dedup / curation / ANN exactness / FTS / CEP stream)
+    "minhash_lsh_dedup",
+    "curate_corpus",
+    "pq_ann_topk",
+    "fts_probe_topk",
+    "cep_funnel_stream",
     # ---- positions 51+ (not graded this round) ----
     # Rows-only canonical entries stay OUT of the window: the driver
     # has twice demonstrated (r1/r2 `no_oracle` rows) that it errors
@@ -191,7 +189,11 @@ def all_queries() -> dict[str, QuerySpec]:
 
     ordered: dict[str, QuerySpec] = {}
     for name in _DRIVER_PRIORITY:  # driver-sample window first
-        if name in _REGISTRY and name not in _EXTRA_TIER:
+        # Prioritized tier=extra entries ARE admitted here: the r6
+        # window deliberately rotates the 7 never-graded oracled extras
+        # through spare slots (judge r5 next-round #3). Non-prioritized
+        # extras still sort last via the third loop.
+        if name in _REGISTRY:
             ordered[name] = _REGISTRY[name]
     for name, spec in _REGISTRY.items():  # canonical rest, registration order
         if name not in ordered and name not in _EXTRA_TIER:

@@ -349,7 +349,8 @@ class SearchService:
         terminal = d["status"] in ("completed", "failed", "cancelled")
         d.update({
             "progress": round(d["progress_percent"] / 100.0, 4),
-            "started_at": _iso_utc(d["created_at"]),
+            "started_at": (_iso_utc(d["started_at"])
+                           if d["started_at"] is not None else None),
             "completed_at": _iso_utc(d["updated_at"]) if terminal else None,
             "error_message": d["error"],
             "result_url": (f"/api/v1/jobs/{d['job_id']}/results"

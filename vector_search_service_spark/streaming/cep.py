@@ -167,7 +167,11 @@ def streaming_funnel_matches(events: DataFrame, *,
     result on the full history comes from ``batch_funnel_user_times``
     (the parity proof in tests/test_cep.py)."""
     ev = (
-        events.withWatermark(ts_col, watermark)
+        # NULL-user events match the batch oracle's equi-join semantics
+        # (excluded); without the filter a NULL-key group reaching the
+        # emit path would TypeError on int(key[0]).
+        events.filter(F.col("user_id").isNotNull())
+        .withWatermark(ts_col, watermark)
         .select(
             "user_id",
             F.unix_millis(F.col(ts_col)).alias("ts_ms"),
@@ -476,7 +480,10 @@ def streaming_sequence_matches(events: DataFrame, steps: tuple[str, ...], *,
     times. ``streaming_funnel_matches`` is the 3-step special case
     with named columns."""
     ev = (
-        events.withWatermark(ts_col, watermark)
+        # NULL users excluded to match the batch oracle's equi-joins;
+        # a NULL-key group would TypeError at int(key[0]) on emit.
+        events.filter(F.col("user_id").isNotNull())
+        .withWatermark(ts_col, watermark)
         .select(
             "user_id",
             F.unix_millis(F.col(ts_col)).alias("ts_ms"),

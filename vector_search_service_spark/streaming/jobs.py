@@ -51,6 +51,9 @@ class BatchJob:
     failed_documents: int = 0
     created_at: float = field(default_factory=time.time)
     updated_at: float = field(default_factory=time.time)
+    # None until the job actually leaves the queue (reference JobStatus
+    # model: started_at is null for pending/queued jobs).
+    started_at: float | None = None
     result: dict | None = None
     error: str | None = None
 
@@ -71,6 +74,7 @@ class BatchJob:
             "progress_percent": self.progress_percent,
             "created_at": self.created_at,
             "updated_at": self.updated_at,
+            "started_at": self.started_at,
             "result": self.result,
             "error": self.error,
         }
@@ -202,3 +206,5 @@ class JobManager:
     def _transition(self, job: BatchJob, status: JobStatus) -> None:
         job.status = status
         job.updated_at = time.time()
+        if status is JobStatus.PROCESSING and job.started_at is None:
+            job.started_at = job.updated_at
