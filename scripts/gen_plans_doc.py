@@ -51,6 +51,11 @@ NOTES = {
     "gopher_quality_flags": "r5 Gopher rule report: all five rules as JVM expressions over one tokenization, partial HashAggregate map-side, ONE Exchange, no Python node.",
     "trigram_kn_logprob": "r5 3-level KN: three shrinking type tables (trigram / continuation-bigram / unigram fan-in), each map-side-combined on its own keys; scoring joins the position stream on the trigram key family; TakeOrdered, no global Sort.",
     "ccnet_ppl_buckets": "r5 CCNet terciles: per-doc stats (3 numbers/doc) ranked once; integer rollup per bucket — the corpus text never leaves the scoring stage.",
+    "jl_ann_topk": "r6 JL tier: integer sign-projection + squared-L2 entirely in the scan stage (no UDF, no shuffle); TakeOrdered top-200 candidates; exact rerank reads 200 rows past the lineage cut.",
+    "domain_capped_reservoir": "r6 mixture assembly: bounded ids-only explode, map-side-combined min-race, TWO stacked row_number windows each WindowGroupLimit-pruned (domain cap, then stratum top-k); text never shuffles.",
+    "decimal_exact_revenue": "pinned r6 (bench plan-diff reference): one scan, decimal partials map-side, ONE groupBy Exchange, order-by Sort. No Window, no extra exchange.",
+    "fts_match_count_by_lang": "pinned r6 (bench plan-diff reference): match predicate inside the scan stage, partial counts before ONE Exchange.",
+    "fts_snippet": "pinned r6 (bench plan-diff reference): scan → filter → snippet projection → TakeOrderedAndProject; ZERO shuffles.",
 }
 
 
