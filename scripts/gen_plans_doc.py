@@ -56,6 +56,8 @@ NOTES = {
     "decimal_exact_revenue": "pinned r6 (bench plan-diff reference): one scan, decimal partials map-side, ONE groupBy Exchange, order-by Sort. No Window, no extra exchange.",
     "fts_match_count_by_lang": "pinned r6 (bench plan-diff reference): match predicate inside the scan stage, partial counts before ONE Exchange.",
     "fts_snippet": "pinned r6 (bench plan-diff reference): scan → filter → snippet projection → TakeOrderedAndProject; ZERO shuffles.",
+    "token_entropy": "r6 entropy filter: md5(tok) computed pre-shuffle (raw text never in a partitioning key), TF groupBy + per-doc rollup both map-side combined; 2-column ReadSchema.",
+    "temperature_mixture_alloc": "r6 alpha-sampling budget: ONE corpus aggregate behind a lineage cut; all apportionment arithmetic on the |languages|-row table with broadcast totals.",
 }
 
 

@@ -84,6 +84,8 @@ ENTRIES = [
     "repetition_signals",
     "curate_corpus",
     "domain_capped_reservoir",
+    "token_entropy",
+    "temperature_mixture_alloc",
 ]
 
 

@@ -593,3 +593,44 @@ def test_domain_capped_reservoir_window_group_limit_ids_only(spark):
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {
         "doc_id", "text", "lang", "source"}
+
+
+def test_token_entropy_shuffles_hashes_not_text(spark):
+    """Per-doc entropy: the TF groupBy key must be md5(tok), so raw
+    token text never crosses the wire; the scan reads only
+    (doc_id, text); no Python node anywhere."""
+    import re
+
+    from vector_search_service_spark.registry import all_queries
+
+    df = all_queries()["token_entropy"].fn(spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {
+        "doc_id", "text"}
+    # the md5 is computed in the pre-shuffle projection and every
+    # Exchange partitions on (doc_id, hashed-token) — the raw token
+    # column never appears in a partitioning key
+    assert "md5(cast(tok" in plan
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert parts and all("tok#" not in p for p in parts)
+
+
+def test_temperature_mixture_stats_single_pass_tiny_tail(spark):
+    """Alpha-sampling allocation: ONE corpus-scan aggregate (partial
+    map-side), then every later operator works on the |languages|-row
+    table — the windows and totals must come from broadcast/1-row
+    inputs, never a second corpus scan."""
+    import re
+
+    from vector_search_service_spark.registry import all_queries
+
+    df = all_queries()["temperature_mixture_alloc"].fn(spark, SF_SMOKE)
+    plan = explain_str(df)
+    scans = re.findall(r"Scan parquet", plan)
+    # the |languages|-row stats table is lineage-cut after ONE corpus
+    # aggregate; every later branch reads the checkpointed rows
+    assert len(scans) == 0, f"corpus re-scanned: {len(scans)} scans"
+    assert "ExistingRDD" in plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan

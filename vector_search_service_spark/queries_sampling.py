@@ -455,3 +455,105 @@ def q_domain_capped_reservoir(spark, sf_dir):
         .select("lang", "rn", "source", "doc_id", "w")
         .orderBy("lang", "rn")
     )
+
+
+@register(
+    "temperature_mixture_alloc",
+    survey_ref="extension: temperature-scaled mixture allocation "
+               "(multilingual alpha-sampling, largest-remainder exact)",
+    tags=("sampling", "curate"),
+    oracle="""
+WITH stats AS (
+  SELECT lang, CAST(sum(len(list_filter(
+           regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> ''))) AS BIGINT)
+         AS tokens
+  FROM documents WHERE lang IS NOT NULL GROUP BY lang
+), w AS (
+  SELECT lang, tokens,
+         CAST(round(pow(CAST(tokens AS DOUBLE), 0.7) * 1000) AS BIGINT) AS w_milli
+  FROM stats
+), tot AS (
+  SELECT CAST(sum(w_milli) AS BIGINT) AS total_w FROM w
+), base AS (
+  SELECT lang, tokens, w_milli,
+         CAST((100000 * w_milli) // total_w AS BIGINT) AS base_alloc,
+         CAST(100000 * w_milli - ((100000 * w_milli) // total_w) * total_w AS BIGINT) AS rem
+  FROM w, tot WHERE total_w > 0
+), lo AS (
+  SELECT CAST(100000 - sum(base_alloc) AS BIGINT) AS leftover FROM base
+), ranked AS (
+  SELECT lang, tokens, w_milli, base_alloc, rem,
+         row_number() OVER (ORDER BY rem DESC, lang ASC) AS rn
+  FROM base
+)
+SELECT lang, tokens, w_milli,
+       CAST(base_alloc + CASE WHEN rn <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
+FROM ranked, lo ORDER BY lang
+""",
+)
+def q_temperature_mixture_alloc(spark, sf_dir):
+    """Temperature-scaled sampling allocation across language strata —
+    the multilingual alpha-sampling rule (p_l ∝ c_l^alpha, alpha=0.7,
+    the mBERT/XLM-R recipe) turned into an EXACT integer token budget
+    via largest-remainder apportionment: floor(budget·w_l/Σw) per
+    stratum, then +1 to the largest remainders until the budget is
+    spent. The only float is c^0.7, quantized to integer milli-units
+    at its source value (the accepted ln/pow micro-rounding class);
+    division, remainders and the top-up rank are pure integer
+    arithmetic — the allocation always sums to exactly 100000 in both
+    engines. NULL-lang docs are excluded (equi-group semantics, pinned
+    in the edge sweep).
+
+    Scale: per-stratum token counts are one map-side-combined
+    aggregate over the corpus scan; everything after operates on the
+    ~|languages|-row table (1-row totals broadcast back, a window over
+    tens of rows) — driver-sized by construction, like range_shards'
+    bounds table.
+
+    Overflow bound: budget 1e5 × w_milli (≤ ~1.3e12 milli at 100 TB
+    token counts ~1e13) ≈ 1.3e17 « 2^63."""
+    docs = load_table(spark, sf_dir, "documents")
+    from .functions.hashing import words_col
+
+    stats = (
+        docs.filter(F.col("lang").isNotNull())
+        .select("lang", F.size(words_col(F.col("text"))).alias("n_tok"))
+        .groupBy("lang")
+        .agg(F.sum(F.greatest(F.col("n_tok"), F.lit(0))).cast("long").alias("tokens"))
+    )
+    w = stats.withColumn(
+        "w_milli",
+        F.round(F.pow(F.col("tokens").cast("double"), F.lit(0.7)) * 1000)
+        .cast("long"),
+        # lineage cut: the |languages|-row table is referenced by four
+        # downstream branches (totals, bases, leftover, rank) — without
+        # the cut each branch re-plans the corpus aggregate (measured:
+        # 8 parquet scans in the physical plan). Checkpointed, the
+        # corpus is scanned ONCE.
+    ).localCheckpoint(eager=False)
+    tot = w.agg(F.sum("w_milli").cast("long").alias("total_w"))
+    base = (
+        w.crossJoin(F.broadcast(tot))
+        .filter(F.col("total_w") > 0)
+        .withColumn("base_alloc",
+                    F.expr("100000 * w_milli DIV total_w").cast("long"))
+        .withColumn("rem",
+                    (F.lit(100000) * F.col("w_milli")
+                     - F.col("base_alloc") * F.col("total_w")).cast("long"))
+    )
+    lo = base.agg((F.lit(100000) - F.sum("base_alloc")).cast("long").alias("leftover"))
+    ranked = base.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.orderBy(F.col("rem").desc(), F.col("lang").asc())),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(lo))
+        .select(
+            "lang", "tokens", "w_milli",
+            (F.col("base_alloc")
+             + F.when(F.col("rn") <= F.col("leftover"), F.lit(1))
+             .otherwise(F.lit(0))).cast("long").alias("alloc"),
+        )
+        .orderBy("lang")
+    )

@@ -300,3 +300,97 @@ def q_c4_clean_flags(spark, sf_dir):
 
 
 _RT["c4_clean_flags"].oracle = _c4_oracle()
+
+
+@register(
+    "token_entropy",
+    survey_ref="extension: per-doc token entropy (gibberish/boilerplate "
+               "signal, Gopher/RefinedWeb filter family)",
+    tags=("textan", "corpus"),
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, {_WORDS} AS words FROM documents
+), pos AS (
+  SELECT doc_id, unnest(words) AS tok FROM w
+), tf AS (
+  SELECT doc_id, md5(tok) AS h, CAST(count(*) AS BIGINT) AS n
+  FROM pos GROUP BY doc_id, md5(tok)
+), terms AS (
+  SELECT doc_id, n,
+         n * CAST(round(ln(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS t_micro
+  FROM tf
+), d AS (
+  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(sum(t_micro) AS BIGINT) AS s_micro
+  FROM terms GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_distinct,
+       CAST(greatest(
+         n_tokens * CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT)
+           - s_micro, 0) AS BIGINT) AS entropy_micro,
+       round(CAST(greatest(
+         n_tokens * CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT)
+           - s_micro, 0) AS DOUBLE) / (n_tokens * 1000000.0), 6) + 0.0 AS entropy_r
+FROM d ORDER BY doc_id LIMIT 500
+""",
+)
+def q_token_entropy(spark, sf_dir):
+    """Per-document Shannon entropy of the token distribution —
+    near-zero for one-token-repeated spam, ~ln(n_tokens) for fully
+    diverse text; the cheap gibberish/boilerplate axis the published
+    filters (Gopher repetition rules, RefinedWeb) approximate with
+    ratio heuristics.
+
+    Exactness: H·N = N·ln N − Σ n_t·ln n_t. Each ln is quantized to
+    integer micro-nats at its SOURCE value (the unigram_logprob
+    pattern), so both the per-term sum and the final combination are
+    pure integer arithmetic — order-independent, engine-exact; the
+    ≤N-micro rounding residual is clamped at 0 (entropy is
+    non-negative) identically in both engines before the one final
+    division.
+
+    Scale: term frequencies group on (doc_id, md5(tok)) — md5 is the
+    portable-hash discipline AND keeps raw token text out of the
+    shuffle (16 B key/position, map-side combined); the per-doc rollup
+    then moves 3 integers per (doc, distinct-token). No broadcast, no
+    vocab table — unlike unigram_logprob this is a purely row-group-
+    local statistic, so it composes into the same scan as the other
+    per-doc quality columns."""
+    docs = load_table(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id", F.explode(words_col(F.col("text"))).alias("tok"))
+    tf = (
+        pos.groupBy("doc_id", F.md5("tok").alias("h"))
+        .agg(F.count("*").alias("n"))
+    )
+    t_micro = (
+        F.col("n")
+        * F.round(F.log(F.col("n").cast("double")) * 1000000).cast("long")
+    )
+    d = (
+        tf.select("doc_id", "n", t_micro.alias("t_micro"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("n_distinct"),
+            F.sum("t_micro").cast("long").alias("s_micro"),
+        )
+    )
+    h_micro = F.greatest(
+        F.col("n_tokens")
+        * F.round(F.log(F.col("n_tokens").cast("double")) * 1000000).cast("long")
+        - F.col("s_micro"),
+        F.lit(0).cast("long"),
+    )
+    return (
+        d.select(
+            "doc_id", "n_tokens", "n_distinct",
+            h_micro.alias("entropy_micro"),
+            (F.round(
+                h_micro.cast("double")
+                / (F.col("n_tokens") * F.lit(1000000.0)), 6,
+            ) + F.lit(0.0)).alias("entropy_r"),
+        )
+        .orderBy("doc_id").limit(500)
+    )

@@ -49,11 +49,15 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ccnet_ppl_buckets",
     "winsorized_value_stats",
     "c4_clean_flags",
-    # positions 5-6: NEW round-6 oracled surface — the JL
-    # random-projection ANN tier (judge r5 next-round #5) and the
-    # per-domain reservoir + cap mixture composition (#6)
+    # positions 5-8: NEW round-6 oracled surface — the JL
+    # random-projection ANN tier (judge r5 next-round #5), the
+    # per-domain reservoir + cap mixture composition (#6), per-doc
+    # token entropy (gibberish axis) and temperature-scaled mixture
+    # allocation (multilingual alpha-sampling, largest-remainder exact)
     "jl_ann_topk",
     "domain_capped_reservoir",
+    "token_entropy",
+    "temperature_mixture_alloc",
     # positions 7-38: stale-row refresh — the 32 r3-era rows not
     # refreshed in r5 (CORRECTNESS_r03 keys − r4 keys − r5 keys)
     "correlated_min_joinback",
@@ -99,13 +103,11 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "having_semi_topk",
     "sketch_topk_exact_when_small",
     "outer_count_distribution",
-    # positions 46-50: r4-era backfill, one per high-value family
-    # (dedup / curation / ANN exactness / FTS / CEP stream)
+    # positions 48-50: r4-era backfill (dedup / curation / ANN
+    # exactness; two more backfill slots ceded to the new r6 entries)
     "minhash_lsh_dedup",
     "curate_corpus",
     "pq_ann_topk",
-    "fts_probe_topk",
-    "cep_funnel_stream",
     # ---- positions 51+ (not graded this round) ----
     # Rows-only canonical entries stay OUT of the window: the driver
     # has twice demonstrated (r1/r2 `no_oracle` rows) that it errors
