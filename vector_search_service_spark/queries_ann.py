@@ -418,8 +418,8 @@ def q_jl_ann_topk(spark, sf_dir):
         e.select("vec_id", "label", "embedding", jl_dist.alias("jl_dist"))
         .orderBy(F.col("jl_dist").asc(), F.col("vec_id").asc())
         .limit(_JL_CAND)
-        .localCheckpoint(eager=False)  # cut lineage: rerank reads 50 rows,
-        # not a re-planned global sort (same fix as quantized_vector_topk)
+        .localCheckpoint(eager=False)  # cut lineage: rerank reads the 200
+        # candidates, not a re-planned global sort (quantized_vector_topk fix)
     )
     from .functions.vectors import cosine_distance_col
 
@@ -450,8 +450,10 @@ def _jl_oracle() -> str:
                 terms.append(f"+ vq[{i + 1}]")
             elif s < 0:
                 terms.append(f"- vq[{i + 1}]")
-        body = " ".join(terms) if terms else "CAST(0 AS BIGINT)"
-        p_exprs.append(f"(0 {body}) AS p{j}")
+        # an all-zero sign row (possible under other seeds/dims) must
+        # still emit valid SQL: "(0)" alone, never "(0 <expr>)"
+        body = (" " + " ".join(terms)) if terms else ""
+        p_exprs.append(f"(0{body}) AS p{j}")
     d_terms = " + ".join(
         f"(p{j} - ({qp}))*(p{j} - ({qp}))" for j, qp in enumerate(qproj)
     )

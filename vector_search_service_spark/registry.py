@@ -58,7 +58,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "domain_capped_reservoir",
     "token_entropy",
     "temperature_mixture_alloc",
-    # positions 7-38: stale-row refresh — the 32 r3-era rows not
+    # positions 9-40: stale-row refresh — the 32 r3-era rows not
     # refreshed in r5 (CORRECTNESS_r03 keys − r4 keys − r5 keys)
     "correlated_min_joinback",
     "disjunctive_pushdown",
@@ -92,7 +92,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "variant_props_stats",
     "volume_by_nation_pair",
     "window_lead_lag_cumsum",
-    # positions 39-45: the 7 tier=extra ORACLED variants never
+    # positions 41-47: the 7 tier=extra ORACLED variants never
     # driver-graded (judge r5 next-round #3) — rotated through spare
     # slots to convert "locally pinned" to "driver-proven"; the
     # ordering loop below lets prioritized extras through
