@@ -58,6 +58,7 @@ NOTES = {
     "fts_snippet": "pinned r6 (bench plan-diff reference): scan → filter → snippet projection → TakeOrderedAndProject; ZERO shuffles.",
     "token_entropy": "r6 entropy filter: md5(tok) computed pre-shuffle (raw text never in a partitioning key), TF groupBy + per-doc rollup both map-side combined; 2-column ReadSchema.",
     "temperature_mixture_alloc": "r6 alpha-sampling budget: ONE corpus aggregate behind a lineage cut; all apportionment arithmetic on the |languages|-row table with broadcast totals.",
+    "tfidf_pair_topk": "r6 weighted similarity join: md5-keyed TF behind a lineage cut, rare-term self-join for candidates (never all-pairs), numerator join keyed on doc ids; TakeOrdered top-20.",
 }
 
 

@@ -86,6 +86,7 @@ ENTRIES = [
     "domain_capped_reservoir",
     "token_entropy",
     "temperature_mixture_alloc",
+    "tfidf_pair_topk",
 ]
 
 

@@ -634,3 +634,21 @@ def test_temperature_mixture_stats_single_pass_tiny_tail(spark):
     assert len(scans) == 0, f"corpus re-scanned: {len(scans)} scans"
     assert "ExistingRDD" in plan
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_tfidf_pairs_block_on_rare_terms_hash_keys(spark):
+    """The TF-IDF similarity join must never be all-pairs: candidates
+    come from a self-join restricted to df<=cap tokens, every shuffle
+    key is a doc id or the md5 token hash (raw token text never
+    partitions an exchange), and the final ordering is a top-k."""
+    import re
+
+    from vector_search_service_spark.registry import all_queries
+
+    df = all_queries()["tfidf_pair_topk"].fn(spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert has_top_k(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert parts and all("tok#" not in p for p in parts)

@@ -479,3 +479,128 @@ def q_stream_dedup_replay(spark, sf_dir):
         ).dropDuplicates(["content_sha"]),
         prefix="stream_dedup",
     ).orderBy("content_sha")
+
+
+# -- TF-IDF sparse cosine pairs (r6) -----------------------------------------
+#
+# The weighted complement of the set-similarity family: MinHash/Jaccard
+# treat every token equally; TF-IDF cosine weights shared RARE terms, so
+# two docs agreeing on distinctive vocabulary outrank two docs sharing
+# boilerplate. Candidate generation is the classic inverted-index
+# blocking (pairs must share >=1 rare token, df <= cap) — never
+# all-pairs.
+
+_TFIDF_RARE_DF = 5     # blocking: candidate pairs share a token with df <= 5
+_TFIDF_TOPK = 20
+
+
+@register(
+    "tfidf_pair_topk",
+    survey_ref="extension: weighted sparse-vector similarity join "
+               "(TF-IDF cosine, inverted-index blocking)",
+    tags=("dedup", "textan"),
+    oracle=f"""
+WITH pos AS (
+  SELECT doc_id, unnest({_WORDS}) AS tok FROM documents
+), tf AS (
+  SELECT doc_id, md5(tok) AS h, CAST(count(*) AS BIGINT) AS tf
+  FROM pos GROUP BY doc_id, md5(tok)
+), n AS (
+  SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tf
+), df AS (
+  SELECT h, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY h
+), wt AS (
+  SELECT tf.doc_id, tf.h, tf.tf, df.df,
+         tf.tf * CAST(round(ln((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0)) * 1000) AS BIGINT) AS w
+  FROM tf JOIN df USING (h), n
+), norms AS (
+  SELECT doc_id, sqrt(CAST(sum(w * w) AS DOUBLE)) AS nrm FROM wt GROUP BY doc_id
+), cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM wt a JOIN wt b ON a.h = b.h AND a.doc_id < b.doc_id
+  WHERE a.df <= {_TFIDF_RARE_DF}
+), num AS (
+  SELECT c.d1, c.d2, CAST(sum(w1.w * w2.w) AS BIGINT) AS num
+  FROM cand c
+  JOIN wt w1 ON w1.doc_id = c.d1
+  JOIN wt w2 ON w2.doc_id = c.d2 AND w2.h = w1.h
+  GROUP BY c.d1, c.d2
+), scored AS (
+  SELECT d1, d2, num,
+         CAST(num AS DOUBLE) / (n1.nrm * n2.nrm) AS score
+  FROM num JOIN norms n1 ON n1.doc_id = d1 JOIN norms n2 ON n2.doc_id = d2
+)
+SELECT d1, d2, num, round(score, 6) AS score_r
+FROM scored ORDER BY score DESC, d1 ASC, d2 ASC LIMIT {_TFIDF_TOPK}
+""",
+)
+def q_tfidf_pair_topk(spark, sf_dir):
+    """Top-{k} document pairs by TF-IDF cosine similarity — the
+    weighted sparse-vector similarity join (dedup-verification /
+    same-topic mining), complementing MinHash (unweighted set overlap)
+    and embedding cosine (dense semantics).
+
+    Exactness: tf and df are integers; idf is quantized to integer
+    milli-nats at its source value (ln((N+1)/(df+1)), the accepted
+    ln-rounding class), so every per-pair numerator is an exact
+    integer sum. The only floats are the two norms — sqrt of an exact
+    integer — and IEEE-754 sqrt is CORRECTLY ROUNDED in every engine,
+    so numerator/denominator is bit-identical without further
+    quantization; ordering uses the raw score with a (d1, d2)
+    tie-break.
+
+    Scale: token text never shuffles (md5 keys); candidate pairs come
+    from the inverted index restricted to df <= {cap} tokens — the
+    classic rare-term blocking, Σ df² bounded by cap·Σdf, never
+    all-pairs; the numerator join fans each candidate pair out by its
+    common vocabulary only. At 100 TB you lower the df cap (or take
+    the top-idf prefix per doc — prefix filtering) to hold the
+    candidate count; the verification joins stay keyed on doc ids."""
+    docs = load_table(spark, sf_dir, "documents")
+    pos = docs.select("doc_id", F.explode(words_col(F.col("text"))).alias("tok"))
+    tf = (
+        pos.groupBy("doc_id", F.md5("tok").alias("h"))
+        .agg(F.count("*").alias("tf"))
+    )
+    tf = tf.localCheckpoint(eager=False)  # reused 4x: df, norms, both joins
+    n_docs = tf.select("doc_id").distinct().count()
+    df = tf.groupBy("h").agg(F.count("*").alias("df"))
+    wt = (
+        tf.join(df, "h")
+        .select(
+            "doc_id", "h", "df",
+            (F.col("tf")
+             * F.round(F.log((F.lit(float(n_docs)) + F.lit(1.0))
+                             / (F.col("df").cast("double") + F.lit(1.0)))
+                       * 1000).cast("long")).alias("w"),
+        )
+    ).localCheckpoint(eager=False)  # reused 3x below
+    norms = (
+        wt.groupBy("doc_id")
+        .agg(F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("nrm"))
+    )
+    rare = wt.filter(F.col("df") <= _TFIDF_RARE_DF).select("h", "doc_id")
+    cand = (
+        rare.alias("a")
+        .join(rare.alias("b"), "h")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    w1 = wt.select(F.col("doc_id").alias("d1"), "h", F.col("w").alias("w1"))
+    w2 = wt.select(F.col("doc_id").alias("d2"), "h", F.col("w").alias("w2"))
+    num = (
+        cand.join(w1, "d1").join(w2, ["d2", "h"])
+        .groupBy("d1", "d2")
+        .agg(F.sum(F.col("w1") * F.col("w2")).cast("long").alias("num"))
+    )
+    n1 = norms.select(F.col("doc_id").alias("d1"), F.col("nrm").alias("nrm1"))
+    n2 = norms.select(F.col("doc_id").alias("d2"), F.col("nrm").alias("nrm2"))
+    return (
+        num.join(n1, "d1").join(n2, "d2")
+        .withColumn("score", F.col("num").cast("double")
+                    / (F.col("nrm1") * F.col("nrm2")))
+        .orderBy(F.col("score").desc(), F.col("d1").asc(), F.col("d2").asc())
+        .limit(_TFIDF_TOPK)
+        .select("d1", "d2", "num", F.round("score", 6).alias("score_r"))
+    )

@@ -58,7 +58,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "domain_capped_reservoir",
     "token_entropy",
     "temperature_mixture_alloc",
-    # positions 9-40: stale-row refresh — the 32 r3-era rows not
+    # position 9: TF-IDF sparse-cosine similarity join (weighted
+    # complement of MinHash set-sim; inverted-index rare-term blocking)
+    "tfidf_pair_topk",
+    # positions 10-41: stale-row refresh — the 32 r3-era rows not
     # refreshed in r5 (CORRECTNESS_r03 keys − r4 keys − r5 keys)
     "correlated_min_joinback",
     "disjunctive_pushdown",
@@ -92,7 +95,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "variant_props_stats",
     "volume_by_nation_pair",
     "window_lead_lag_cumsum",
-    # positions 41-47: the 7 tier=extra ORACLED variants never
+    # positions 42-48: the 7 tier=extra ORACLED variants never
     # driver-graded (judge r5 next-round #3) — rotated through spare
     # slots to convert "locally pinned" to "driver-proven"; the
     # ordering loop below lets prioritized extras through
@@ -103,11 +106,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "having_semi_topk",
     "sketch_topk_exact_when_small",
     "outer_count_distribution",
-    # positions 48-50: r4-era backfill (dedup / curation / ANN
-    # exactness; two more backfill slots ceded to the new r6 entries)
+    # positions 49-50: r4-era backfill (dedup / curation; the other
+    # three backfill slots ceded to late-landing r6 entries)
     "minhash_lsh_dedup",
     "curate_corpus",
-    "pq_ann_topk",
     # ---- positions 51+ (not graded this round) ----
     # Rows-only canonical entries stay OUT of the window: the driver
     # has twice demonstrated (r1/r2 `no_oracle` rows) that it errors
