@@ -177,3 +177,56 @@ def test_multifile_corpus_parallelizes_scan_and_preserves_results(spark, tmp_pat
         )
 
     assert keys(docs) == keys(docs_multi)
+
+
+def test_jl_sketch_layout_prunes_probe_range(spark, tmp_path):
+    """Pins SCALE.md's claim that the JL sketch table is index-able:
+    written range-partitioned on the first projected coordinate, a
+    probe's p0-window overlaps only a small fraction of files by
+    parquet min/max stats — the same stats-pruning contract the
+    z-order test measures. (A random or round-robin layout would
+    overlap every file.)"""
+    from pyspark.sql import functions as F
+
+    from vector_search_service_spark.operators.ann import jl_signs
+    from vector_search_service_spark.operators.zorder import files_overlapping_box
+    from vector_search_service_spark.queries_ann import (
+        _JL_CLAMP,
+        _JL_SCALE,
+        _jl_qproj,
+    )
+    from vector_search_service_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    row0 = jl_signs(64, 48, seed=11)[0]
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    vq = F.transform(
+        v,
+        lambda x: F.round(
+            F.least(F.greatest(x, F.lit(-_JL_CLAMP)), F.lit(_JL_CLAMP))
+            * _JL_SCALE
+        ).cast("long"),
+    )
+    p0 = F.lit(0).cast("long")
+    for i, s in enumerate(row0):
+        if s > 0:
+            p0 = p0 + F.element_at(F.col("vq"), i + 1)
+        elif s < 0:
+            p0 = p0 - F.element_at(F.col("vq"), i + 1)
+    sketch = emb.select("vec_id", vq.alias("vq")).select(
+        "vec_id", p0.alias("p0"))
+    path = str(tmp_path / "jl_sketch")
+    (sketch.repartitionByRange(16, F.col("p0"))
+           .sortWithinPartitions("p0")
+           .write.parquet(path))
+
+    # probe window: +-5% of the observed p0 spread around the query
+    lo_hi = sketch.agg(F.min("p0"), F.max("p0")).first()
+    spread = lo_hi[1] - lo_hi[0]
+    q0 = _jl_qproj()[0]
+    box = {"p0": (q0 - 0.05 * spread, q0 + 0.05 * spread)}
+    hit, total = files_overlapping_box(path, box)
+    assert total >= 12  # the layout actually fanned out
+    assert hit <= max(2, total // 4), (
+        f"p0 probe window overlaps {hit}/{total} files — range layout "
+        "is not pruning")
