@@ -30,6 +30,15 @@ EDGE_VECS = [
     (-2, [1e-300] * DIM, 9),                   # norm underflows to 0.0
     (-3, [1e200] * DIM, 9),                    # norm overflows to inf
     (-4, [0.0] * (DIM - 1) + [1e-300], 9),     # single denormal component
+    # NULL cell and wrong-dimension rows (r7, per ADVICE): these are the
+    # CRASH rows, not just ordering rows — DuckDB list_inner_product
+    # throws on mismatched lengths, Spark ANSI element_at throws past
+    # the array end, and Spark's bare `asc` seats a NULL distance at
+    # rank 1 where DuckDB's NULLS LAST default buries it. Both engines
+    # must nullify invalid vectors at the scan (valid_vec_col /
+    # guarded_emb_sql) and order distances asc_nulls_last.
+    (-5, None, 9),                             # NULL embedding (failed encode)
+    (-6, [0.5] * (DIM - 1), 9),                # wrong dimension (model drift)
 ]
 
 ENTRIES = [

@@ -63,6 +63,22 @@ def l2_normalize_col(u: Column) -> Column:
     )
 
 
+def valid_vec_col(u: Column, dim: int) -> Column:
+    """Nullify NULL / wrong-dimension embeddings at the scan.
+
+    A production embedding column accumulates rows a fixed-dim query
+    can't score: NULL cells (failed encoder calls) and wrong-length
+    arrays (model/version drift). Spark's ``zip_with`` pads the short
+    side with NULL (distance → NULL), but DuckDB's
+    ``list_inner_product`` THROWS on mismatched lengths and Spark's
+    ANSI ``element_at`` THROWS past the end — so both engines must
+    agree to nullify invalid vectors BEFORE any arithmetic. Distance
+    over the nullified column is NULL, which every ranked consumer
+    orders ``asc_nulls_last`` (matching DuckDB's NULLS LAST default)
+    and every threshold predicate already excludes."""
+    return F.when(u.isNotNull() & (F.size(u) == dim), u)
+
+
 def euclidean_distance_col(u: Column, v: Column) -> Column:
     return F.sqrt(
         F.aggregate(

@@ -74,11 +74,19 @@ def vector_search(embeddings: DataFrame, query_vec: list[float], *, limit: int =
     LSH-bucketed candidate-pruning variant for billion-vector scale is
     ``operators/ann.py`` (mirrors the reference's IVFFlat probe shape).
     """
+    from ..functions.vectors import valid_vec_col
+
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    out = embeddings.withColumn("distance", cosine_distance_col(F.col(vec_col), q))
+    # NULL / wrong-dim rows score NULL and sort LAST (DuckDB-parity;
+    # Spark's bare asc would seat them at rank 1 — see valid_vec_col)
+    out = embeddings.withColumn(
+        "distance", cosine_distance_col(valid_vec_col(F.col(vec_col), len(query_vec)), q)
+    )
     if distance_threshold is not None:
         out = out.filter(F.col("distance") <= F.lit(float(distance_threshold)))
-    return out.orderBy(F.col("distance").asc(), F.col(id_col).asc()).limit(limit)
+    return out.orderBy(
+        F.col("distance").asc_nulls_last(), F.col(id_col).asc()
+    ).limit(limit)
 
 
 def paginate(df: DataFrame, *, order_col: str, offset: int = 0, limit: int = 100) -> DataFrame:

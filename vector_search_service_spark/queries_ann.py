@@ -229,16 +229,17 @@ def _cos_sim_sql(vec_sql: str, q_sql: str) -> str:
 
 
 def _per_label_oracle() -> str:
-    from .queries_reference import _QV_SQL
+    from .queries_reference import _QV_SQL, guarded_emb_sql
 
-    sim = _cos_sim_sql("CAST(embedding AS DOUBLE[])", "qv")
+    sim = _cos_sim_sql("v", "qv")
     return f"""
 WITH q AS (SELECT {_QV_SQL} AS qv),
+e AS (SELECT vec_id, label, {guarded_emb_sql()} AS v FROM embeddings),
 ranked AS (
   SELECT label, vec_id, (1.0 - {sim}) AS dist,
-         row_number() OVER (PARTITION BY label ORDER BY (1.0 - {sim}) ASC, vec_id ASC)
+         row_number() OVER (PARTITION BY label ORDER BY (1.0 - {sim}) ASC NULLS LAST, vec_id ASC)
            AS rnk
-  FROM embeddings, q
+  FROM e, q
 )
 SELECT label, vec_id, CAST(rnk AS INT) AS rnk, round(dist, 6) AS distance_r
 FROM ranked WHERE rnk <= 3
@@ -261,12 +262,14 @@ def q_vector_topk_per_label(spark, sf_dir):
     WindowGroupLimit (rank pushdown)."""
     from pyspark.sql.window import Window
 
-    from .functions.vectors import cosine_distance_col
+    from .functions.vectors import cosine_distance_col, valid_vec_col
 
     emb = load_table(spark, sf_dir, "embeddings")
     qcol = F.array(*[F.lit(float(x)) for x in _query_vec()])
-    dist = cosine_distance_col(F.col("embedding"), qcol)
-    w = Window.partitionBy("label").orderBy(F.col("dist").asc(), F.col("vec_id").asc())
+    dist = cosine_distance_col(valid_vec_col(F.col("embedding"), _DIM), qcol)
+    w = Window.partitionBy("label").orderBy(
+        F.col("dist").asc_nulls_last(), F.col("vec_id").asc()
+    )
     return (
         emb.withColumn("dist", dist)
         .withColumn("rnk", F.row_number().over(w))
@@ -277,15 +280,16 @@ def q_vector_topk_per_label(spark, sf_dir):
 
 
 def _maxsim_oracle() -> str:
-    from .queries_reference import _QV_SQL
+    from .queries_reference import _QV_SQL, guarded_emb_sql
 
     qv2 = "[" + ", ".join(f"{x!r}" for x in _qv2()) + "]::DOUBLE[]"
-    s1 = _cos_sim_sql("CAST(embedding AS DOUBLE[])", "q1")
-    s2 = _cos_sim_sql("CAST(embedding AS DOUBLE[])", "q2")
+    s1 = _cos_sim_sql("v", "q1")
+    s2 = _cos_sim_sql("v", "q2")
     return f"""
-WITH q AS (SELECT {_QV_SQL} AS q1, {qv2} AS q2)
+WITH q AS (SELECT {_QV_SQL} AS q1, {qv2} AS q2),
+e AS (SELECT label, {guarded_emb_sql()} AS v FROM embeddings)
 SELECT label, round(max({s1}) + max({s2}), 6) AS maxsim_r
-FROM embeddings, q
+FROM e, q
 GROUP BY label
 ORDER BY max({s1}) + max({s2}) DESC, label ASC
 LIMIT 5
@@ -307,13 +311,14 @@ def q_maxsim_topk(spark, sf_dir):
     so 100 TB of chunk embeddings aggregate without materializing
     groups). The two-term final sum has a fixed evaluation order, so
     the float result is cross-engine exact."""
-    from .functions.vectors import cosine_similarity_col
+    from .functions.vectors import cosine_similarity_col, valid_vec_col
 
     emb = load_table(spark, sf_dir, "embeddings")
     q1 = F.array(*[F.lit(float(x)) for x in _query_vec()])
     q2 = F.array(*[F.lit(float(x)) for x in _qv2()])
-    s1 = cosine_similarity_col(F.col("embedding"), q1)
-    s2 = cosine_similarity_col(F.col("embedding"), q2)
+    vv = valid_vec_col(F.col("embedding"), _DIM)
+    s1 = cosine_similarity_col(vv, q1)
+    s2 = cosine_similarity_col(vv, q2)
     score = F.max(F.col("s1")) + F.max(F.col("s2"))
     return (
         emb.select("label", s1.alias("s1"), s2.alias("s2"))
@@ -393,8 +398,17 @@ def q_jl_ann_topk(spark, sf_dir):
     planted-neighbor data (tests/test_scale_tiers.py) small k already
     recovers the true neighbors.
     """
+    from .functions.vectors import cosine_distance_col, valid_vec_col
+
     emb = load_table(spark, sf_dir, "embeddings")
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    # NULL / wrong-dim rows: vq is NULL, every projection is NULL,
+    # jl_dist is NULL — and NULLs sort LAST (asc_nulls_last below,
+    # mirroring DuckDB's default) so junk rows never claim candidate
+    # slots. try_element_at (not element_at): ANSI element_at THROWS
+    # past the array end, so one short row would otherwise kill the
+    # whole scan (valid_vec_col docstring has the crash matrix).
+    v = F.transform(valid_vec_col(F.col("embedding"), _DIM),
+                    lambda x: x.cast("double"))
     vq = F.transform(
         v,
         lambda x: F.round(
@@ -409,27 +423,26 @@ def q_jl_ann_topk(spark, sf_dir):
         proj = F.lit(0).cast("long")
         for i, s in enumerate(row):
             if s > 0:
-                proj = proj + F.element_at(F.col("vq"), i + 1)
+                proj = proj + F.try_element_at(F.col("vq"), F.lit(i + 1))
             elif s < 0:
-                proj = proj - F.element_at(F.col("vq"), i + 1)
+                proj = proj - F.try_element_at(F.col("vq"), F.lit(i + 1))
         d = proj - F.lit(qproj[j])
         jl_dist = d * d if jl_dist is None else jl_dist + d * d
     cand = (
         e.select("vec_id", "label", "embedding", jl_dist.alias("jl_dist"))
-        .orderBy(F.col("jl_dist").asc(), F.col("vec_id").asc())
+        .orderBy(F.col("jl_dist").asc_nulls_last(), F.col("vec_id").asc())
         .limit(_JL_CAND)
         .localCheckpoint(eager=False)  # cut lineage: rerank reads the 200
         # candidates, not a re-planned global sort (quantized_vector_topk fix)
     )
-    from .functions.vectors import cosine_distance_col
-
     dist = cosine_distance_col(
-        F.transform(F.col("embedding"), lambda x: x.cast("double")),
+        F.transform(valid_vec_col(F.col("embedding"), _DIM),
+                    lambda x: x.cast("double")),
         F.array(*[F.lit(float(x)) for x in _query_vec()]),
     )
     return (
         cand.withColumn("distance", dist)
-        .orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+        .orderBy(F.col("distance").asc_nulls_last(), F.col("vec_id").asc())
         .limit(10)
         .select(
             "vec_id", "label", "jl_dist",
@@ -439,7 +452,7 @@ def q_jl_ann_topk(spark, sf_dir):
 
 
 def _jl_oracle() -> str:
-    from .queries_reference import _QV_SQL
+    from .queries_reference import _QV_SQL, guarded_emb_sql
 
     qproj = _jl_qproj()
     p_exprs = []
@@ -462,18 +475,18 @@ def _jl_oracle() -> str:
            f"sqrt(list_inner_product({_QV_SQL}, {_QV_SQL})))")
     return f"""
 WITH e AS (
-  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
-         list_transform(CAST(embedding AS DOUBLE[]),
+  SELECT vec_id, label, {guarded_emb_sql()} AS v,
+         list_transform({guarded_emb_sql()},
                         x -> CAST(round(least(greatest(x, -{_JL_CLAMP!r}), {_JL_CLAMP!r})
                                         * {_JL_SCALE}) AS BIGINT)) AS vq
   FROM embeddings
 ),
 p AS (SELECT vec_id, label, v, {", ".join(p_exprs)} FROM e),
 c AS (SELECT vec_id, label, v, CAST({d_terms} AS BIGINT) AS jl_dist FROM p),
-cand AS (SELECT * FROM c ORDER BY jl_dist ASC, vec_id ASC LIMIT {_JL_CAND}),
+cand AS (SELECT * FROM c ORDER BY jl_dist ASC NULLS LAST, vec_id ASC LIMIT {_JL_CAND}),
 r AS (SELECT vec_id, label, jl_dist, 1.0 - ({cos}) AS dist FROM cand)
 SELECT vec_id, label, jl_dist, round(dist, 6) AS distance_r
-FROM r ORDER BY dist ASC, vec_id ASC LIMIT 10
+FROM r ORDER BY dist ASC NULLS LAST, vec_id ASC LIMIT 10
 """
 
 

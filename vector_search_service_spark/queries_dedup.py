@@ -21,7 +21,8 @@ from .functions.hashing import (
     sql_words_expr,
     words_col,
 )
-from .functions.vectors import cosine_similarity_col
+from .functions.vectors import cosine_similarity_col, valid_vec_col
+from .queries_reference import guarded_emb_sql as _guarded_emb
 from .operators.dedup import (
     DEFAULT_BANDS,
     DEFAULT_MAX_BUCKET,
@@ -215,9 +216,9 @@ def q_ngram_jaccard_dedup(spark, sf_dir):
     "embedding_near_dup",
     survey_ref="F4 (extension: embedding-cosine near-dedup)",
     tags=("dedup", "vector"),
-    oracle="""
+    oracle=f"""
 WITH e AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  SELECT vec_id, {_guarded_emb()} AS v
   FROM embeddings WHERE vec_id < 300
 ),
 p AS (
@@ -235,7 +236,13 @@ def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (bounded id range; the
     scale path replaces the cross join with LSH bucketing —
     ``operators/ann.py``)."""
-    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 300)
+        # NULL / wrong-dim rows score NULL and fail the >= threshold in
+        # both engines (valid_vec_col docstring has the crash story)
+        .withColumn("embedding", valid_vec_col(F.col("embedding"), 64))
+    )
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
     cos = cosine_similarity_col(F.col("va"), F.col("vb"))

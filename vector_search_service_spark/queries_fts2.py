@@ -452,7 +452,7 @@ _RERANK_K = 10
 
 def _rerank_oracle() -> str:
     from .functions.analysis import analyze_terms, sql_raw_tokens_expr
-    from .queries_reference import _QV_SQL
+    from .queries_reference import _QV_SQL, guarded_emb_sql
 
     terms = analyze_terms(_RERANK_QUERY)
     score = " + ".join(
@@ -463,15 +463,15 @@ def _rerank_oracle() -> str:
     toks = sql_raw_tokens_expr("d.text")
     return f"""
 WITH q AS (SELECT {_QV_SQL} AS qv),
+e AS (SELECT vec_id, {guarded_emb_sql()} AS v FROM embeddings),
 cand AS (
   SELECT vec_id AS doc_id,
          1.0 - (
-           list_inner_product(CAST(embedding AS DOUBLE[]), qv)
-           / (sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
-              * sqrt(list_inner_product(qv, qv)))
+           list_inner_product(v, qv)
+           / (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(qv, qv)))
          ) AS distance
-  FROM embeddings, q
-  ORDER BY distance ASC, vec_id ASC
+  FROM e, q
+  ORDER BY distance ASC NULLS LAST, vec_id ASC
   LIMIT {_RERANK_CAND}
 ),
 scored AS (

@@ -113,24 +113,35 @@ QUERY_VEC = [round(__import__("math").sin(i + 1), 6) for i in range(64)]
 _QV_SQL = "[" + ", ".join(f"{x!r}" for x in QUERY_VEC) + "]::DOUBLE[]"
 
 
+def guarded_emb_sql(col: str = "embedding", dim: int = 64) -> str:
+    """Oracle-side mirror of ``functions.vectors.valid_vec_col``:
+    nullify NULL / wrong-dimension embeddings before any list
+    arithmetic. DuckDB's ``list_inner_product`` THROWS on mismatched
+    list lengths, so a single short embedding row would crash every
+    vector oracle; the CASE guard turns it into a NULL distance that
+    DuckDB's NULLS LAST default (and the Spark side's explicit
+    ``asc_nulls_last``) sinks below every real distance."""
+    return (f"CASE WHEN {col} IS NOT NULL AND len({col}) = {dim} "
+            f"THEN CAST({col} AS DOUBLE[]) END")
+
+
 @register(
     "vector_topk",
     survey_ref="F4,T2,P1",
     tags=("vector", "headline"),
     oracle=f"""
-WITH q AS (SELECT {_QV_SQL} AS qv)
+WITH q AS (SELECT {_QV_SQL} AS qv),
+e AS (SELECT vec_id, label, {guarded_emb_sql()} AS v FROM embeddings)
 SELECT vec_id, label,
        round(1.0 - (
-         list_inner_product(CAST(embedding AS DOUBLE[]), qv)
-         / (sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
-            * sqrt(list_inner_product(qv, qv)))
+         list_inner_product(v, qv)
+         / (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(qv, qv)))
        ), 6) AS distance_r
-FROM embeddings, q
+FROM e, q
 ORDER BY 1.0 - (
-         list_inner_product(CAST(embedding AS DOUBLE[]), qv)
-         / (sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
-            * sqrt(list_inner_product(qv, qv)))
-       ) ASC, vec_id ASC
+         list_inner_product(v, qv)
+         / (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(qv, qv)))
+       ) ASC NULLS LAST, vec_id ASC
 LIMIT 10
 """,
 )

@@ -8,8 +8,9 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from .functions.vectors import cosine_distance_col
+from .functions.vectors import cosine_distance_col, valid_vec_col
 from .operators.asof import asof_join_backward
+from .queries_reference import guarded_emb_sql
 from .registry import register
 from .sources.tables import load_table
 
@@ -42,14 +43,15 @@ def q_projection_rename_iso(spark, sf_dir):
     "vector_threshold",
     survey_ref="P6,F4",
     tags=("vector",),
-    oracle="""
+    oracle=f"""
 WITH q AS (SELECT (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0) AS qv),
+e AS (SELECT vec_id, label, {guarded_emb_sql()} AS v FROM embeddings),
 d AS (
   SELECT vec_id, label,
-         1.0 - (list_inner_product(CAST(embedding AS DOUBLE[]), qv)
-           / (sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+         1.0 - (list_inner_product(v, qv)
+           / (sqrt(list_inner_product(v, v))
               * sqrt(list_inner_product(qv, qv)))) AS dist
-  FROM embeddings, q
+  FROM e, q
 )
 SELECT vec_id, label, round(greatest(dist, 0.0), 6) AS distance_r
 FROM d WHERE dist <= 0.8 ORDER BY vec_id
@@ -66,7 +68,8 @@ def q_vector_threshold(spark, sf_dir):
     to ``-0.0`` where Spark emits ``+0.0`` — equal under ``==``, distinct
     under the driver's byte-level hash (the one red row of round 3)."""
     emb = load_table(spark, sf_dir, "embeddings").withColumn(
-        "embedding", F.col("embedding").cast("array<double>")
+        "embedding",
+        valid_vec_col(F.col("embedding").cast("array<double>"), 64),
     )
     qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     d = cosine_distance_col(F.col("embedding"), F.col("qv"))
