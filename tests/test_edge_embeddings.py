@@ -49,6 +49,12 @@ ENTRIES = [
     "vector_topk_per_label",
     "maxsim_topk",
     "jl_ann_topk",
+    # r8 (per r7 ADVICE #1): the LSH / quantized tier, guarded by
+    # scoreable_vec_col / scoreable_emb_sql (zero-norm rows are crash
+    # or DESC-ordering divergence rows for these, not just NULL-order)
+    "ann_lsh_topk",
+    "ann_bucket_histogram",
+    "quantized_vector_topk",
 ]
 
 

@@ -79,6 +79,27 @@ def valid_vec_col(u: Column, dim: int) -> Column:
     return F.when(u.isNotNull() & (F.size(u) == dim), u)
 
 
+def scoreable_vec_col(u: Column, dim: int) -> Column:
+    """``valid_vec_col`` plus a positive-squared-norm gate — the guard
+    for consumers whose arithmetic is undefined (or engine-divergent)
+    on zero/underflow vectors, not merely on NULL/wrong-dim ones:
+    LSH bucketing (sign of ⟨0, h⟩ carries no information), scalar
+    quantization (scale = 127/max|x| divides by zero), and any DESC
+    ranking where a NaN score would sort FIRST in Spark. Σx² underflows
+    to exactly 0.0 identically in both engines (IEEE double), so the
+    ``> 0`` predicate is cross-engine deterministic; the SQL mirror is
+    ``queries_reference.scoreable_emb_sql``. Norm-OVERFLOW vectors
+    (Σx² = +inf, e.g. a float32 column that captured ±inf) are also
+    excluded: their quantization scale is 127/inf = 0 (an ANSI-mode
+    DIVIDE_BY_ZERO crash, caught by the edge sweep) and their LSH dot
+    products are NaN — sign information is gone either way."""
+    v = valid_vec_col(u, dim)
+    sumsq = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+    )
+    return F.when((sumsq > 0.0) & (sumsq < F.lit(float("inf"))), v)
+
+
 def euclidean_distance_col(u: Column, v: Column) -> Column:
     return F.sqrt(
         F.aggregate(

@@ -12,12 +12,12 @@ from .operators.ann import (
     hyperplanes,
     sql_bucket_code_expr,
 )
+from .functions.embed import EMB_DIM
 from .registry import register
 from .sources.tables import load_table
 
-_DIM, _NPLANES, _SEED = 64, 4, 7
+_DIM, _NPLANES, _SEED = EMB_DIM, 4, 7
 _PLANES = hyperplanes(_DIM, _NPLANES, _SEED)
-_BUCKET_SQL = sql_bucket_code_expr("CAST(embedding AS DOUBLE[])", _PLANES)
 
 
 def _query_vec() -> list[float]:
@@ -35,8 +35,19 @@ def _query_vec() -> list[float]:
 def q_ann_lsh_topk(spark, sf_dir):
     """LSH probe-then-rerank top-10: filter to the query's bucket,
     exact cosine inside. Approximate by design — the oracle replays the
-    identical deterministic bucketing, so results still hash-match."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    identical deterministic bucketing, so results still hash-match.
+
+    Degenerate rows (NULL / wrong-dim / zero-norm embeddings) are
+    nullified-then-dropped at the scan on BOTH sides (r7 ADVICE): the
+    sign of ⟨0, h⟩ carries no bucket information, and a NULL/NaN
+    distance inside the probed bucket would diverge between engines."""
+    from .functions.vectors import scoreable_vec_col
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .withColumn("embedding", scoreable_vec_col(F.col("embedding"), _DIM))
+        .filter(F.col("embedding").isNotNull())
+    )
     res = ann_lsh_topk(emb, _query_vec(), n_planes=_NPLANES, limit=10, seed=_SEED)
     return res.select(
         "vec_id", "label",
@@ -46,15 +57,16 @@ def q_ann_lsh_topk(spark, sf_dir):
 
 
 def _ann_oracle() -> str:
-    from .queries_reference import _QV_SQL
+    from .queries_reference import _QV_SQL, scoreable_emb_sql
 
     qb = bucket_of(_query_vec(), _PLANES)
+    bucket_of_v = sql_bucket_code_expr("v", _PLANES)
     return f"""
 WITH q AS (SELECT {_QV_SQL} AS qv),
+s AS (SELECT vec_id, label, {scoreable_emb_sql()} AS v FROM embeddings),
 e AS (
-  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
-         {_BUCKET_SQL} AS bucket
-  FROM embeddings
+  SELECT vec_id, label, v, {bucket_of_v} AS bucket
+  FROM s WHERE v IS NOT NULL
 )
 SELECT vec_id, label, CAST(bucket AS INT) AS bucket,
        round(1.0 - (list_inner_product(v, qv)
@@ -72,15 +84,22 @@ LIMIT 10
     "ann_bucket_histogram",
     survey_ref="extension: LSH index build (bulk)",
     tags=("vector", "ann"),
-    oracle=f"""
-SELECT CAST({_BUCKET_SQL} AS INT) AS bucket, CAST(count(*) AS BIGINT) AS n
-FROM embeddings GROUP BY 1 ORDER BY bucket
-""",
+    oracle=None,  # set below (needs scoreable_emb_sql resolved)
 )
 def q_ann_bucket_histogram(spark, sf_dir):
     """Index-build output summarized: vectors per LSH bucket (the IVF
-    'list' sizes — the thing you monitor for balance at scale)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    'list' sizes — the thing you monitor for balance at scale).
+    Non-scoreable rows (NULL / wrong-dim / zero-norm) are dropped
+    before bucketing on both sides — they carry no direction, so
+    indexing them would only pollute whichever bucket the all-zero
+    dot-sign pattern happens to encode (r7 ADVICE hardening)."""
+    from .functions.vectors import scoreable_vec_col
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .withColumn("embedding", scoreable_vec_col(F.col("embedding"), _DIM))
+        .filter(F.col("embedding").isNotNull())
+    )
     idx = build_lsh_index(emb, n_planes=_NPLANES, dim=_DIM, seed=_SEED)
     return (
         idx.groupBy(F.col("bucket").cast("int").alias("bucket"))
@@ -89,10 +108,24 @@ def q_ann_bucket_histogram(spark, sf_dir):
     )
 
 
-# late-bind the ann_lsh_topk oracle (needs imports resolved above)
+# late-bind the ann oracles (need imports resolved above)
 from .registry import _REGISTRY  # noqa: E402
 
 _REGISTRY["ann_lsh_topk"].oracle = _ann_oracle()
+
+
+def _ann_hist_oracle() -> str:
+    from .queries_reference import scoreable_emb_sql
+
+    bucket_of_v = sql_bucket_code_expr("v", _PLANES)
+    return f"""
+WITH s AS (SELECT {scoreable_emb_sql()} AS v FROM embeddings)
+SELECT CAST({bucket_of_v} AS INT) AS bucket, CAST(count(*) AS BIGINT) AS n
+FROM s WHERE v IS NOT NULL GROUP BY 1 ORDER BY bucket
+"""
+
+
+_REGISTRY["ann_bucket_histogram"].oracle = _ann_hist_oracle()
 
 
 # -- int8 scalar quantization (the 4x-smaller scan tier) ---------------------
@@ -157,7 +190,17 @@ def q_quantized_vector_topk(spark, sf_dir):
     rerank reads 50 rows."""
     from .queries_reference import QUERY_VEC
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    from .functions.vectors import scoreable_vec_col
+
+    # Quantization needs max|x| > 0 (scale = 127/max|x|) and a positive
+    # norm (NaN approx would sort FIRST under DESC in Spark where
+    # DuckDB buries a NULL) — drop non-scoreable rows at the scan on
+    # both sides (r7 ADVICE hardening).
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .withColumn("embedding", scoreable_vec_col(F.col("embedding"), _DIM))
+        .filter(F.col("embedding").isNotNull())
+    )
     cand = _candidate_stage(emb).localCheckpoint(eager=False)
     from .functions.vectors import cosine_similarity_col
 
@@ -175,13 +218,14 @@ def q_quantized_vector_topk(spark, sf_dir):
 
 
 def _quantized_oracle() -> str:
-    from .queries_reference import _QV_SQL, QUERY_VEC
+    from .queries_reference import _QV_SQL, QUERY_VEC, scoreable_emb_sql
 
     qv, qs = _quantize(QUERY_VEC)
     qnorm = sum(x * x for x in QUERY_VEC) ** 0.5
     qlit = "[" + ", ".join(str(x) for x in qv) + "]"
     return f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH e0 AS (SELECT vec_id, {scoreable_emb_sql()} AS v FROM embeddings),
+e AS (SELECT vec_id, v FROM e0 WHERE v IS NOT NULL),
 m AS (SELECT vec_id, v, 127.0 / list_max(list_transform(v, x -> abs(x))) AS s FROM e),
 qd AS (
   SELECT vec_id, v, s,
@@ -235,11 +279,12 @@ def _per_label_oracle() -> str:
     return f"""
 WITH q AS (SELECT {_QV_SQL} AS qv),
 e AS (SELECT vec_id, label, {guarded_emb_sql()} AS v FROM embeddings),
+d AS (SELECT label, vec_id, (1.0 - {sim}) AS dist FROM e, q),
 ranked AS (
-  SELECT label, vec_id, (1.0 - {sim}) AS dist,
-         row_number() OVER (PARTITION BY label ORDER BY (1.0 - {sim}) ASC NULLS LAST, vec_id ASC)
+  SELECT label, vec_id, dist,
+         row_number() OVER (PARTITION BY label ORDER BY dist ASC, vec_id ASC)
            AS rnk
-  FROM e, q
+  FROM d WHERE dist IS NOT NULL AND NOT isnan(dist)
 )
 SELECT label, vec_id, CAST(rnk AS INT) AS rnk, round(dist, 6) AS distance_r
 FROM ranked WHERE rnk <= 3
@@ -259,7 +304,11 @@ def q_vector_topk_per_label(spark, sf_dir):
     one shuffle on the group key, per-partition window heads; no
     per-group driver loop (the anti-pattern would be k collect+filter
     round trips). At scale the window's rank<=k cuts early via
-    WindowGroupLimit (rank pushdown)."""
+    WindowGroupLimit (rank pushdown).
+
+    Degenerate rows are filtered BEFORE the window (r7 ADVICE #3): a
+    label with fewer than k scoreable vectors must return fewer than k
+    rows, never junk rows holding NULL/NaN distance at a real rank."""
     from pyspark.sql.window import Window
 
     from .functions.vectors import cosine_distance_col, valid_vec_col
@@ -268,10 +317,11 @@ def q_vector_topk_per_label(spark, sf_dir):
     qcol = F.array(*[F.lit(float(x)) for x in _query_vec()])
     dist = cosine_distance_col(valid_vec_col(F.col("embedding"), _DIM), qcol)
     w = Window.partitionBy("label").orderBy(
-        F.col("dist").asc_nulls_last(), F.col("vec_id").asc()
+        F.col("dist").asc(), F.col("vec_id").asc()
     )
     return (
         emb.withColumn("dist", dist)
+        .filter(F.col("dist").isNotNull() & ~F.isnan("dist"))
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
         .select("label", "vec_id", "rnk", F.round("dist", 6).alias("distance_r"))

@@ -21,6 +21,7 @@ from .functions.hashing import (
     sql_words_expr,
     words_col,
 )
+from .functions.embed import EMB_DIM
 from .functions.vectors import cosine_similarity_col, valid_vec_col
 from .queries_reference import guarded_emb_sql as _guarded_emb
 from .operators.dedup import (
@@ -241,7 +242,7 @@ def q_embedding_near_dup(spark, sf_dir):
         .filter(F.col("vec_id") < 300)
         # NULL / wrong-dim rows score NULL and fail the >= threshold in
         # both engines (valid_vec_col docstring has the crash story)
-        .withColumn("embedding", valid_vec_col(F.col("embedding"), 64))
+        .withColumn("embedding", valid_vec_col(F.col("embedding"), EMB_DIM))
     )
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))

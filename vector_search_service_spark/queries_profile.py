@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from .functions.embed import EMB_DIM
 from .registry import register
 from .sources.tables import load_table
 
@@ -116,8 +117,8 @@ def q_value_histogram(spark, sf_dir):
     "embedding_dim_stats",
     survey_ref="extension: per-dimension embedding profile (drift monitoring)",
     tags=("vector", "profile"),
-    oracle="""
-WITH dims AS (SELECT unnest(generate_series(1, 64)) AS ord),
+    oracle=f"""
+WITH dims AS (SELECT unnest(generate_series(1, {EMB_DIM})) AS ord),
 x AS (
   SELECT CAST(ord - 1 AS INT) AS dim,
          list_extract(CAST(embedding AS DOUBLE[]), ord) AS v

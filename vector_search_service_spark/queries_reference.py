@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from .functions.embed import EMB_DIM
 from .functions.analysis import (
     analyze_terms,
     sql_match_expr,
@@ -107,13 +108,13 @@ def q_fts_match_count_by_lang(spark, sf_dir):
 # Vector search (F4, P6, T2)
 # ---------------------------------------------------------------------------
 
-# Deterministic 64-dim probe vector (pseudo-embedding): v[i] = sin(i+1),
-# fixed here as the literal both engines see.
-QUERY_VEC = [round(__import__("math").sin(i + 1), 6) for i in range(64)]
+# Deterministic EMB_DIM-dim probe vector (pseudo-embedding):
+# v[i] = sin(i+1), fixed here as the literal both engines see.
+QUERY_VEC = [round(__import__("math").sin(i + 1), 6) for i in range(EMB_DIM)]
 _QV_SQL = "[" + ", ".join(f"{x!r}" for x in QUERY_VEC) + "]::DOUBLE[]"
 
 
-def guarded_emb_sql(col: str = "embedding", dim: int = 64) -> str:
+def guarded_emb_sql(col: str = "embedding", dim: int = EMB_DIM) -> str:
     """Oracle-side mirror of ``functions.vectors.valid_vec_col``:
     nullify NULL / wrong-dimension embeddings before any list
     arithmetic. DuckDB's ``list_inner_product`` THROWS on mismatched
@@ -122,6 +123,20 @@ def guarded_emb_sql(col: str = "embedding", dim: int = 64) -> str:
     DuckDB's NULLS LAST default (and the Spark side's explicit
     ``asc_nulls_last``) sinks below every real distance."""
     return (f"CASE WHEN {col} IS NOT NULL AND len({col}) = {dim} "
+            f"THEN CAST({col} AS DOUBLE[]) END")
+
+
+def scoreable_emb_sql(col: str = "embedding", dim: int = EMB_DIM) -> str:
+    """Oracle-side mirror of ``functions.vectors.scoreable_vec_col``:
+    additionally nullify zero/underflow-norm vectors (Σx² underflows to
+    exactly 0.0 in IEEE double, identically in both engines) and
+    norm-overflow vectors (Σx² = +inf) for consumers whose arithmetic
+    is undefined on them — LSH bucketing, scalar quantization, DESC
+    score ranking."""
+    ss = (f"list_inner_product(CAST({col} AS DOUBLE[]), "
+          f"CAST({col} AS DOUBLE[]))")
+    return (f"CASE WHEN {col} IS NOT NULL AND len({col}) = {dim} "
+            f"AND {ss} > 0 AND isfinite({ss}) "
             f"THEN CAST({col} AS DOUBLE[]) END")
 
 

@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from .functions.embed import EMB_DIM
 from .functions.vectors import cosine_distance_col, valid_vec_col
 from .operators.asof import asof_join_backward
 from .queries_reference import guarded_emb_sql
@@ -69,7 +70,7 @@ def q_vector_threshold(spark, sf_dir):
     under the driver's byte-level hash (the one red row of round 3)."""
     emb = load_table(spark, sf_dir, "embeddings").withColumn(
         "embedding",
-        valid_vec_col(F.col("embedding").cast("array<double>"), 64),
+        valid_vec_col(F.col("embedding").cast("array<double>"), EMB_DIM),
     )
     qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     d = cosine_distance_col(F.col("embedding"), F.col("qv"))
