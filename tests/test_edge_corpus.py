@@ -87,6 +87,7 @@ ENTRIES = [
     "token_entropy",
     "temperature_mixture_alloc",
     "tfidf_pair_topk",
+    "tfidf_prefix_pair_topk",  # r8: prefix-filtered tier (same edge classes)
 ]
 
 

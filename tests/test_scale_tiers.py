@@ -230,3 +230,42 @@ def test_jl_sketch_layout_prunes_probe_range(spark, tmp_path):
     assert hit <= max(2, total // 4), (
         f"p0 probe window overlaps {hit}/{total} files — range layout "
         "is not pruning")
+
+
+def test_tfidf_prefix_candidate_bound_is_corpus_size_free(spark):
+    """The prefix tier's whole point (r7 verdict #6): candidate count
+    is bounded by vocab * C(posting_cap, 2) regardless of corpus size,
+    while the df-fraction baseline grows ~quadratically. Pin both the
+    hard bound and the cross-sf behavior on the real corpora (sf0.001,
+    sf0.1, and sf1 when present)."""
+    import os
+
+    from vector_search_service_spark.queries_dedup import (
+        _TFIDF_POSTING_CAP,
+        _tfidf_block_candidates,
+        _tfidf_prefix_candidates,
+        _tfidf_weights,
+    )
+
+    sfs = [SF_SMOKE, "/root/testdata/sf0.1"]
+    sf1 = "/root/testdata-sf1"
+    if os.path.isdir(sf1):
+        sfs.append(sf1)
+
+    prefix_counts = {}
+    for sf in sfs:
+        wt, _ = _tfidf_weights(spark, sf)
+        wt = wt.localCheckpoint(eager=False)  # branch reuse in one test job
+        vocab = wt.select("h").distinct().count()
+        hard_bound = vocab * _TFIDF_POSTING_CAP * (_TFIDF_POSTING_CAP - 1) // 2
+        n_prefix = _tfidf_prefix_candidates(wt).count()
+        n_block = _tfidf_block_candidates(wt).count()
+        prefix_counts[sf] = n_prefix
+        assert 0 < n_prefix <= hard_bound, (sf, n_prefix, hard_bound)
+        assert n_block > 0, (sf, "df-fraction blocking went vacuous")
+
+    # corpus-size-free in practice, not just in the bound: growing the
+    # corpus 10x must NOT grow prefix candidates ~quadratically (the
+    # df-fraction tier does; SCALE.md records its measured growth)
+    small, big = prefix_counts[sfs[0]], prefix_counts[sfs[1]]
+    assert big <= max(small * 4, 4 * _TFIDF_POSTING_CAP ** 2), (small, big)

@@ -323,17 +323,23 @@ SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_customers,
        round(sum(bal_cents) / 100.0, 2) AS total_bal
 FROM pos, avg_stats
 WHERE bal_cents * cnt > sum_cents
-  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-07-01')
 GROUP BY c_nationkey
 ORDER BY c_nationkey
 """,
 )
 def q_idle_customer_balance(spark, sf_dir):
     """Q22: customers with above-average positive balance and no
-    orders, grouped by nation. The global average gate is a 1-row
+    RECENT orders (none since 2000-07-01 — the synthetic corpus gives
+    every customer at least one order ever, so the literal "no orders"
+    predicate was provably empty and its driver grade vacuous,
+    r7 verdict What's-wrong #3; the recency variant keeps the exact
+    plan shape), grouped by nation. The global average gate is a 1-row
     broadcast cross join compared integer-cross-multiplied
     (``bal*cnt > sum``); the NOT EXISTS is a left-anti join against
-    the distinct order custkeys. Orders project to the single key
+    the date-filtered order custkeys. Orders project to the single key
     column before the anti join, so the build side is as small as the
     semantics allow."""
     cust = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0.0)
@@ -342,7 +348,11 @@ def q_idle_customer_balance(spark, sf_dir):
         F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
     )
     stats = pos.agg(F.sum("bal_cents").alias("sum_cents"), F.count("*").alias("cnt"))
-    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-07-01")
+        .select("o_custkey")
+    )
     return (
         pos.crossJoin(F.broadcast(stats))
         .filter(F.col("bal_cents") * F.col("cnt") > F.col("sum_cents"))

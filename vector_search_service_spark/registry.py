@@ -42,74 +42,70 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # (registry − ∪ CORRECTNESS_r*.json keys), oracled entries first.
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # ---- round-6 window (50), re-derived per VERDICT r5 next-round #1 ----
-    # positions 1-4: the four oracled entries that landed after the r5
-    # window froze and have never been driver-graded
-    "trigram_kn_logprob",
-    "ccnet_ppl_buckets",
-    "winsorized_value_stats",
-    "c4_clean_flags",
-    # positions 5-8: NEW round-6 oracled surface — the JL
-    # random-projection ANN tier (judge r5 next-round #5), the
-    # per-domain reservoir + cap mixture composition (#6), per-doc
-    # token entropy (gibberish axis) and temperature-scaled mixture
-    # allocation (multilingual alpha-sampling, largest-remainder exact)
-    "jl_ann_topk",
-    "domain_capped_reservoir",
-    "token_entropy",
-    "temperature_mixture_alloc",
-    # position 9: TF-IDF sparse-cosine similarity join (weighted
-    # complement of MinHash set-sim; inverted-index rare-term blocking)
+    # ---- round-8 window (50), re-derived per VERDICT r7 next-round #1 ----
+    # Derivation (scripts in docs/DRIVER_COVERAGE.md): front-load every
+    # entry whose CURRENT code+oracle pair has never been driver-graded
+    # (r7/r8 modifications and new r8 entries), then fill with stale
+    # rows strictly oldest-grade-first (latest-grade round asc, extras
+    # after canonical at equal age). 15 r4-era rows don't fit and roll
+    # to the r9 window (list in DRIVER_COVERAGE.md).
+    # positions 1-6: the six r7-modified vector entries (judge r7
+    # What's-wrong #2) — also touched r8 (EMB_DIM / NULL-rank fix)
+    "vector_topk",
+    "vector_threshold",
+    "vector_topk_per_label",
+    "maxsim_topk",
+    "embedding_near_dup",
+    "rerank_cross_topk",
+    # positions 7-12: r8 de-vacuated grades (judge r7 What's-wrong #3)
+    # + the NEW prefix-filtered TF-IDF tier (next-round #6)
     "tfidf_pair_topk",
-    # positions 10-41: stale-row refresh — the 32 r3-era rows not
-    # refreshed in r5 (CORRECTNESS_r03 keys − r4 keys − r5 keys)
-    "correlated_min_joinback",
-    "disjunctive_pushdown",
-    "domain_top_k",
-    "embedding_dim_stats",
-    "events_progress",
-    "events_retention_filter",
-    "events_sessions",
-    "events_status_filter",
-    "exact_correlation",
+    "tfidf_prefix_pair_topk",
     "exists_semi_join",
-    "having_join_topk",
-    "idle_customer_balance",
-    "important_part_value",
-    "json_props_stats",
-    "market_share_by_year",
-    "mixture_token_sample",
-    "multi_distinct_agg",
     "not_exists_anti",
-    "pivot_status_counts",
-    "promo_revenue_ratio",
-    "range_shards",
-    "repetition_signals",
-    "rollup_counts",
-    "sequence_pack_spans",
-    "sketch_heavy_hitters",
-    "sketch_quantile_tolerance",
-    "small_qty_revenue",
-    "token_count",
-    "value_histogram",
-    "variant_props_stats",
-    "volume_by_nation_pair",
-    "window_lead_lag_cumsum",
-    # positions 42-48: the 7 tier=extra ORACLED variants never
-    # driver-graded (judge r5 next-round #3) — rotated through spare
-    # slots to convert "locally pinned" to "driver-proven"; the
-    # ordering loop below lets prioritized extras through
-    "ntile_shards",
-    "cube_counts",
-    "asof_forward_events",
-    "events_sliding_2h",
-    "having_semi_topk",
-    "sketch_topk_exact_when_small",
-    "outer_count_distribution",
-    # positions 49-50: r4-era backfill (dedup / curation; the other
-    # three backfill slots ceded to late-landing r6 entries)
-    "minhash_lsh_dedup",
-    "curate_corpus",
+    "idle_customer_balance",
+    "decontaminate_overlap",
+    # positions 13-15: r8 scoreable-guard hardening (r7 ADVICE #1)
+    "ann_lsh_topk",
+    "ann_bucket_histogram",
+    "quantized_vector_topk",
+    # positions 16-22: the oldest surviving grades (r1/r2-era extras)
+    "in_list_filter",
+    "media_frame_sample",
+    "pagination_offset",
+    "recency_topk",
+    "bucketed_join_agg",
+    "fts_multiquery_topk",
+    "zorder_values",
+    # positions 23-50: r4-era stale refresh, name order
+    "abandoned_first_view",
+    "bm25_topk",
+    "boilerplate_ngrams",
+    "cep_abandon_stream",
+    "cep_funnel_stream",
+    "cep_sequence_stream",
+    "chunker_windows",
+    "content_stats",
+    "count_per_group",
+    "decimal_exact_revenue",
+    "dedup_canonical_pick",
+    "dedup_components",
+    "dominant_part_suppliers",
+    "duplicate_ngram_spans",
+    "embed_documents",
+    "exact_dedup_groups",
+    "fts_match_count_by_lang",
+    "fts_probe_topk",
+    "fts_topk",
+    "funnel_user_times",
+    "fuzzy_blocked_pairs",
+    "hash_split_train_test",
+    "hybrid_rrf_topk",
+    "importance_ratio_topk",
+    "ivf_pq_topk",
+    "kneser_ney_bigram_topk",
+    "linestatus_priority_counts",
+    "ngram_jaccard_dedup",
     # ---- positions 51+ (not graded this round) ----
     # Rows-only canonical entries stay OUT of the window: the driver
     # has twice demonstrated (r1/r2 `no_oracle` rows) that it errors
