@@ -25,12 +25,19 @@ def main() -> int:
     # the driver's own session: plain defaults per the driver prompt.
     # MIMIC_MASTER/MIMIC_SHUFFLE let the four-axis matrix re-run the
     # identical harness at constrained parallelism (local[2], 2).
-    spark = (
+    builder = (
         SparkSession.builder.master(os.environ.get("MIMIC_MASTER", "local[32]"))
         .config("spark.sql.shuffle.partitions",
                 os.environ.get("MIMIC_SHUFFLE", "32"))
-        .getOrCreate()
     )
+    # MIMIC_DRIVER_MEM: for scale runs ONLY (sf1+). The bare default
+    # (1g, shared by 32 executor threads = 32 MB/task) is no real
+    # cluster's shape; the sf0.01 grading runs stay bare to match the
+    # driver exactly.
+    if os.environ.get("MIMIC_DRIVER_MEM"):
+        builder = builder.config("spark.driver.memory",
+                                 os.environ["MIMIC_DRIVER_MEM"])
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as e

@@ -55,6 +55,7 @@ ENTRIES = [
     "ann_lsh_topk",
     "ann_bucket_histogram",
     "quantized_vector_topk",
+    "semdedup_prune",
 ]
 
 

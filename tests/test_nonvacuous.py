@@ -26,6 +26,7 @@ ENTRIES = [
     "not_exists_anti",
     "idle_customer_balance",
     "decontaminate_overlap",
+    "semdedup_prune",  # r8: threshold tuned so the prune set is non-empty
 ]
 
 

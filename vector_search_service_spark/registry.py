@@ -69,6 +69,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ann_lsh_topk",
     "ann_bucket_histogram",
     "quantized_vector_topk",
+    # position 16: NEW r8 SemDeDup-shape semantic dedup (verdict #9)
+    "semdedup_prune",
     # positions 16-22: the oldest surviving grades (r1/r2-era extras)
     "in_list_filter",
     "media_frame_sample",
@@ -105,7 +107,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ivf_pq_topk",
     "kneser_ney_bigram_topk",
     "linestatus_priority_counts",
-    "ngram_jaccard_dedup",
     # ---- positions 51+ (not graded this round) ----
     # Rows-only canonical entries stay OUT of the window: the driver
     # has twice demonstrated (r1/r2 `no_oracle` rows) that it errors
