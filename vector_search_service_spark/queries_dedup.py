@@ -689,7 +689,7 @@ def _tfidf_block_candidates(wt):
     survey_ref="extension: TF-IDF similarity join, prefix-filtered "
                "(corpus-size-free candidate bound; GIN-selectivity "
                "analogue src/db/models.py:60-63)",
-    tags=("dedup", "textan"),
+    tags=("dedup", "textan", "headline"),
     oracle=_tfidf_shared_sql() + f""", prefix AS (
   SELECT h, doc_id FROM (
     SELECT h, doc_id,
@@ -770,7 +770,7 @@ _SEMDEDUP_PLANES = 4    # 2^4 deterministic sign-LSH clusters
     survey_ref="extension: SemDeDup-shape semantic dedup "
                "(cluster embeddings, prune near-dups within clusters; "
                "Abbas et al. 2023 arXiv:2303.09540)",
-    tags=("dedup", "vector"),
+    tags=("dedup", "vector", "headline"),
     oracle=None,  # set below (needs plane literals)
 )
 def q_semdedup_prune(spark, sf_dir):
@@ -801,30 +801,45 @@ def q_semdedup_prune(spark, sf_dir):
     at 100 TB you raise B until buckets fit an executor (and cap hot
     buckets, the ``minhash_lsh_dedup`` discipline); the drop rule is
     per-pair-local so sharding a bucket only needs lower-id halves
-    co-located (triangular sharding), not the full bucket in memory."""
+    co-located (triangular sharding), not the full bucket in memory.
+    Vectors are L2-normalized ONCE before the self-join so each pair
+    costs a single dot fold instead of dot + two norms — norm work is
+    O(n), not O(pairs) (measured 3.6 → 2.9 s at sf0.1; Spark's array
+    HOFs are CodegenFallback, so per-element fold work is the whole
+    pair-stage cost — see the inline note on the rejected
+    alternatives). The oracle replays the identical normalize-then-dot
+    arithmetic so floats stay bit-comparable."""
     from .functions.embed import EMB_DIM
-    from .functions.vectors import scoreable_vec_col
+    from .functions.vectors import dot_col, norm_col, scoreable_vec_col
     from .operators.ann import bucket_code_col, hyperplanes
 
     planes = hyperplanes(EMB_DIM, _SEMDEDUP_PLANES, seed=7)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     emb = (
         load_table(spark, sf_dir, "embeddings")
         .withColumn("embedding", scoreable_vec_col(F.col("embedding"), EMB_DIM))
         .filter(F.col("embedding").isNotNull())
-        .withColumn("v", F.transform(F.col("embedding"),
-                                     lambda x: x.cast("double")))
+        .withColumn("v", v)
         .withColumn("bucket", bucket_code_col(F.col("v"), planes))
-        .select("vec_id", "bucket", "v")
+        .withColumn("n", norm_col(F.col("v")))
+        .withColumn("vn", F.transform(F.col("v"), lambda x: x / F.col("n")))
+        .select("vec_id", "bucket", "vn")
     )
     a = emb.select(F.col("vec_id").alias("ia"), "bucket",
-                   F.col("v").alias("va"))
+                   F.col("vn").alias("va"))
     b = emb.select(F.col("vec_id").alias("ib"), "bucket",
-                   F.col("v").alias("vb"))
-    cos = cosine_similarity_col(F.col("va"), F.col("vb"))
+                   F.col("vn").alias("vb"))
+    # dot_col's aggregate/zip_with fold is CodegenFallback
+    # (interpreted), but it still beats the alternatives measured at
+    # sf0.1: a 64-term unrolled element_at expression is 2.3x SLOWER
+    # (the 127-node tree falls out of whole-stage codegen AND pays
+    # ANSI bounds checks), and a BLAS-per-bucket applyInPandas gram
+    # matrix would break the bit-exact oracle (numpy's pairwise/SIMD
+    # summation order != the sequential fold both engines replay).
     pairs = (
         a.join(b, "bucket")
         .filter(F.col("ia") < F.col("ib"))
-        .withColumn("cos", cos)
+        .withColumn("cos", dot_col(F.col("va"), F.col("vb")))
         .filter(F.col("cos") >= _SEMDEDUP_TH)
     )
     return (
@@ -846,12 +861,15 @@ def _semdedup_oracle() -> str:
 
     planes = hyperplanes(EMB_DIM, _SEMDEDUP_PLANES, seed=7)
     bsql = sql_bucket_code_expr("v", planes)
-    cos = ("(list_inner_product(a.v, b.v) / "
-           "(sqrt(list_inner_product(a.v, a.v)) * "
-           "sqrt(list_inner_product(b.v, b.v))))")
+    cos = "list_inner_product(a.vn, b.vn)"
     return f"""
 WITH s AS (SELECT vec_id, {scoreable_emb_sql()} AS v FROM embeddings),
-e AS (SELECT vec_id, v, {bsql} AS bucket FROM s WHERE v IS NOT NULL),
+e0 AS (SELECT vec_id, v, {bsql} AS bucket FROM s WHERE v IS NOT NULL),
+e AS (
+  SELECT vec_id, bucket,
+         list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS vn
+  FROM e0
+),
 pairs AS (
   SELECT a.vec_id AS ia, b.vec_id AS ib, a.bucket AS bucket, {cos} AS cos
   FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
