@@ -26,7 +26,16 @@ same physical convention as the driver corpus, so DuckDB reads naive
 timestamps and Spark's ``_ntz_to_ltz`` coerces under the pinned UTC
 session — value-identity on both sides.
 
-Usage:  python scripts/make_sf1.py [out_dir] [replicas]
+Usage:  python scripts/make_sf1.py [out_dir] [replicas] [src_dir] [rel]
+
+With ``src_dir`` the replication composes (sf0.1 --10x--> sf1
+--10x--> sf10). The optional trailing ``rel`` scales ONLY the
+relational facts+dims (customer/supplier/part/orders/lineitem/events)
+and copies documents/embeddings from the source unscaled: beyond one
+decade, payload replication makes the text/vector corpus ~99%
+exact-duplicate — degenerate for dedup semantics — while the
+relational engine questions (shuffle, join, agg growth) are exactly
+what a third decade should measure.
 """
 
 from __future__ import annotations
@@ -73,6 +82,8 @@ FILES = {  # part-files per table (lineitem dominates)
 def main() -> int:
     out = sys.argv[1] if len(sys.argv) > 1 else DEFAULT_OUT
     replicas = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    src = sys.argv[3] if len(sys.argv) > 3 else SRC
+    rel_only = len(sys.argv) > 4 and sys.argv[4] == "rel"
 
     from pyspark.sql import functions as F
 
@@ -84,7 +95,7 @@ def main() -> int:
 
     strides = {}
     for name, (table, col) in STRIDE_COL.items():
-        mx = load_table(spark, SRC, table).agg(F.max(col)).collect()[0][0]
+        mx = load_table(spark, src, table).agg(F.max(col)).collect()[0][0]
         strides[name] = int(mx) + 1
 
     def write(df, table, n_files):
@@ -98,11 +109,14 @@ def main() -> int:
         print(f"  {table}: {n_files} files -> {dst}")
 
     for dim in ("region", "nation"):
-        write(load_table(spark, SRC, dim), dim, 1)
+        write(load_table(spark, src, dim), dim, 1)
 
     r = F.explode(F.array(*[F.lit(i) for i in range(replicas)])).alias("_r")
     for table, keycols in KEYS.items():
-        base = load_table(spark, SRC, table)
+        if rel_only and table in ("documents", "embeddings"):
+            write(load_table(spark, src, table), table, FILES[table])
+            continue
+        base = load_table(spark, src, table)
         df = base.select("*", r)
         for col, stride_name in keycols.items():
             df = df.withColumn(

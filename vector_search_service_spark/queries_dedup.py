@@ -809,11 +809,23 @@ def q_semdedup_prune(spark, sf_dir):
     pair-stage cost — see the inline note on the rejected
     alternatives). The oracle replays the identical normalize-then-dot
     arithmetic so floats stay bit-comparable."""
+    return _semdedup_plan(spark, sf_dir, _SEMDEDUP_PLANES)
+
+
+def _semdedup_plan(spark, sf_dir, n_planes):
+    """SemDeDup plan with the bucket count (2^n_planes) as an explicit
+    parameter — the scale knob. The registered entry pins n_planes =
+    _SEMDEDUP_PLANES; docs/SCALE.md §12 measures the knob at sf1
+    (20 k dup-stress vectors): B=4 is pair-bound (bucket-local pairs
+    grow quadratically in bucket size), raising B shrinks buckets and
+    the pair stage with them, while exact duplicates (identical
+    vectors → identical sign pattern) can never be separated by more
+    planes, so recall on true dups is unaffected."""
     from .functions.embed import EMB_DIM
     from .functions.vectors import dot_col, norm_col, scoreable_vec_col
     from .operators.ann import bucket_code_col, hyperplanes
 
-    planes = hyperplanes(EMB_DIM, _SEMDEDUP_PLANES, seed=7)
+    planes = hyperplanes(EMB_DIM, n_planes, seed=7)
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     emb = (
         load_table(spark, sf_dir, "embeddings")
