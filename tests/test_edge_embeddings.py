@@ -56,6 +56,7 @@ ENTRIES = [
     "ann_bucket_histogram",
     "quantized_vector_topk",
     "semdedup_prune",
+    "semdedup_multiprobe",
 ]
 
 

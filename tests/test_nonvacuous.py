@@ -27,6 +27,7 @@ ENTRIES = [
     "idle_customer_balance",
     "decontaminate_overlap",
     "semdedup_prune",  # r8: threshold tuned so the prune set is non-empty
+    "semdedup_multiprobe",  # r8: high-B multi-probe tier, same corpus
 ]
 
 

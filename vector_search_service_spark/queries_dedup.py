@@ -821,22 +821,9 @@ def _semdedup_plan(spark, sf_dir, n_planes):
     the pair stage with them, while exact duplicates (identical
     vectors → identical sign pattern) can never be separated by more
     planes, so recall on true dups is unaffected."""
-    from .functions.embed import EMB_DIM
-    from .functions.vectors import dot_col, norm_col, scoreable_vec_col
-    from .operators.ann import bucket_code_col, hyperplanes
+    from .functions.vectors import dot_col
 
-    planes = hyperplanes(EMB_DIM, n_planes, seed=7)
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    emb = (
-        load_table(spark, sf_dir, "embeddings")
-        .withColumn("embedding", scoreable_vec_col(F.col("embedding"), EMB_DIM))
-        .filter(F.col("embedding").isNotNull())
-        .withColumn("v", v)
-        .withColumn("bucket", bucket_code_col(F.col("v"), planes))
-        .withColumn("n", norm_col(F.col("v")))
-        .withColumn("vn", F.transform(F.col("v"), lambda x: x / F.col("n")))
-        .select("vec_id", "bucket", "vn")
-    )
+    emb = _semdedup_emb(spark, sf_dir, n_planes)
     a = emb.select(F.col("vec_id").alias("ia"), "bucket",
                    F.col("vn").alias("va"))
     b = emb.select(F.col("vec_id").alias("ib"), "bucket",
@@ -864,6 +851,147 @@ def _semdedup_plan(spark, sf_dir, n_planes):
                 F.round("dup_cos", 6).alias("cosine_r"))
         .orderBy("vec_id")
     )
+
+
+def _semdedup_emb(spark, sf_dir, n_planes):
+    """Shared SemDeDup input prep: scoreable-gate the embeddings,
+    L2-normalize ONCE (norm work O(n), not O(pairs)), attach the
+    2^n_planes sign-LSH bucket code."""
+    from .functions.embed import EMB_DIM
+    from .functions.vectors import norm_col, scoreable_vec_col
+    from .operators.ann import bucket_code_col, hyperplanes
+
+    planes = hyperplanes(EMB_DIM, n_planes, seed=7)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .withColumn("embedding", scoreable_vec_col(F.col("embedding"), EMB_DIM))
+        .filter(F.col("embedding").isNotNull())
+        .withColumn("v", v)
+        .withColumn("bucket", bucket_code_col(F.col("v"), planes))
+        .withColumn("n", norm_col(F.col("v")))
+        .withColumn("vn", F.transform(F.col("v"), lambda x: x / F.col("n")))
+        .select("vec_id", "bucket", "vn")
+    )
+
+
+_SEMDEDUP_MP_PLANES = 7  # high-B fast tier (docs/SCALE.md §12)
+
+
+@register(
+    "semdedup_multiprobe",
+    survey_ref="extension: SemDeDup high-B tier with Hamming-1 "
+               "multi-probe (cross-bucket near-dup recovery; probe "
+               "trick of Lv et al. 2007 multi-probe LSH applied to "
+               "the sign-LSH clustering of semdedup_prune)",
+    tags=("dedup", "vector"),
+    oracle=None,  # set below (needs plane literals)
+)
+def q_semdedup_multiprobe(spark, sf_dir):
+    """SemDeDup at the scale-knob setting: B=7 (128 buckets — the
+    measured 3.7× pair-stage win of docs/SCALE.md §12) with Hamming-1
+    multi-probe to recover the near-dups that bucket boundaries hide.
+
+    ``semdedup_prune`` (B=4) keeps buckets few and pairs exhaustive
+    within them; at 100 TB you must raise B so buckets fit an
+    executor, and every raised plane splits some true near-dup pairs
+    across adjacent buckets. The multi-probe trick restores them
+    WITHOUT all-pairs: side a of the self-join explodes each vector
+    into its B+1 probe codes (own bucket + each single-bit flip) and
+    the join stays an equi-join ``a.probe = b.bucket`` — any pair
+    within Hamming distance 1 matches on exactly one probe (the xor
+    of the two codes is either 0 or a single bit), so no pair is
+    produced twice and no DISTINCT is needed. Fan-out is (B+1)× on
+    one side only; the shuffle key is still the bucket code, never a
+    vector.
+
+    Drop rule, output schema, normalize-once arithmetic and the
+    scoreable gate are identical to ``semdedup_prune`` (the reported
+    ``bucket`` is the dropped vector's own code); the oracle replays
+    the probe expansion with DuckDB ``unnest``/``xor`` so the
+    approximation is deterministic and value-exact cross-engine.
+
+    Measured at sf1 (20 k dup-stress vectors, docs/SCALE.md §12):
+    the pair budget is (B+1)/2^B of all pairs — at B=7 exactly the
+    1/16 of exhaustive B=4, and the measured recall is HIGHER
+    (19,259 vs 19,151 of 19,871 true drops) because probing spends
+    the same budget on Hamming-adjacent cells instead of far corners
+    of oversized buckets; raising B shrinks the budget further
+    (docs/SCALE.md §12 has the B sweep). Exact duplicates are
+    bucket-identical at any B and never need probing."""
+    return _semdedup_multiprobe_plan(spark, sf_dir, _SEMDEDUP_MP_PLANES)
+
+
+def _semdedup_multiprobe_plan(spark, sf_dir, n_planes):
+    """Hamming-1 multi-probe SemDeDup with the plane count explicit —
+    the (B, probe) knob pair measured in docs/SCALE.md §12."""
+    from .functions.vectors import dot_col
+
+    emb = _semdedup_emb(spark, sf_dir, n_planes)
+    probes = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << i))
+          for i in range(n_planes)],
+    )
+    a = (
+        emb.select(F.col("vec_id").alias("ia"), "bucket",
+                   F.col("vn").alias("va"))
+        .withColumn("probe", F.explode(probes))
+        .drop("bucket")
+    )
+    b = emb.select(F.col("vec_id").alias("ib"),
+                   F.col("bucket").alias("probe"), "bucket",
+                   F.col("vn").alias("vb"))
+    pairs = (
+        a.join(b, "probe")
+        .filter(F.col("ia") < F.col("ib"))
+        .withColumn("cos", dot_col(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= _SEMDEDUP_TH)
+    )
+    return (
+        pairs.groupBy("ib", "bucket")
+        .agg(F.min_by("cos", "ia").alias("dup_cos"),
+             F.min("ia").alias("dup_of"))
+        .select(F.col("ib").alias("vec_id"),
+                F.col("bucket").cast("int").alias("bucket"),
+                "dup_of",
+                F.round("dup_cos", 6).alias("cosine_r"))
+        .orderBy("vec_id")
+    )
+
+
+def _semdedup_multiprobe_oracle() -> str:
+    from .functions.embed import EMB_DIM
+    from .operators.ann import hyperplanes, sql_bucket_code_expr
+    from .queries_reference import scoreable_emb_sql
+
+    planes = hyperplanes(EMB_DIM, _SEMDEDUP_MP_PLANES, seed=7)
+    bsql = sql_bucket_code_expr("v", planes)
+    probe_list = ", ".join(
+        ["bucket"] + [f"xor(bucket, {1 << i})"
+                      for i in range(_SEMDEDUP_MP_PLANES)]
+    )
+    cos = "list_inner_product(a.vn, b.vn)"
+    return f"""
+WITH s AS (SELECT vec_id, {scoreable_emb_sql()} AS v FROM embeddings),
+e0 AS (SELECT vec_id, v, {bsql} AS bucket FROM s WHERE v IS NOT NULL),
+e AS (
+  SELECT vec_id, bucket,
+         list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS vn
+  FROM e0
+),
+p AS (
+  SELECT vec_id, vn, unnest([{probe_list}]) AS probe FROM e
+),
+pairs AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib, b.bucket AS bucket, {cos} AS cos
+  FROM p a JOIN e b ON a.probe = b.bucket AND a.vec_id < b.vec_id
+  WHERE {cos} >= {_SEMDEDUP_TH}
+)
+SELECT ib AS vec_id, CAST(bucket AS INT) AS bucket,
+       min(ia) AS dup_of, round(arg_min(cos, ia), 6) AS cosine_r
+FROM pairs GROUP BY ib, bucket ORDER BY vec_id
+"""
 
 
 def _semdedup_oracle() -> str:
@@ -896,3 +1024,4 @@ FROM pairs GROUP BY ib, bucket ORDER BY vec_id
 from .registry import _REGISTRY as _REG8  # noqa: E402
 
 _REG8["semdedup_prune"].oracle = _semdedup_oracle()
+_REG8["semdedup_multiprobe"].oracle = _semdedup_multiprobe_oracle()
