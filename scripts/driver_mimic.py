@@ -49,6 +49,12 @@ def main() -> int:
     con = duckdb.connect()
     register_duck_views(con, sf_dir)
     q, o = e.queries(), e.oracle_sql()
+    # MIMIC_ONLY: comma-separated entry names — grade just these (for
+    # re-running a late-landing entry across the matrix axes without
+    # repeating the full 168-entry run on every axis).
+    if os.environ.get("MIMIC_ONLY"):
+        only = set(os.environ["MIMIC_ONLY"].split(","))
+        q = {n: f for n, f in q.items() if n in only}
     n_pass = n_fail = 0
     for name, fn in q.items():
         t0 = time.time()
