@@ -61,6 +61,7 @@ ENTRIES = [
     "c4_clean_flags",
     "bm25_topk",
     "duplicate_ngram_spans",
+    "duplicate_span_extract",
     "unigram_logprob",
     "boilerplate_ngrams",
     "bigram_kn_logprob",

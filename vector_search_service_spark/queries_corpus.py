@@ -226,6 +226,99 @@ def q_duplicate_ngram_spans(spark, sf_dir):
     )
 
 
+_SPAN_MIN = 2  # ≥2 consecutive duplicated 3-gram positions = ≥4 shared tokens
+
+
+@register(
+    "duplicate_span_extract",
+    survey_ref="LLM-pipeline: exact-substring dedup cut-list "
+               "(Lee et al. 2022 'Deduplicating Training Data Makes "
+               "Language Models Better' — the maximal duplicated spans "
+               "a dedup pass would actually remove; completes the "
+               "measurement of duplicate_ngram_spans)",
+    tags=("dedup", "corpus"),
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents
+), pos AS (
+  SELECT doc_id, unnest(shingles) AS s,
+         generate_subscripts(shingles, 1) - 1 AS p
+  FROM sh
+), dup AS (
+  SELECT s FROM pos GROUP BY s
+  HAVING min(doc_id) <> max(doc_id)
+), dpos AS (
+  SELECT doc_id, p,
+         p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+  FROM pos JOIN dup USING (s)
+), spans AS (
+  SELECT doc_id, min(p) AS start_pos, max(p) AS end_pos,
+         CAST(count(*) AS BIGINT) AS n_shingles
+  FROM dpos GROUP BY doc_id, grp
+)
+SELECT doc_id, start_pos, end_pos, n_shingles
+FROM spans WHERE n_shingles >= {_SPAN_MIN}
+ORDER BY doc_id, start_pos LIMIT 1000
+""",
+)
+def q_duplicate_span_extract(spark, sf_dir):
+    """Maximal corpus-duplicated spans per document — the cut-list of
+    exact-substring dedup (Lee et al. 2022), at 3-gram shingle
+    granularity: a span is a maximal run of consecutive token
+    positions whose shingles each occur in ≥2 distinct documents, and
+    only runs of ≥ _SPAN_MIN shingles (≥ k+1 shared tokens) survive —
+    single-shingle coincidences are noise, runs are copies.
+
+    Where ``duplicate_ngram_spans`` measures HOW MUCH of each doc is
+    duplicated, this yields the (start, end) offsets a cleaning pass
+    would actually cut. Runs are merged with the gaps-and-islands
+    trick: within a doc, duplicated positions p in a maximal
+    consecutive run share p − row_number() (one window over the
+    doc-id partition — no self-join, no collect); the dup test is
+    min(doc)≠max(doc) per shingle class, the same no-countDistinct
+    shape as the sibling entry.
+
+    Scale shape — one scan, shuffles carry ids only: the Arrow UDF
+    emits positional 8-byte shingle hashes (text never shuffles); the
+    dup-class test is a semi-join on the hash; the island window
+    re-shuffles (doc_id, pos) pairs — 16 B/row. At 100 TB every stage
+    is hash- or doc-partitioned with no all-pairs anywhere; the
+    oracle replays the identical spans over raw shingle strings
+    (collision odds as documented on ``shingle_hashes64_udf``)."""
+    from .operators.dedup import shingle_hashes64_udf
+    from .sources.tables import parallelize_scan
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = parallelize_scan(docs.select("doc_id", "text"), spark)
+    pos = sh.select(
+        "doc_id",
+        F.posexplode(shingle_hashes64_udf(3)(F.col("text"))).alias("p", "s64"),
+    )
+    dup = (
+        pos.groupBy("s64")
+        .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+        .filter(F.col("mn") != F.col("mx"))
+        .select("s64")
+    )
+    wd = Window.partitionBy("doc_id").orderBy(F.col("p").asc())
+    dpos = (
+        pos.join(dup, "s64", "semi")
+        .withColumn("grp", F.col("p") - F.row_number().over(wd))
+    )
+    return (
+        dpos.groupBy("doc_id", "grp")
+        .agg(
+            F.min("p").cast("long").alias("start_pos"),
+            F.max("p").cast("long").alias("end_pos"),
+            F.count("*").alias("n_shingles"),
+        )
+        .filter(F.col("n_shingles") >= _SPAN_MIN)
+        .select("doc_id", "start_pos", "end_pos", "n_shingles")
+        .orderBy("doc_id", "start_pos")
+        .limit(1000)
+    )
+
+
 @register(
     "unigram_logprob",
     survey_ref="LLM-pipeline: perplexity-proxy quality (corpus unigram LM)",
