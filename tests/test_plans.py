@@ -652,3 +652,39 @@ def test_tfidf_pairs_block_on_rare_terms_hash_keys(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
     assert parts and all("tok#" not in p for p in parts)
+
+
+def test_semdedup_multiprobe_equijoin_on_bucket_codes(spark):
+    """The Hamming-1 probe expansion must keep the pair stage an
+    EQUI-join on bucket codes: a `bit_count(xor) <= 1` predicate would
+    plan as BroadcastNestedLoopJoin/CartesianProduct (all-pairs) — the
+    probe-explode formulation exists precisely to avoid that. Shuffle
+    keys are the probe/bucket codes or vector ids, never embeddings."""
+    import re
+
+    from vector_search_service_spark.registry import all_queries
+
+    df = all_queries()["semdedup_multiprobe"].fn(spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert parts and all("vn#" not in p and "embedding#" not in p for p in parts)
+
+
+def test_duplicate_span_extract_ids_only_no_all_pairs(spark):
+    """The cut-list must be built from id-width shuffles: the dup-class
+    test and the island window partition on the 64-bit shingle hash or
+    doc_id — raw text/shingle strings never partition an exchange, and
+    there is no join wider than the hash semi-join."""
+    import re
+
+    from vector_search_service_spark.registry import all_queries
+
+    df = all_queries()["duplicate_span_extract"].fn(spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert parts and all("text#" not in p for p in parts)
+    assert "LeftSemi" in plan  # dup classes prune positions via semi-join
