@@ -270,8 +270,9 @@ def q_duplicate_span_extract(spark, sf_dir):
     single-shingle coincidences are noise, runs are copies.
 
     Where ``duplicate_ngram_spans`` measures HOW MUCH of each doc is
-    duplicated, this yields the (start, end) offsets a cleaning pass
-    would actually cut. Runs are merged with the gaps-and-islands
+    duplicated and ``dedup_span_clean`` re-emits the cleaned text,
+    this yields the (start, end) offsets themselves — the reviewable
+    cut-list between measurement and rewrite. Runs are merged with the gaps-and-islands
     trick: within a doc, duplicated positions p in a maximal
     consecutive run share p − row_number() (one window over the
     doc-id partition — no self-join, no collect); the dup test is
