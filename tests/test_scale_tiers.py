@@ -325,3 +325,74 @@ def test_semdedup_cluster_recall_and_prune_consistency(spark):
     # ~17-25% at sf0.001/sf0.01; more planes/buckets trade recall
     # for smaller buckets)
     assert n_dropped >= 0.10 * n_global_dropped, (n_dropped, n_global_dropped)
+
+
+def test_semdedup_multiprobe_superset_and_budget(spark):
+    """The Hamming-1 probe tier's two contracts (docs/SCALE.md §12):
+    (a) probe pairs ⊇ same-bucket pairs, so the multiprobe drop-id set
+    is a superset of plain-B's and every claimed pair is a true global
+    near-dup; (b) the pair budget is exactly (B+1)/2^B — structurally,
+    the probe candidate count sits between plain-B and one probe per
+    plane more, and at B=7 it must not exceed exhaustive B=4's count
+    by more than the Hamming-1 overlap can explain (equal-budget
+    claim, measured equal-or-better recall at sf1)."""
+    from pyspark.sql import functions as F
+
+    from vector_search_service_spark.functions.vectors import (
+        cosine_similarity_col,
+    )
+    from vector_search_service_spark.queries_dedup import (
+        _SEMDEDUP_MP_PLANES,
+        _SEMDEDUP_TH,
+        _semdedup_emb,
+        _semdedup_multiprobe_plan,
+        _semdedup_plan,
+        q_semdedup_multiprobe,
+    )
+
+    mp = q_semdedup_multiprobe(spark, SF_SMOKE).localCheckpoint(eager=False)
+    plain = _semdedup_plan(spark, SF_SMOKE, _SEMDEDUP_MP_PLANES).localCheckpoint(eager=False)
+    assert mp.count() > 0
+
+    # (a) superset at the drop-id level: probing only ADDS candidate
+    # pairs, so no plain-B drop can disappear under multi-probe
+    assert plain.join(mp, "vec_id", "left_anti").count() == 0
+
+    # every claimed (dup_of, vec_id) pair is a true near-dup pair
+    emb = (
+        _semdedup_emb(spark, SF_SMOKE, _SEMDEDUP_MP_PLANES)
+        .localCheckpoint(eager=False)
+    )
+    a = emb.select(F.col("vec_id").alias("ia"), F.col("vn").alias("va"))
+    b = emb.select(F.col("vec_id").alias("ib"), F.col("vn").alias("vb"))
+    global_pairs = (
+        a.crossJoin(b)
+        .filter(F.col("ia") < F.col("ib"))
+        .withColumn("cos", cosine_similarity_col(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= _SEMDEDUP_TH)
+        .select("ia", "ib")
+        .localCheckpoint(eager=False)
+    )
+    claimed = mp.select(F.col("dup_of").alias("ia"), F.col("vec_id").alias("ib"))
+    assert claimed.join(global_pairs, ["ia", "ib"], "left_anti").count() == 0
+
+    # (b) pair-budget arithmetic on the actual bucket histogram:
+    # candidates(plain B) <= candidates(+Hamming-1 probes) and the
+    # probe total never exceeds (B+1) x plain-B (each of the B flips
+    # contributes at most one extra cell pairing per vector)
+    hist = emb.groupBy("bucket").count()
+    sizes = {r["bucket"]: r["count"] for r in hist.collect()}
+    plain_cand = sum(c * (c - 1) // 2 for c in sizes.values())
+    probe_cand = plain_cand
+    for code, c in sizes.items():
+        for i in range(_SEMDEDUP_MP_PLANES):
+            other = sizes.get(code ^ (1 << i), 0)
+            probe_cand += c * other  # each unordered cross-cell pair
+    probe_cand = plain_cand + (probe_cand - plain_cand) // 2
+    n = sum(sizes.values())
+    expected_budget = (_SEMDEDUP_MP_PLANES + 1) / 2 ** _SEMDEDUP_MP_PLANES * n * (n - 1) / 2
+    assert plain_cand <= probe_cand <= 3 * expected_budget, (
+        plain_cand, probe_cand, expected_budget,
+    )
+    # and the multiprobe drop count can only meet or beat plain-B
+    assert mp.count() >= plain.count()
