@@ -57,6 +57,7 @@ ENTRIES = [
     "quantized_vector_topk",
     "semdedup_prune",
     "semdedup_multiprobe",
+    "semantic_decontaminate",
 ]
 
 

@@ -29,6 +29,7 @@ ENTRIES = [
     "semdedup_prune",  # r8: threshold tuned so the prune set is non-empty
     "semdedup_multiprobe",  # r8: high-B multi-probe tier, same corpus
     "duplicate_span_extract",  # r8: exact-substring cut-list
+    "semantic_decontaminate",  # r8: dense eval screen
 ]
 
 

@@ -688,3 +688,21 @@ def test_duplicate_span_extract_ids_only_no_all_pairs(spark):
     parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
     assert parts and all("text#" not in p for p in parts)
     assert "LeftSemi" in plan  # dup classes prune positions via semi-join
+
+
+def test_semantic_decontaminate_one_row_broadcast_no_corpus_shuffle(spark):
+    """The J3/bm25 shape: the eval set collapses to ONE row that
+    broadcast-cross-joins back (BroadcastNestedLoopJoin of a 1-row
+    side IS the designed plan), and the corpus never shuffles on
+    vector data — the only exchanges are the 1-row eval aggregate and
+    the presentational output sort."""
+    import re
+
+    from vector_search_service_spark.registry import all_queries
+
+    df = all_queries()["semantic_decontaminate"].fn(spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row side, by design
+    assert "CartesianProduct" not in plan
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert all("vn#" not in p and "embedding#" not in p for p in parts)

@@ -121,6 +121,100 @@ def q_decontaminate_overlap(spark, sf_dir):
     )
 
 
+_SEM_DECON_TH = 0.3  # same near-dup threshold family as semdedup_prune
+
+
+def _sem_decon_oracle() -> str:
+    from .queries_reference import scoreable_emb_sql
+
+    return f"""
+WITH s AS (SELECT vec_id, {scoreable_emb_sql()} AS v FROM embeddings),
+e AS (
+  SELECT vec_id,
+         list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS vn
+  FROM s WHERE v IS NOT NULL
+),
+ev AS (SELECT vn AS evn FROM e WHERE vec_id % {_EVAL_MOD} = 0),
+c AS (SELECT vec_id, vn FROM e WHERE vec_id % {_EVAL_MOD} <> 0),
+hits AS (
+  SELECT c.vec_id, list_inner_product(c.vn, ev.evn) AS cos
+  FROM c, ev
+  WHERE list_inner_product(c.vn, ev.evn) >= {_SEM_DECON_TH}
+)
+SELECT vec_id, CAST(count(*) AS BIGINT) AS n_hits,
+       round(max(cos), 6) AS max_cos_r
+FROM hits GROUP BY vec_id ORDER BY vec_id
+"""
+
+
+@register(
+    "semantic_decontaminate",
+    survey_ref="extension: semantic benchmark decontamination "
+               "(embedding cosine vs eval set — the dense-space "
+               "sibling of decontaminate_overlap's n-gram sweep; "
+               "published as paraphrase-contamination screening, "
+               "e.g. Yang et al. 2023 'Rethinking Benchmark and "
+               "Contamination' — n-gram overlap misses paraphrases "
+               "that embedding similarity catches)",
+    tags=("textan", "dedup", "vector"),
+    oracle=None,  # set below (needs scoreable_emb_sql at import time)
+)
+def q_semantic_decontaminate(spark, sf_dir):
+    """Semantic decontamination: flag every training vector whose
+    embedding is ≥θ-cosine-similar to ANY eval-set vector, with the
+    hit count and the max similarity as audit columns. The eval set is
+    the same deterministic ~1% id-mod split ``decontaminate_overlap``
+    uses, so the two entries screen the identical holdout through two
+    modalities (lexical 4-grams there, dense cosine here).
+
+    Scale shape — the bm25_topk / J3 discipline, ZERO corpus shuffle:
+    the eval vectors collapse to ONE row (collect_list of ~1% of the
+    table — at 100 TB an eval set is thousands of vectors, a few MB)
+    that cross-joins back broadcast, so every corpus partition scores
+    its own vectors against the in-memory eval array with a transform/
+    filter/array_max expression chain; the only exchange in the plan
+    is the 1-row aggregate itself. Per-pair arithmetic is the
+    normalize-once-then-dot fold of ``semdedup_prune`` (bit-exact
+    cross-engine); hit count and max are order-insensitive, so the
+    nondeterministic collect_list order cannot leak into values."""
+    from .functions.embed import EMB_DIM
+    from .functions.vectors import dot_col, norm_col, scoreable_vec_col
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .withColumn("embedding", scoreable_vec_col(F.col("embedding"), EMB_DIM))
+        .filter(F.col("embedding").isNotNull())
+        .withColumn("v", F.transform(F.col("embedding"),
+                                     lambda x: x.cast("double")))
+        .withColumn("n", norm_col(F.col("v")))
+        .withColumn("vn", F.transform(F.col("v"), lambda x: x / F.col("n")))
+        .select("vec_id", "vn")
+    )
+    is_eval = (F.col("vec_id") % _EVAL_MOD) == 0
+    evs = emb.filter(is_eval).agg(
+        F.collect_list("vn").alias("evs")
+    )
+    coss = F.transform(F.col("evs"), lambda e: dot_col(F.col("vn"), e))
+    hits = F.filter(coss, lambda c: c >= F.lit(_SEM_DECON_TH))
+    return (
+        emb.filter(~is_eval)
+        .crossJoin(F.broadcast(evs))
+        .withColumn("hits", hits)
+        .filter(F.size("hits") > 0)
+        .select(
+            "vec_id",
+            F.size("hits").cast("long").alias("n_hits"),
+            F.round(F.array_max("hits"), 6).alias("max_cos_r"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+from .registry import _REGISTRY as _REGC2  # noqa: E402
+
+_REGC2["semantic_decontaminate"].oracle = _sem_decon_oracle()
+
+
 @register(
     "pii_scrub",
     survey_ref="extension: PII redaction (email/IP scrub with audit counts)",

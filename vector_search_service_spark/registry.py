@@ -47,7 +47,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # entry whose CURRENT code+oracle pair has never been driver-graded
     # (r7/r8 modifications and new r8 entries), then fill with stale
     # rows strictly oldest-grade-first (latest-grade round asc, extras
-    # after canonical at equal age). 18 r4-era rows don't fit and roll
+    # after canonical at equal age). 19 r4-era rows don't fit and roll
     # to the r9 window (list in DRIVER_COVERAGE.md).
     # positions 1-6: the six r7-modified vector entries (judge r7
     # What's-wrong #2) — also touched r8 (EMB_DIM / NULL-rank fix)
@@ -76,6 +76,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # position 18: NEW r8 exact-substring dedup cut-list (Lee et al.
     # maximal duplicated spans; completes duplicate_ngram_spans)
     "duplicate_span_extract",
+    # position 19: NEW r8 semantic decontamination (embedding-cosine
+    # eval screen — the dense sibling of decontaminate_overlap)
+    "semantic_decontaminate",
     # positions 16-22: the oldest surviving grades (r1/r2-era extras)
     "in_list_filter",
     "media_frame_sample",
@@ -111,9 +114,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "importance_ratio_topk",
     "ivf_pq_topk",
     # ---- positions 51+ (not graded this round) ----
-    # linestatus_priority_counts and kneser_ney_bigram_topk displaced
-    # to the r9 roll-over when semdedup_multiprobe and
-    # duplicate_span_extract (never-graded) took window slots.
+    # linestatus_priority_counts, kneser_ney_bigram_topk and
+    # ivf_pq_topk displaced to the r9 roll-over when
+    # semdedup_multiprobe, duplicate_span_extract and
+    # semantic_decontaminate (never-graded) took window slots.
     # Rows-only canonical entries stay OUT of the window: the driver
     # has twice demonstrated (r1/r2 `no_oracle` rows) that it errors
     # rather than rows-only-checks oracle-less entries. Their families
