@@ -167,21 +167,26 @@ def q_semantic_decontaminate(spark, sf_dir):
     uses, so the two entries screen the identical holdout through two
     modalities (lexical 4-grams there, dense cosine here).
 
-    Scale shape — the bm25_topk / J3 discipline, ZERO corpus shuffle:
-    the eval vectors collapse to ONE row (collect_list of ~1% of the
-    table — at 100 TB an eval set is thousands of vectors, a few MB)
-    that cross-joins back broadcast, so every corpus partition scores
-    its own vectors against the in-memory eval array with a transform/
-    filter/array_max expression chain; the only exchange in the plan
-    is the 1-row aggregate itself. Per-pair arithmetic is the
+    Scale shape — the bm25_topk / J3 discipline, zero corpus shuffle
+    at scale: the eval vectors collapse to ONE row (collect_list of
+    ~1% of the table — at 100 TB an eval set is thousands of vectors,
+    a few MB) that cross-joins back broadcast, so every corpus
+    partition scores its own vectors against the in-memory eval array
+    with a transform/filter/array_max expression chain; the only
+    exchange in the plan is the 1-row aggregate itself (plus
+    ``parallelize_scan``'s small-corpus repartition, a no-op once the
+    source has real split counts — without it the compute-bound fold
+    stage inherits the 2-file test layout: measured 48.6 → 9.0 s at
+    sf1). Per-pair arithmetic is the
     normalize-once-then-dot fold of ``semdedup_prune`` (bit-exact
     cross-engine); hit count and max are order-insensitive, so the
     nondeterministic collect_list order cannot leak into values."""
     from .functions.embed import EMB_DIM
     from .functions.vectors import dot_col, norm_col, scoreable_vec_col
+    from .sources.tables import parallelize_scan
 
     emb = (
-        load_table(spark, sf_dir, "embeddings")
+        parallelize_scan(load_table(spark, sf_dir, "embeddings"), spark)
         .withColumn("embedding", scoreable_vec_col(F.col("embedding"), EMB_DIM))
         .filter(F.col("embedding").isNotNull())
         .withColumn("v", F.transform(F.col("embedding"),

@@ -823,6 +823,12 @@ def _semdedup_plan(spark, sf_dir, n_planes):
     planes, so recall on true dups is unaffected."""
     from .functions.vectors import dot_col
 
+    # No explicit repartition here, deliberately: at B=4 there are
+    # only 16 bucket codes and the dup-stress corpus skews them, so
+    # pinning one-partition-per-bucket makes the hottest bucket a
+    # straggler (measured 61.5 s at sf1 vs 49.2 s letting AQE
+    # skew-split the sort-merge join). The multiprobe tier, with 2^7
+    # codes, takes the opposite trade — see _semdedup_multiprobe_plan.
     emb = _semdedup_emb(spark, sf_dir, n_planes)
     a = emb.select(F.col("vec_id").alias("ia"), "bucket",
                    F.col("vn").alias("va"))
@@ -927,6 +933,17 @@ def _semdedup_multiprobe_plan(spark, sf_dir, n_planes):
     the (B, probe) knob pair measured in docs/SCALE.md §12."""
     from .functions.vectors import dot_col
 
+    # The pair stage is COMPUTE-bound (interpreted 64-dim fold per
+    # pair) while its shuffle is ~10 MB at sf1, so AQE's bytes-based
+    # coalescing collapses it to 1-2 tasks that each burn minutes of
+    # fold work. An EXPLICIT repartition on the join key pins the
+    # stage width (user REPARTITION_BY_NUM is exempt from AQE
+    # coalescing), costs nothing extra (the join shuffles on the key
+    # anyway) and scales with the cluster (defaultParallelism).
+    # Measured at sf1: 48.0 -> 16.6 s. This trade needs key
+    # cardinality >> cores (2^7 probe codes here); at B=4's 16 codes
+    # the same pin backfires on skew — see _semdedup_plan.
+    par = spark.sparkContext.defaultParallelism
     emb = _semdedup_emb(spark, sf_dir, n_planes)
     probes = F.array(
         F.col("bucket"),
@@ -938,10 +955,14 @@ def _semdedup_multiprobe_plan(spark, sf_dir, n_planes):
                    F.col("vn").alias("va"))
         .withColumn("probe", F.explode(probes))
         .drop("bucket")
+        .repartition(par, F.col("probe"))
     )
-    b = emb.select(F.col("vec_id").alias("ib"),
+    b = (
+        emb.select(F.col("vec_id").alias("ib"),
                    F.col("bucket").alias("probe"), "bucket",
                    F.col("vn").alias("vb"))
+        .repartition(par, F.col("probe"))
+    )
     pairs = (
         a.join(b, "probe")
         .filter(F.col("ia") < F.col("ib"))
