@@ -70,6 +70,14 @@ def build_ivf_index(embeddings: DataFrame, *, nlist: int = 16,
                     seed: int = 7) -> IvfIndex:
     from pyspark.ml.clustering import KMeans
 
+    from ..sources.tables import parallelize_scan
+
+    # KMeans Lloyd iterations inherit the input's partitioning; the
+    # few-file test corpus would run every iteration 2-way parallel
+    # (measured: dominates ivf_pq_topk's 44.6 s at sf1). No-op at
+    # real split counts; full-probe exactness is centroid-independent
+    # so values cannot shift (tests/test_pq.py pins both).
+    embeddings = parallelize_scan(embeddings, embeddings.sparkSession)
     feats = _to_mllib_vec(embeddings, vec_col)
     model = KMeans(k=nlist, seed=seed, featuresCol="_features",
                    predictionCol="list_id").fit(feats)

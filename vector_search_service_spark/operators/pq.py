@@ -90,6 +90,15 @@ class PqCodebook:
 def train_pq(embeddings: DataFrame, *, m: int = 8, k: int = 16,
              vec_col: str = "embedding", id_col: str = "vec_id",
              iters: int = 8, seed: int = 7) -> PqCodebook:
+    from ..sources.tables import parallelize_scan
+
+    # Lloyd iterations run over `sub` at the input's parallelism —
+    # widen few-file test scans (no-op at real split counts). Note
+    # float centroid averages are partition-order-sensitive, so codes
+    # may shift microscopically; every oracled consumer is exact
+    # (full probe / exact rerank) and the approximate tiers are
+    # recall-pinned, not value-pinned.
+    embeddings = parallelize_scan(embeddings, embeddings.sparkSession)
     dim = len(embeddings.select(vec_col).first()[0])
     assert dim % m == 0, f"dim {dim} not divisible by m={m}"
     sub_dim = dim // m
