@@ -450,6 +450,9 @@ def q_jl_ann_topk(spark, sf_dir):
     """
     from .functions.vectors import cosine_distance_col, valid_vec_col
 
+    # (parallelize_scan was tried here and reverted: the sf1 wall is
+    # driver-side analysis/codegen of the ~2000-node projection tree,
+    # not executor width — measured 6.2 s unchanged by a 32-way scan)
     emb = load_table(spark, sf_dir, "embeddings")
     # NULL / wrong-dim rows: vq is NULL, every projection is NULL,
     # jl_dist is NULL — and NULLs sort LAST (asc_nulls_last below,
