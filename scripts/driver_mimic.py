@@ -54,6 +54,14 @@ def main() -> int:
     # repeating the full 168-entry run on every axis).
     if os.environ.get("MIMIC_ONLY"):
         only = set(os.environ["MIMIC_ONLY"].split(","))
+        # Fail fast on names not in the registry (ADVICE r8): a typo'd
+        # or stale name must not shrink the run and exit green having
+        # graded nothing.
+        unknown = only - q.keys()
+        if unknown:
+            print(f"MIMIC_ONLY names not in registry: {sorted(unknown)}",
+                  file=sys.stderr)
+            return 2
         q = {n: f for n, f in q.items() if n in only}
     n_pass = n_fail = 0
     for name, fn in q.items():

@@ -258,7 +258,7 @@ WITH sh AS (
 )
 SELECT doc_id, start_pos, end_pos, n_shingles
 FROM spans WHERE n_shingles >= {_SPAN_MIN}
-ORDER BY doc_id, start_pos LIMIT 1000
+ORDER BY n_shingles DESC, doc_id, start_pos LIMIT 1000
 """,
 )
 def q_duplicate_span_extract(spark, sf_dir):
@@ -315,7 +315,12 @@ def q_duplicate_span_extract(spark, sf_dir):
         )
         .filter(F.col("n_shingles") >= _SPAN_MIN)
         .select("doc_id", "start_pos", "end_pos", "n_shingles")
-        .orderBy("doc_id", "start_pos")
+        # Longest spans first (ADVICE r8): the LIMIT saturates already
+        # at sf0.001, so an id-ordered slice would grade only the
+        # lowest-doc_id prefix forever; n_shingles DESC makes the graded
+        # rows the most-duplicated spans at every scale factor. Total
+        # order: (doc_id, start_pos) is unique per span.
+        .orderBy(F.col("n_shingles").desc(), "doc_id", "start_pos")
         .limit(1000)
     )
 

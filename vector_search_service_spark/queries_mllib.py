@@ -76,7 +76,14 @@ def q_pq_ann_topk(spark, sf_dir):
     what the tier=extra recall entries pin — with no candidate cut the
     ADC column cannot change the output). The production configuration
     (rerank=100) is ``pq_ann_approx_topk`` (tier=extra,
-    recall-pinned)."""
+    recall-pinned).
+
+    ORACLE CONSTRAINT (ADVICE r8): ``train_pq`` centroids are
+    partition-order-sensitive (float averages over a
+    ``parallelize_scan``-reordered input), so any oracle over this
+    family must stay centroid-independent — full-probe exactness (this
+    entry) or recall pins (the extras). Never value-pin raw PQ codes
+    or approximate ADC distances."""
     from .operators.pq import encode_pq, pq_topk, train_pq
     from .queries_reference import QUERY_VEC
 
@@ -249,7 +256,13 @@ def q_ivf_pq_topk(spark, sf_dir):
     KMeans list assignment dropping or duplicating rows breaks the
     driver hash (the coded table is rebuilt through the assignment).
     Production config (nprobe=4, rerank=100) is ``ivf_pq_approx_topk``
-    (tier=extra, recall-pinned)."""
+    (tier=extra, recall-pinned).
+
+    ORACLE CONSTRAINT (ADVICE r8): KMeans list assignments and
+    ``train_pq`` centroids are partition-order-sensitive; oracles over
+    this family must stay centroid-independent (exactness here, recall
+    pins on the extras) — never value-pin codes, list ids, or
+    approximate distances."""
     from .operators.pq import build_ivf_pq, ivf_pq_topk
     from .queries_reference import QUERY_VEC
 

@@ -140,7 +140,17 @@ def q_anti_join_delete(spark, sf_dir):
     """Targeted delete as anti-join rewrite (S6,
     ``src/core/vector_store.py:360-392``): on immutable parquet, DELETE
     WHERE id IN (...) is ``left_anti`` + rewrite; here we check the
-    surviving-row count."""
+    surviving-row count.
+
+    The ``F.broadcast`` hint on the doomed set is safe ONLY because the
+    reference's delete lists are bounded: ``document_ids`` arrives as an
+    HTTP request body (``src/api/documents.py:339-341``) and the API
+    caps batches at ``max_batch_documents = 50``
+    (``src/config/settings.py:53``), so the real drop set is ≤ a few KB.
+    This entry dooms 10% of the corpus purely to make the grade
+    non-vacuous; an UNBOUNDED drop set (e.g. a dedup output —
+    see ``curate_corpus``) must NOT force the hint and instead lets AQE
+    decide from the measured size."""
     docs = load_table(spark, sf_dir, "documents")
     doomed = docs.filter(F.col("doc_id") % 10 == 0).select("doc_id")
     return (
