@@ -449,11 +449,17 @@ def q_jl_ann_topk(spark, sf_dir):
     recovers the true neighbors.
     """
     from .functions.vectors import cosine_distance_col, valid_vec_col
+    from .sources.tables import parallelize_scan
 
-    # (parallelize_scan was tried here and reverted: the sf1 wall is
-    # driver-side analysis/codegen of the ~2000-node projection tree,
-    # not executor width — measured 6.2 s unchanged by a 32-way scan)
-    emb = load_table(spark, sf_dir, "embeddings")
+    # The fold form moves the cost from driver compile to EXECUTOR
+    # per-row fold work (HOFs are CodegenFallback/interpreted), so the
+    # candidate stage is now compute-bound and needs real width on
+    # few-file test scans — the AQE-vs-compute-bound pattern measured
+    # on the semdedup/trainer stages (SCALE.md §12 item 4). With the
+    # old unrolled tree this was a no-op (driver compile dominated,
+    # 6.2 s at sf1 regardless of scan width); with the fold it is the
+    # difference between 2-way and 32-way projection.
+    emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"), spark)
     # NULL / wrong-dim rows: vq is NULL, every projection is NULL,
     # jl_dist is NULL — and NULLs sort LAST (asc_nulls_last below,
     # mirroring DuckDB's default) so junk rows never claim candidate
@@ -471,16 +477,38 @@ def q_jl_ann_topk(spark, sf_dir):
     )
     e = emb.select("vec_id", "label", "embedding", vq.alias("vq"))
     qproj = _jl_qproj()
-    jl_dist = None
-    for j, row in enumerate(_jl_matrix()):
-        proj = F.lit(0).cast("long")
-        for i, s in enumerate(row):
-            if s > 0:
-                proj = proj + F.try_element_at(F.col("vq"), F.lit(i + 1))
-            elif s < 0:
-                proj = proj - F.try_element_at(F.col("vq"), F.lit(i + 1))
-        d = proj - F.lit(qproj[j])
-        jl_dist = d * d if jl_dist is None else jl_dist + d * d
+    # The projection is a FOLD over two array literals (the 48×64 sign
+    # matrix and the 48-long projected query), not an unrolled term
+    # tree: the r8 measurement (commit 67b8ba0) showed the sf1 wall was
+    # DRIVER-side analysis/codegen of the ~2000-node integer projection
+    # expression — a cost that grows with dims×planes, not data. Two
+    # nested-array literals + transform/zip_with/aggregate is tens of
+    # nodes regardless of k·dim. Arithmetic is unchanged and stays
+    # integer-exact (sum of ±vq[i] longs in a deterministic fold
+    # order), so the oracle is untouched. Zero-sign positions emit a
+    # literal 0 WITHOUT touching vq[i] — mirroring the unrolled code
+    # and the SQL oracle, which both SKIP those terms (an interior NULL
+    # element at a zero-sign position must not nullify the row).
+    signs = F.lit(_jl_matrix())           # array<array<int>>, one literal
+    qp = F.lit([int(x) for x in qproj])   # array<bigint>, one literal
+    projs = F.transform(
+        signs,
+        lambda row: F.aggregate(
+            F.zip_with(
+                row,
+                F.col("vq"),
+                lambda s, x: F.when(s == 0, F.lit(0).cast("long"))
+                .otherwise(s.cast("long") * x),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        ),
+    )
+    jl_dist = F.aggregate(
+        F.zip_with(projs, qp, lambda p, q: (p - q) * (p - q)),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
     cand = (
         e.select("vec_id", "label", "embedding", jl_dist.alias("jl_dist"))
         .orderBy(F.col("jl_dist").asc_nulls_last(), F.col("vec_id").asc())
