@@ -396,3 +396,40 @@ def test_semdedup_multiprobe_superset_and_budget(spark):
     )
     # and the multiprobe drop count can only meet or beat plain-B
     assert mp.count() >= plain.count()
+
+
+def test_derive_n_planes_tracks_corpus_size():
+    """B ≈ log2(n / target): holding rows-per-bucket constant keeps the
+    quadratic bucket-local pair stage near-linear as n grows (SCALE.md
+    §12). The default target (256) must reproduce the measured sweep's
+    recall-favored tier at the sf1 corpus size, and the latency target
+    (40) its efficiency point."""
+    from vector_search_service_spark.operators.ann import derive_n_planes
+
+    assert derive_n_planes(20_000) == 7            # the §12 B=7 tier
+    assert derive_n_planes(20_000, target_bucket_rows=40) == 9  # §12 B=9
+    # monotone in n, and each decade adds ~log2(10) ≈ 3.3 planes
+    assert derive_n_planes(200_000) == 10
+    assert derive_n_planes(2_000_000) == 13
+    # clamps: tiny corpora never go below 2; 100 TB-scale never above 24
+    assert derive_n_planes(0) == 2
+    assert derive_n_planes(100) == 2
+    assert derive_n_planes(10**14) == 24
+
+
+def test_semdedup_auto_b_matches_explicit(spark):
+    """n_planes=None derives B from the corpus count and must produce
+    exactly the plan an explicit pin of that B produces (the registered
+    entries keep their pins; None is the production path)."""
+    from vector_search_service_spark.operators.ann import derive_n_planes
+    from vector_search_service_spark.queries_dedup import _semdedup_plan
+    from vector_search_service_spark.sources.tables import load_table
+
+    n = load_table(spark, SF_SMOKE, "embeddings").count()
+    b = derive_n_planes(n)
+    auto = _semdedup_plan(spark, SF_SMOKE)
+    explicit = _semdedup_plan(spark, SF_SMOKE, b)
+    assert auto.schema == explicit.schema
+    assert [r.asDict() for r in auto.collect()] == [
+        r.asDict() for r in explicit.collect()
+    ]

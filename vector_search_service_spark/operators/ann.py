@@ -47,6 +47,35 @@ def hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
     return out
 
 
+def derive_n_planes(n_vectors: int, *, target_bucket_rows: int = 256,
+                    min_planes: int = 2, max_planes: int = 24) -> int:
+    """Corpus-size-derived sign-LSH plane count: B ≈ log2(n / target),
+    so expected bucket size ≈ ``target_bucket_rows`` — the knob a
+    100 TB user should NOT hand-pick per corpus.
+
+    Rationale (docs/SCALE.md §12, measured at sf1 / 20 k dup-stress
+    vectors): the bucket-local pair stage is QUADRATIC in bucket size
+    (2.98 s at 2 k rows → 49.2 s at 20 k at fixed B=4), so wall time is
+    governed by rows-per-bucket, not corpus size — holding bucket size
+    constant as n grows keeps the pair stage near-linear. Exact
+    duplicates survive any B (identical vectors → identical sign
+    pattern); near-dup recall lost to extra planes is bought back with
+    Hamming-1 multi-probe at (B+1)/2^B pair budget
+    (``semdedup_multiprobe``). The default target of 256 rows/bucket
+    reproduces the measured recall-favored tier: n=20 000 → B=7, the
+    config the §12 sweep showed beats exhaustive B=4 at EQUAL pair
+    budget (19 259 vs 19 151 drops, 3× faster); a latency-leaning
+    deployment passes target≈40 for the measured efficiency point
+    (n=20 000 → B=9). Clamped to [min_planes, max_planes]: below 2
+    planes bucketing is vacuous, above 24 the int bucket code and the
+    probe fan-out stop paying.
+    """
+    if n_vectors <= 0:
+        return min_planes
+    b = math.ceil(math.log2(max(n_vectors / target_bucket_rows, 1.0)))
+    return max(min_planes, min(max_planes, b))
+
+
 def bucket_code_col(vec: Column, planes: list[list[float]]) -> Column:
     """B-bit LSH bucket id: Σ 2^i · [⟨v, h_i⟩ > 0] — a codegen'd fold
     per plane, no UDF."""

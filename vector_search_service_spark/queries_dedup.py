@@ -812,16 +812,29 @@ def q_semdedup_prune(spark, sf_dir):
     return _semdedup_plan(spark, sf_dir, _SEMDEDUP_PLANES)
 
 
-def _semdedup_plan(spark, sf_dir, n_planes):
-    """SemDeDup plan with the bucket count (2^n_planes) as an explicit
-    parameter — the scale knob. The registered entry pins n_planes =
-    _SEMDEDUP_PLANES; docs/SCALE.md §12 measures the knob at sf1
-    (20 k dup-stress vectors): B=4 is pair-bound (bucket-local pairs
-    grow quadratically in bucket size), raising B shrinks buckets and
-    the pair stage with them, while exact duplicates (identical
-    vectors → identical sign pattern) can never be separated by more
-    planes, so recall on true dups is unaffected."""
+def _semdedup_plan(spark, sf_dir, n_planes=None):
+    """SemDeDup plan with the bucket count (2^n_planes) as the scale
+    knob. The registered entry pins n_planes = _SEMDEDUP_PLANES (the
+    oracle replays those exact plane literals); ``n_planes=None``
+    derives it from the corpus size via
+    ``operators.ann.derive_n_planes`` (B ≈ log2(n/256), the
+    rows-per-bucket target the SCALE.md §12 sweep measured) — the
+    production path, where hand-picking B per corpus is the bug.
+    §12 measures the knob at sf1 (20 k dup-stress vectors): B=4 is
+    pair-bound (bucket-local pairs grow quadratically in bucket size),
+    raising B shrinks buckets and the pair stage with them, while
+    exact duplicates (identical vectors → identical sign pattern) can
+    never be separated by more planes, so recall on true dups is
+    unaffected."""
     from .functions.vectors import dot_col
+
+    if n_planes is None:
+        from .operators.ann import derive_n_planes
+
+        # one cheap count (ids-only scan) buys the right B for the run
+        n_planes = derive_n_planes(
+            load_table(spark, sf_dir, "embeddings").count()
+        )
 
     # No explicit repartition here, deliberately: at B=4 there are
     # only 16 bucket codes and the dup-stress corpus skews them, so
@@ -928,10 +941,20 @@ def q_semdedup_multiprobe(spark, sf_dir):
     return _semdedup_multiprobe_plan(spark, sf_dir, _SEMDEDUP_MP_PLANES)
 
 
-def _semdedup_multiprobe_plan(spark, sf_dir, n_planes):
+def _semdedup_multiprobe_plan(spark, sf_dir, n_planes=None):
     """Hamming-1 multi-probe SemDeDup with the plane count explicit —
-    the (B, probe) knob pair measured in docs/SCALE.md §12."""
+    the (B, probe) knob pair measured in docs/SCALE.md §12. The
+    registered entry pins n_planes = _SEMDEDUP_MP_PLANES (the oracle
+    replays those plane literals); ``n_planes=None`` derives B from
+    the corpus size (``operators.ann.derive_n_planes``)."""
     from .functions.vectors import dot_col
+
+    if n_planes is None:
+        from .operators.ann import derive_n_planes
+
+        n_planes = derive_n_planes(
+            load_table(spark, sf_dir, "embeddings").count()
+        )
 
     # The pair stage is COMPUTE-bound (interpreted 64-dim fold per
     # pair) while its shuffle is ~10 MB at sf1, so AQE's bytes-based
