@@ -228,3 +228,77 @@ def test_catalog_history_and_time_travel(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="not retained"):
         cat.collections_at(versions[0])
+
+
+def test_per_collection_embedding_dimension_enforced(catalog, spark):
+    """embedding_dimension is per-collection metadata
+    (src/db/models.py:19): two collections with different dims coexist,
+    each append is validated against ITS collection's dim (pgvector's
+    typed vector(dim) column analogue), NULL embeddings pass, and a
+    wrong-width batch fails whole."""
+    catalog.create_collection("small", embedding_dimension=4)
+    catalog.create_collection("large", embedding_dimension=8)
+
+    def rows(doc_id, emb):
+        return spark.createDataFrame(
+            [(doc_id, "text", {}, None, emb)],
+            "document_id string, content string, "
+            "doc_metadata map<string,string>, "
+            "content_lexemes array<string>, embedding array<float>",
+        )
+
+    assert catalog.add_documents("small", rows("a", [1.0, 0.0, 0.0, 0.0])) == 1
+    assert catalog.add_documents("large", rows("b", [0.5] * 8)) == 1
+    assert catalog.add_documents("small", rows("c", None)) == 1  # NULL ok
+    with pytest.raises(ValueError, match="expects 4-dim"):
+        catalog.add_documents("small", rows("d", [1.0, 2.0]))
+    with pytest.raises(ValueError, match="expects 8-dim"):
+        catalog.add_documents("large", rows("e", [1.0, 2.0, 3.0, 4.0]))
+    # the failed batches wrote nothing
+    assert catalog.documents("small").count() == 2
+    assert catalog.documents("large").count() == 1
+
+
+def test_collection_stats_maintained_o1(catalog, spark, monkeypatch):
+    """Stats are co-maintained on every write path (the PostingsStore
+    discipline) so collection_stats is an O(1) metadata read — the
+    reference's pg_total_relation_size semantics (reads pg_class,
+    never scans the relation). Verified by making the scan path
+    explode: after mutations, the stats read must not touch
+    documents()."""
+    from vector_search_service_spark.catalog import Catalog
+
+    catalog.create_collection("st")
+
+    def rows(ids):
+        return spark.createDataFrame(
+            [(f"d{i}", f"content {i}", {}, None, None) for i in ids],
+            "document_id string, content string, "
+            "doc_metadata map<string,string>, "
+            "content_lexemes array<string>, embedding array<float>",
+        )
+
+    catalog.add_documents("st", rows(range(5)))
+    catalog.add_documents("st", rows(range(5, 8)))
+    catalog.delete_documents("st", ["d0", "d6"])
+    catalog.upsert_documents("st", rows([7, 8]))   # 1 update + 1 insert
+    catalog.compact_collection("st", target_files=1)
+
+    # ground truth once, from the data
+    truth = catalog.documents("st").count()
+    assert truth == 7  # 5 + 3 - 2 + 1
+
+    # now the O(1) claim: stats must not run a Spark count
+    def boom(self, name=None):
+        raise AssertionError("collection_stats scanned the documents table")
+
+    monkeypatch.setattr(Catalog, "documents", boom)
+    st = catalog.collection_stats("st")
+    assert st["document_count"] == truth
+    assert st["size_bytes"] > 0
+    monkeypatch.undo()
+
+    # cascade removes the stats row with the collection
+    catalog.delete_collection("st")
+    import os
+    assert not os.path.exists(catalog._stats_file(1))

@@ -26,6 +26,7 @@ are set by this writer.
 from __future__ import annotations
 
 import contextlib
+import json
 import os
 import shutil
 import threading
@@ -72,6 +73,7 @@ class Catalog:
         self.keep_versions = max(2, keep_versions)
         self.collections_path = os.path.join(root, "collections")
         self.documents_path = os.path.join(root, "documents")
+        self.stats_path = os.path.join(root, "stats")
         self._pointer_path = os.path.join(root, "collections.current")
         # in-process mutation serialization: the service's async batch
         # jobs share one Catalog across threads (ADVICE r1) — re-entrant
@@ -132,6 +134,7 @@ class Catalog:
             ).withColumn("created_at", F.current_timestamp()) \
              .withColumn("updated_at", F.current_timestamp())
             self._rewrite_collections(cur.unionByName(row_df))
+            self._set_stats(next_id, 0)  # stats maintained from birth
             return self.get_collection(name)  # re-read: timestamps materialized
 
     def delete_collection(self, name: str) -> bool:
@@ -146,6 +149,8 @@ class Catalog:
                 shutil.rmtree(part_dir)
             if self.postings is not None:
                 self.postings.rewrite(coll["id"], None)
+            if os.path.exists(self._stats_file(coll["id"])):
+                os.remove(self._stats_file(coll["id"]))
             self._rewrite_collections(self.collections().filter(F.col("name") != name))
             return True
 
@@ -272,7 +277,16 @@ class Catalog:
         data columns (minus collection_id/timestamps, added here). The
         reference's OOM micro-batching (batch_commit_size,
         ``src/core/vector_store.py:116-164``) is obviated: executors
-        stream partitions to files."""
+        stream partitions to files.
+
+        Embedding dimension is PER-COLLECTION metadata
+        (``src/db/models.py:19``; pgvector's typed ``vector(dim)``
+        column rejects wrong-width inserts) — enforced here at the
+        append: any non-NULL embedding whose length differs from the
+        collection's ``embedding_dimension`` fails the whole batch.
+        NULL embeddings pass (the not-yet-embedded ingest state). The
+        dimension check rides the same job as the row count (one
+        aggregate, no extra scan)."""
         coll = self._resolve(collection_name)
         out = (
             docs.withColumn("collection_id", F.lit(coll["id"]).cast("long"))
@@ -280,10 +294,23 @@ class Catalog:
                 .withColumn("updated_at", F.current_timestamp())
         )
         out = out.select([f.name for f in DOCUMENT_SCHEMA.fields])
-        n = out.count()
+        dim = int(coll["embedding_dimension"])
+        stats = out.agg(
+            F.count("*").alias("n"),
+            F.count_if(
+                F.col("embedding").isNotNull() & (F.size("embedding") != dim)
+            ).alias("bad_dim"),
+        ).first()
+        if stats["bad_dim"]:
+            raise ValueError(
+                f"collection {collection_name!r} expects {dim}-dim embeddings; "
+                f"{stats['bad_dim']} of {stats['n']} rows differ"
+            )
+        n = stats["n"]
         out.write.mode("append").partitionBy("collection_id").parquet(self.documents_path)
         if self.postings is not None:
             self.postings.append(coll["id"], docs)
+        self._bump_stats(coll["id"], n)
         return n
 
     def delete_documents(self, collection_name: str, document_ids: list[str]) -> int:
@@ -310,6 +337,7 @@ class Catalog:
                 shutil.rmtree(part_dir)
             if self.postings is not None:
                 self.postings.rewrite(coll["id"], None)
+            self._set_stats(coll["id"], 0)
             return before
         with self._dynamic_overwrite():
             (
@@ -322,6 +350,7 @@ class Catalog:
             # re-read: the lazy `remaining` plan is bound to the
             # overwritten files
             self.postings.rewrite(coll["id"], self.documents(collection_name))
+        self._set_stats(coll["id"], after)
         return before - after
 
     def upsert_documents(self, collection_name: str, docs: DataFrame) -> dict:
@@ -353,6 +382,7 @@ class Catalog:
         n_after = self.documents(collection_name).count()
         if self.postings is not None:
             self.postings.rewrite(coll["id"], self.documents(collection_name))
+        self._set_stats(coll["id"], n_after)
         return {
             "inserted": n_after - n_before if n_after >= n_before else 0,
             "updated": n_in - max(n_after - n_before, 0),
@@ -360,17 +390,67 @@ class Catalog:
 
     def collection_stats(self, collection_name: str) -> dict:
         """A1 + A2 — document count and storage bytes
-        (``src/core/vector_store.py:394-427``); relation size from the
-        partition's file listing (the ``pg_total_relation_size``
-        stand-in)."""
+        (``src/core/vector_store.py:394-427``).
+
+        O(1) read: every document mutation below co-maintains a tiny
+        per-collection stats file (the ``PostingsStore`` discipline),
+        matching the reference's cheap catalog-metadata semantics —
+        ``pg_total_relation_size`` reads pg_class, it does not scan the
+        relation. A store written before stats existed backfills once
+        (one count job + one partition listing), then reads O(1)."""
         coll = self._resolve(collection_name)
-        n = self.documents(collection_name).count()
-        part_dir = os.path.join(self.documents_path, f"collection_id={coll['id']}")
+        st = self._load_stats(coll["id"])
+        if st is None:  # legacy/backfill path, once per collection
+            st = self._store_stats(
+                coll["id"], self.documents(collection_name).count()
+            )
+        return {"collection": coll["name"], **st}
+
+    # -- maintained stats (A2; reference src/core/vector_store.py:413-417) --
+
+    def _part_dir(self, collection_id: int) -> str:
+        return os.path.join(self.documents_path, f"collection_id={collection_id}")
+
+    def _stats_file(self, collection_id: int) -> str:
+        return os.path.join(self.stats_path, f"collection_{collection_id}.json")
+
+    def _load_stats(self, collection_id: int) -> dict | None:
+        path = self._stats_file(collection_id)
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f)
+
+    def _store_stats(self, collection_id: int, document_count: int) -> dict:
+        """Write the stats row. The count is maintained exactly by the
+        mutation's own arithmetic; the byte size is a listing of the
+        partition directory the mutation just wrote (OS-cache-warm,
+        no Spark job). Atomic rename so readers never see a torn row."""
         size = 0
+        part_dir = self._part_dir(collection_id)
         if os.path.exists(part_dir):
             for dirpath, _dirs, files in os.walk(part_dir):
-                size += sum(os.path.getsize(os.path.join(dirpath, f)) for f in files)
-        return {"collection": coll["name"], "document_count": n, "size_bytes": size}
+                size += sum(
+                    os.path.getsize(os.path.join(dirpath, f)) for f in files
+                )
+        st = {"document_count": int(document_count), "size_bytes": size}
+        os.makedirs(self.stats_path, exist_ok=True)
+        tmp = self._stats_file(collection_id) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(st, f)
+        os.replace(tmp, self._stats_file(collection_id))
+        return st
+
+    def _bump_stats(self, collection_id: int, delta: int) -> None:
+        """Incremental count maintenance on a write path. No stats file
+        yet (legacy store) → leave it absent; the next collection_stats
+        read backfills exactly rather than trusting a partial delta."""
+        st = self._load_stats(collection_id)
+        if st is not None:
+            self._store_stats(collection_id, st["document_count"] + delta)
+
+    def _set_stats(self, collection_id: int, document_count: int) -> None:
+        self._store_stats(collection_id, document_count)
 
     def compact_collection(self, collection_name: str, *,
                            target_files: int = 1) -> dict:
@@ -400,6 +480,9 @@ class Catalog:
             1 for _, _, files in os.walk(part_dir)
             for f in files if f.endswith(".parquet")
         )
+        st = self._load_stats(coll["id"])
+        if st is not None:  # row count unchanged; byte size rewritten
+            self._store_stats(coll["id"], st["document_count"])
         return {"files_before": n_before, "files_after": n_after}
 
     # -- helpers -----------------------------------------------------------
