@@ -42,82 +42,74 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # (registry − ∪ CORRECTNESS_r*.json keys), oracled entries first.
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # ---- round-8 window (50), re-derived per VERDICT r7 next-round #1 ----
-    # Derivation (scripts in docs/DRIVER_COVERAGE.md): front-load every
-    # entry whose CURRENT code+oracle pair has never been driver-graded
-    # (r7/r8 modifications and new r8 entries), then fill with stale
-    # rows strictly oldest-grade-first (latest-grade round asc, extras
-    # after canonical at equal age). 19 r4-era rows don't fit and roll
-    # to the r9 window (list in DRIVER_COVERAGE.md).
-    # positions 1-6: the six r7-modified vector entries (judge r7
-    # What's-wrong #2) — also touched r8 (EMB_DIM / NULL-rank fix)
-    "vector_topk",
-    "vector_threshold",
-    "vector_topk_per_label",
-    "maxsim_topk",
-    "embedding_near_dup",
-    "rerank_cross_topk",
-    # positions 7-12: r8 de-vacuated grades (judge r7 What's-wrong #3)
-    # + the NEW prefix-filtered TF-IDF tier (next-round #6)
-    "tfidf_pair_topk",
-    "tfidf_prefix_pair_topk",
-    "exists_semi_join",
-    "not_exists_anti",
-    "idle_customer_balance",
-    "decontaminate_overlap",
-    # positions 13-15: r8 scoreable-guard hardening (r7 ADVICE #1)
-    "ann_lsh_topk",
-    "ann_bucket_histogram",
-    "quantized_vector_topk",
-    # positions 16-17: NEW r8 SemDeDup-shape semantic dedup (verdict
-    # #9) + its high-B Hamming-1 multi-probe tier (post-ledger)
-    "semdedup_prune",
-    "semdedup_multiprobe",
-    # position 18: NEW r8 exact-substring dedup cut-list (Lee et al.
-    # maximal duplicated spans; completes duplicate_ngram_spans)
-    "duplicate_span_extract",
-    # position 19: NEW r8 semantic decontamination (embedding-cosine
-    # eval screen — the dense sibling of decontaminate_overlap)
-    "semantic_decontaminate",
-    # positions 16-22: the oldest surviving grades (r1/r2-era extras)
-    "in_list_filter",
-    "media_frame_sample",
-    "pagination_offset",
-    "recency_topk",
-    "bucketed_join_agg",
-    "fts_multiquery_topk",
-    "zorder_values",
-    # positions 23-50: r4-era stale refresh, name order
-    "abandoned_first_view",
-    "bm25_topk",
-    "boilerplate_ngrams",
-    "cep_abandon_stream",
-    "cep_funnel_stream",
-    "cep_sequence_stream",
-    "chunker_windows",
-    "content_stats",
-    "count_per_group",
-    "decimal_exact_revenue",
-    "dedup_canonical_pick",
-    "dedup_components",
-    "dominant_part_suppliers",
-    "duplicate_ngram_spans",
-    "embed_documents",
-    "exact_dedup_groups",
-    "fts_match_count_by_lang",
-    "fts_probe_topk",
-    "fts_topk",
-    "funnel_user_times",
-    "fuzzy_blocked_pairs",
-    "hash_split_train_test",
-    "hybrid_rrf_topk",
-    "importance_ratio_topk",
+    # ---- round-9 window (exactly 50), re-derived per VERDICT r8
+    # next-round #1. Derivation (docs/DRIVER_COVERAGE.md): the 19
+    # r4-era stale entries (the r8 roll-over list — the only grades
+    # older than r5 anywhere), then the entries whose code changed in
+    # r9 after their r7/r8 grade, then r5-era backfill oldest-first
+    # (all equal age → name order; none are tier=extra). After this
+    # round no surviving grade is older than r5.
+    # positions 1-19: the r4-era roll-over (DRIVER_COVERAGE.md r8
+    # "Rolls to the r9 window" list, name order)
     "ivf_pq_topk",
-    # ---- positions 51+ (not graded this round) ----
-    # linestatus_priority_counts, kneser_ney_bigram_topk and
-    # ivf_pq_topk displaced to the r9 roll-over when
-    # semdedup_multiprobe, duplicate_span_extract and
-    # semantic_decontaminate (never-graded) took window slots.
+    "kneser_ney_bigram_topk",
+    "linestatus_priority_counts",
+    "ngram_jaccard_dedup",
+    "pii_scrub",
+    "pq_ann_topk",
+    "profit_by_nation_year",
+    "quality_model_calibration",
+    "range_join_pairs",
+    "returned_item_revenue",
+    "scalar_subquery_avg",
+    "semi_join_resolve",
+    "simhash_dedup",
+    "sole_fault_supplier",
+    "supplier_diversity_by_part",
+    "timeseries_gapfill",
+    "top_revenue_supplier",
+    "unigram_logprob",
+    "weighted_sample_topk",
+    # positions 20-22: r9-modified code whose r7/r8 grades predate it —
+    # curate_corpus (forced-broadcast fix, judge r8 What's-wrong #1),
+    # duplicate_span_extract (representative n_shingles-DESC slice,
+    # ADVICE r8 #3; oracle changed too), jl_ann_topk (projection as a
+    # fold over array literals + parallelize_scan, next-round #5)
+    "curate_corpus",
+    "duplicate_span_extract",
+    "jl_ann_topk",
+    # positions 23-50: r5-era backfill, name order (28 of 47; the
+    # remaining 19 — quantile_stats .. window_rank_per_group — roll to
+    # the r10 window, list in DRIVER_COVERAGE.md)
+    "anti_join_delete",
+    "asof_join_events",
+    "bigram_kn_logprob",
+    "content_type_detect",
+    "date_range_agg",
+    "dedup_span_clean",
+    "doc_fingerprint",
+    "doc_preprocess",
+    "events_tumbling_hourly",
+    "expsmooth_forecast",
+    "fts_indexed_topk",
+    "fts_metadata_filter",
+    "fts_snippet",
+    "full_scan_list",
+    "funnel_conversion",
+    "gopher_quality_flags",
+    "hourly_rollup_finalized",
+    "join_agg_topk",
+    "json_key_filter",
+    "lang_id",
+    "media_audio_features",
+    "media_image_decode",
+    "mixture_interleave",
+    "multilang_token_stats",
+    "per_stratum_sample",
+    "point_lookup",
+    "projection_rename_iso",
+    "quality_score",
+    # ---- end of the 50-entry window ----
     # Rows-only canonical entries stay OUT of the window: the driver
     # has twice demonstrated (r1/r2 `no_oracle` rows) that it errors
     # rather than rows-only-checks oracle-less entries. Their families
