@@ -21,6 +21,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# Observability: the most recent replay's micro-batch progress dicts
+# (Spark's StreamingQueryProgress JSON — stateOperators carries
+# numRowsTotal / memoryUsedBytes per stateful operator). Captured by
+# replay_available_now for the scale measurements in docs/SCALE.md;
+# diagnostics only, never part of a query result.
+LAST_PROGRESS: list[dict] = []
+
+
 @contextlib.contextmanager
 def bounded_shuffle(spark, n: int = 8):
     """Temporarily cap ``spark.sql.shuffle.partitions`` for a bounded
@@ -106,6 +114,8 @@ def replay_available_now(spark, batch_df: DataFrame, build_query, *,
                 raise TimeoutError(
                     f"{table}: availableNow replay exceeded {timeout}s"
                 )
+            global LAST_PROGRESS
+            LAST_PROGRESS = [p for p in q.recentProgress if p is not None]
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return spark.table(table)
