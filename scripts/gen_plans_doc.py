@@ -21,7 +21,7 @@ NOTES = {
     "semi_join_resolve": "LeftSemi BroadcastHashJoin — the J1 collection resolve shape.",
     "pagination_offset": "global window for determinism at test scale; keyset variant (operators/search.py) is the scale path.",
     "events_tumbling_hourly": "partial aggregation before the single Exchange on (window, event_type).",
-    "curate_corpus": "dedup drop-set broadcast left-anti into the corpus scan; quality gate + rollup in one pass.",
+    "curate_corpus": "dedup drop-set left-anti with NO forced broadcast (unbounded cardinality at 100 TB — AQE upgrades to broadcast at runtime when the measured set fits); quality gate + rollup in one pass.",
     "range_join_pairs": "equi-join on (user, hour-bin) — no BroadcastNestedLoopJoin; the exact range predicate is a post-join filter.",
     "scalar_subquery_avg": "per-part aggregate broadcasts back into the fact scan (Q17 decorrelation); fact table never shuffles.",
     "exists_semi_join": "EXISTS decorrelated to a LeftSemi join; only l_orderkey crosses the wire.",

@@ -60,12 +60,19 @@ def main() -> int:
     if b_auto not in bs:
         bs.append(b_auto)
 
+    # The registered 0.3 pin saturates at this n: random 64-dim cosines
+    # are ~N(0, 1/8), so P(cos >= 0.3) ~ 0.8% and every vector has
+    # ~0.008*n random "neighbors" (measured: 89% of a 200k corpus drops
+    # at th=0.3 regardless of structure). 0.6 keeps every planted
+    # near-dup (cos .99/.92/.76) and admits ~8e-7 random pairs.
+    th = 0.6
+    print(f"threshold: {th} (registered pin 0.3 saturates at n={n})")
     print(f"{'config':22} {'wall':>7} {'drops':>8} {'planted_recall':>15}")
     for b in sorted(bs):
         for label, plan in (("plain", _semdedup_plan),
                             ("probe", _semdedup_multiprobe_plan)):
             t0 = time.time()
-            drops = plan(spark, sf_dir, b).select("vec_id")
+            drops = plan(spark, sf_dir, b, threshold=th).select("vec_id")
             hit = drops.filter(
                 (F.col("vec_id") >= stride) & (F.col("vec_id") < 4 * stride)
             ).count()

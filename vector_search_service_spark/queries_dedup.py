@@ -812,7 +812,7 @@ def q_semdedup_prune(spark, sf_dir):
     return _semdedup_plan(spark, sf_dir, _SEMDEDUP_PLANES)
 
 
-def _semdedup_plan(spark, sf_dir, n_planes=None):
+def _semdedup_plan(spark, sf_dir, n_planes=None, threshold=None):
     """SemDeDup plan with the bucket count (2^n_planes) as the scale
     knob. The registered entry pins n_planes = _SEMDEDUP_PLANES (the
     oracle replays those exact plane literals); ``n_planes=None``
@@ -842,6 +842,14 @@ def _semdedup_plan(spark, sf_dir, n_planes=None):
     # straggler (measured 61.5 s at sf1 vs 49.2 s letting AQE
     # skew-split the sort-merge join). The multiprobe tier, with 2^7
     # codes, takes the opposite trade — see _semdedup_multiprobe_plan.
+    # threshold=None → the registered pin. At large n the threshold
+    # must RISE with corpus size: on an isotropic 64-dim corpus random
+    # cosines are ~N(0, 1/8), so P(cos ≥ 0.3) ≈ 0.8% and at n=200k
+    # every vector has ~1600 random "neighbors" — the drop set
+    # saturates regardless of structure (measured, SCALE.md §13; the
+    # sweep passes 0.6, where random pairs are ~8e-7).
+    if threshold is None:
+        threshold = _SEMDEDUP_TH
     emb = _semdedup_emb(spark, sf_dir, n_planes)
     a = emb.select(F.col("vec_id").alias("ia"), "bucket",
                    F.col("vn").alias("va"))
@@ -858,7 +866,7 @@ def _semdedup_plan(spark, sf_dir, n_planes=None):
         a.join(b, "bucket")
         .filter(F.col("ia") < F.col("ib"))
         .withColumn("cos", dot_col(F.col("va"), F.col("vb")))
-        .filter(F.col("cos") >= _SEMDEDUP_TH)
+        .filter(F.col("cos") >= threshold)
     )
     return (
         pairs.groupBy("ib", "bucket")
@@ -941,7 +949,7 @@ def q_semdedup_multiprobe(spark, sf_dir):
     return _semdedup_multiprobe_plan(spark, sf_dir, _SEMDEDUP_MP_PLANES)
 
 
-def _semdedup_multiprobe_plan(spark, sf_dir, n_planes=None):
+def _semdedup_multiprobe_plan(spark, sf_dir, n_planes=None, threshold=None):
     """Hamming-1 multi-probe SemDeDup with the plane count explicit —
     the (B, probe) knob pair measured in docs/SCALE.md §12. The
     registered entry pins n_planes = _SEMDEDUP_MP_PLANES (the oracle
@@ -955,6 +963,8 @@ def _semdedup_multiprobe_plan(spark, sf_dir, n_planes=None):
         n_planes = derive_n_planes(
             load_table(spark, sf_dir, "embeddings").count()
         )
+    if threshold is None:  # see _semdedup_plan: must rise with corpus n
+        threshold = _SEMDEDUP_TH
 
     # The pair stage is COMPUTE-bound (interpreted 64-dim fold per
     # pair) while its shuffle is ~10 MB at sf1, so AQE's bytes-based
@@ -990,7 +1000,7 @@ def _semdedup_multiprobe_plan(spark, sf_dir, n_planes=None):
         a.join(b, "probe")
         .filter(F.col("ia") < F.col("ib"))
         .withColumn("cos", dot_col(F.col("va"), F.col("vb")))
-        .filter(F.col("cos") >= _SEMDEDUP_TH)
+        .filter(F.col("cos") >= threshold)
     )
     return (
         pairs.groupBy("ib", "bucket")
