@@ -433,3 +433,44 @@ def test_semdedup_auto_b_matches_explicit(spark):
     assert [r.asDict() for r in auto.collect()] == [
         r.asDict() for r in explicit.collect()
     ]
+
+
+def test_derive_semdedup_threshold_random_pair_floor():
+    """t = z(hits/n)/sqrt(dim): the cosine above which an isotropic
+    corpus yields < `hits` random neighbors per vector. Must reproduce
+    the hand-validated SCALE.md §13 setting (n=200k, dim=64 -> ~0.61),
+    rise with n, fall with dim, and clamp."""
+    from vector_search_service_spark.operators.ann import (
+        derive_semdedup_threshold,
+    )
+
+    t = derive_semdedup_threshold(200_000, 64)
+    assert 0.58 <= t <= 0.64, t        # the §13 sweep setting
+    assert derive_semdedup_threshold(2_000_000, 64) > t   # rises with n
+    assert derive_semdedup_threshold(200_000, 1024) < t   # falls with dim
+    assert derive_semdedup_threshold(0, 64) == 0.1        # floor clamp
+    assert derive_semdedup_threshold(10**30, 4) == 0.95   # cap clamp
+
+
+def test_semdedup_auto_threshold_never_below_pin(spark):
+    """threshold='auto' = max(registered pin, derived floor): at the
+    tiny smoke corpus the floor may exceed the 0.3 pin — the auto plan
+    must then be a SUBSET of the pinned plan (higher threshold only
+    removes pairs), and with the pin passed explicitly the plans are
+    identical."""
+    from vector_search_service_spark.queries_dedup import (
+        _SEMDEDUP_PLANES,
+        _SEMDEDUP_TH,
+        _semdedup_plan,
+    )
+
+    pinned = {r["vec_id"] for r in
+              _semdedup_plan(spark, SF_SMOKE, _SEMDEDUP_PLANES).collect()}
+    auto = {r["vec_id"] for r in
+            _semdedup_plan(spark, SF_SMOKE, _SEMDEDUP_PLANES,
+                           threshold="auto").collect()}
+    assert auto <= pinned
+    explicit = {r["vec_id"] for r in
+                _semdedup_plan(spark, SF_SMOKE, _SEMDEDUP_PLANES,
+                               threshold=_SEMDEDUP_TH).collect()}
+    assert explicit == pinned

@@ -76,6 +76,43 @@ def derive_n_planes(n_vectors: int, *, target_bucket_rows: int = 256,
     return max(min_planes, min(max_planes, b))
 
 
+def derive_semdedup_threshold(n_vectors: int, dim: int, *,
+                              expected_random_hits: float = 0.1,
+                              floor: float = 0.1,
+                              cap: float = 0.95) -> float:
+    """The RANDOM-PAIR FLOOR for a semantic-dedup cosine threshold —
+    the second corpus-derived knob (docs/SCALE.md §13 measured the
+    failure: a fixed 0.3 pin at n=200 k drops 89% of the corpus on
+    random neighbors alone).
+
+    Null model: cosines of independent isotropic dim-d vectors are
+    ~N(0, 1/dim), so a vector's expected count of random "neighbors"
+    at threshold t is n · P(Z ≥ t·√dim). Solving for
+    expected_random_hits per vector: t = z(hits/n) / √dim (stdlib
+    NormalDist, no scipy). Sanity vs measurement: n=200 000, dim=64 →
+    0.611, matching the 0.6 the §13 sweep validated by hand.
+
+    This is a FLOOR, not the semantic choice: the effective threshold
+    is max(derived floor, the corpus's semantic near-dup level) —
+    SemDeDup on real clustered 1 024-dim embeddings typically wants
+    ≥0.9 semantically, far above the floor (~0.15 at that dim). What
+    the floor guarantees is that the drop set measures STRUCTURE, not
+    corpus size. Real corpora are anisotropic; the isotropic null is
+    the right model for the false-positive rate precisely because
+    unrelated-pair cosines concentrate like the null, while related
+    pairs do not (the premise of cosine dedup).
+    """
+    from statistics import NormalDist
+
+    if n_vectors <= 0 or dim <= 0:
+        return floor
+    p = min(max(expected_random_hits / n_vectors, 1e-300), 0.5)
+    # upper-tail quantile via the symmetric lower tail: 1.0 - p rounds
+    # to exactly 1.0 for p < ~1e-16 and inv_cdf(1.0) raises
+    t = -NormalDist().inv_cdf(p) / math.sqrt(dim)
+    return max(floor, min(cap, t))
+
+
 def bucket_code_col(vec: Column, planes: list[list[float]]) -> Column:
     """B-bit LSH bucket id: Σ 2^i · [⟨v, h_i⟩ > 0] — a codegen'd fold
     per plane, no UDF."""

@@ -812,6 +812,36 @@ def q_semdedup_prune(spark, sf_dir):
     return _semdedup_plan(spark, sf_dir, _SEMDEDUP_PLANES)
 
 
+def _semdedup_knobs(spark, sf_dir, n_planes, threshold):
+    """Resolve the two corpus-derived SemDeDup knobs. ``None`` keeps
+    the registered pins (so oracles replay the exact plane literals
+    and threshold); ``n_planes=None`` derives B ≈ log2(n/256)
+    (``derive_n_planes``, SCALE.md §12 sweep-calibrated);
+    ``threshold="auto"`` derives the random-pair floor
+    (``derive_semdedup_threshold``, SCALE.md §13: the fixed 0.3 pin
+    measurably saturates at n=200 k — 89% of the corpus drops on
+    random neighbors alone; the floor at that n/dim is 0.611, matching
+    the hand-validated 0.6) and never goes BELOW the semantic pin.
+    One ids-only count serves both derivations."""
+    if n_planes is not None and threshold not in (None, "auto"):
+        return n_planes, threshold
+    n = None
+    if n_planes is None or threshold == "auto":
+        n = load_table(spark, sf_dir, "embeddings").count()
+    if n_planes is None:
+        from .operators.ann import derive_n_planes
+
+        n_planes = derive_n_planes(n)
+    if threshold == "auto":
+        from .functions.embed import EMB_DIM
+        from .operators.ann import derive_semdedup_threshold
+
+        threshold = max(_SEMDEDUP_TH, derive_semdedup_threshold(n, EMB_DIM))
+    elif threshold is None:
+        threshold = _SEMDEDUP_TH
+    return n_planes, threshold
+
+
 def _semdedup_plan(spark, sf_dir, n_planes=None, threshold=None):
     """SemDeDup plan with the bucket count (2^n_planes) as the scale
     knob. The registered entry pins n_planes = _SEMDEDUP_PLANES (the
@@ -828,28 +858,13 @@ def _semdedup_plan(spark, sf_dir, n_planes=None, threshold=None):
     unaffected."""
     from .functions.vectors import dot_col
 
-    if n_planes is None:
-        from .operators.ann import derive_n_planes
-
-        # one cheap count (ids-only scan) buys the right B for the run
-        n_planes = derive_n_planes(
-            load_table(spark, sf_dir, "embeddings").count()
-        )
-
+    n_planes, threshold = _semdedup_knobs(spark, sf_dir, n_planes, threshold)
     # No explicit repartition here, deliberately: at B=4 there are
     # only 16 bucket codes and the dup-stress corpus skews them, so
     # pinning one-partition-per-bucket makes the hottest bucket a
     # straggler (measured 61.5 s at sf1 vs 49.2 s letting AQE
     # skew-split the sort-merge join). The multiprobe tier, with 2^7
     # codes, takes the opposite trade — see _semdedup_multiprobe_plan.
-    # threshold=None → the registered pin. At large n the threshold
-    # must RISE with corpus size: on an isotropic 64-dim corpus random
-    # cosines are ~N(0, 1/8), so P(cos ≥ 0.3) ≈ 0.8% and at n=200k
-    # every vector has ~1600 random "neighbors" — the drop set
-    # saturates regardless of structure (measured, SCALE.md §13; the
-    # sweep passes 0.6, where random pairs are ~8e-7).
-    if threshold is None:
-        threshold = _SEMDEDUP_TH
     emb = _semdedup_emb(spark, sf_dir, n_planes)
     a = emb.select(F.col("vec_id").alias("ia"), "bucket",
                    F.col("vn").alias("va"))
@@ -957,15 +972,7 @@ def _semdedup_multiprobe_plan(spark, sf_dir, n_planes=None, threshold=None):
     the corpus size (``operators.ann.derive_n_planes``)."""
     from .functions.vectors import dot_col
 
-    if n_planes is None:
-        from .operators.ann import derive_n_planes
-
-        n_planes = derive_n_planes(
-            load_table(spark, sf_dir, "embeddings").count()
-        )
-    if threshold is None:  # see _semdedup_plan: must rise with corpus n
-        threshold = _SEMDEDUP_TH
-
+    n_planes, threshold = _semdedup_knobs(spark, sf_dir, n_planes, threshold)
     # The pair stage is COMPUTE-bound (interpreted 64-dim fold per
     # pair) while its shuffle is ~10 MB at sf1, so AQE's bytes-based
     # coalescing collapses it to 1-2 tasks that each burn minutes of
