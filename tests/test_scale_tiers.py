@@ -474,3 +474,65 @@ def test_semdedup_auto_threshold_never_below_pin(spark):
                 _semdedup_plan(spark, SF_SMOKE, _SEMDEDUP_PLANES,
                                threshold=_SEMDEDUP_TH).collect()}
     assert explicit == pinned
+
+
+def test_semdedup_bucket_cap_viral(spark, tmp_path):
+    """The viral-duplicate failure mode derive_n_planes cannot fix: a
+    cluster of N identical vectors lands in ONE bucket at any B
+    (identical vectors => identical sign pattern), so that bucket alone
+    is quadratic. The bucket_cap bounds the lower-id pairing side to
+    each bucket's cap smallest ids — per-bucket pairs become linear —
+    while the flooded bucket's prefix IS the viral cluster's lowest
+    ids, so the cluster still collapses: every copy except the first
+    drops in the capped plan exactly as in the uncapped one."""
+    import pyspark.sql.functions as F
+
+    from vector_search_service_spark.operators.ann import derive_n_planes
+    from vector_search_service_spark.queries_dedup import (
+        _semdedup_emb,
+        _semdedup_plan,
+    )
+    from vector_search_service_spark.sources.tables import load_table
+
+    base = load_table(spark, SF_SMOKE, "embeddings")
+    viral_vec = base.filter(F.col("vec_id") == 7).select("embedding").first()[0]
+    n_viral = 400
+    viral = spark.createDataFrame(
+        [(100_000 + i, viral_vec, 99) for i in range(n_viral)],
+        base.schema,
+    )
+    out = str(tmp_path / "viral")
+    base.unionByName(viral).coalesce(2).write.parquet(f"{out}/embeddings.parquet")
+
+    n = base.count() + n_viral
+    b = derive_n_planes(n)
+    cap = 64
+
+    uncapped = {r["vec_id"] for r in _semdedup_plan(spark, out, b).collect()}
+    capped = {r["vec_id"] for r in
+              _semdedup_plan(spark, out, b, bucket_cap=cap).collect()}
+
+    viral_ids = {100_000 + i for i in range(n_viral)}
+    # every viral copy except (at most) the first collapses in BOTH
+    assert len(viral_ids - uncapped) <= 1
+    assert len(viral_ids - capped) <= 1
+    # capping only ever REMOVES pairs — never invents drops
+    assert capped <= uncapped
+    # and the capped lower side is genuinely bounded: <= cap rows per bucket
+    emb = _semdedup_emb(spark, out, b)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("bucket").orderBy(F.col("vec_id").asc())
+    a_rows = (
+        emb.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap).count()
+    )
+    n_buckets = emb.select("bucket").distinct().count()
+    assert a_rows <= cap * n_buckets
+    # the viral bucket alone holds ~n_viral rows — without the cap its
+    # pair count is quadratic (~n_viral^2/2); with it, <= cap * n_viral
+    viral_bucket_size = (
+        emb.join(emb.filter(F.col("vec_id") == 100_000).select("bucket"),
+                 "bucket").count()
+    )
+    assert viral_bucket_size >= n_viral

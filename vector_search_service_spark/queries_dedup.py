@@ -842,7 +842,8 @@ def _semdedup_knobs(spark, sf_dir, n_planes, threshold):
     return n_planes, threshold
 
 
-def _semdedup_plan(spark, sf_dir, n_planes=None, threshold=None):
+def _semdedup_plan(spark, sf_dir, n_planes=None, threshold=None,
+                   bucket_cap=None):
     """SemDeDup plan with the bucket count (2^n_planes) as the scale
     knob. The registered entry pins n_planes = _SEMDEDUP_PLANES (the
     oracle replays those exact plane literals); ``n_planes=None``
@@ -866,8 +867,33 @@ def _semdedup_plan(spark, sf_dir, n_planes=None, threshold=None):
     # skew-split the sort-merge join). The multiprobe tier, with 2^7
     # codes, takes the opposite trade — see _semdedup_multiprobe_plan.
     emb = _semdedup_emb(spark, sf_dir, n_planes)
-    a = emb.select(F.col("vec_id").alias("ia"), "bucket",
-                   F.col("vn").alias("va"))
+    from pyspark.sql.window import Window
+
+    a_src = emb
+    if bucket_cap is not None:
+        # HOT-BUCKET CAP (the minhash_lsh_dedup discipline applied to
+        # the semantic tier): derive_n_planes bounds the AVERAGE bucket,
+        # but a viral duplicate cluster — 10^6 copies of one document —
+        # lands every copy in ONE bucket at ANY B (identical vectors ⇒
+        # identical sign pattern), and that bucket alone goes quadratic.
+        # Restricting the LOWER-id pairing side to each bucket's
+        # `bucket_cap` smallest ids bounds per-bucket pairs to cap·size
+        # (linear), while a flooded bucket's prefix IS the viral
+        # cluster's lowest ids — so every copy still finds a lower-id
+        # exact dup and the cluster still collapses to one survivor.
+        # The trade (documented like minhash's drop-cap): in a MIXED
+        # bucket a near-dup pair whose lower member sorts beyond the
+        # prefix is missed — choose cap ≫ the derive_n_planes target
+        # (256) so it binds only on pathological buckets. Measured in
+        # tests/test_scale_tiers.py::test_semdedup_bucket_cap_viral.
+        wcap = Window.partitionBy("bucket").orderBy(F.col("vec_id").asc())
+        a_src = (
+            emb.withColumn("_rn", F.row_number().over(wcap))
+            .filter(F.col("_rn") <= int(bucket_cap))
+            .drop("_rn")
+        )
+    a = a_src.select(F.col("vec_id").alias("ia"), "bucket",
+                     F.col("vn").alias("va"))
     b = emb.select(F.col("vec_id").alias("ib"), "bucket",
                    F.col("vn").alias("vb"))
     # dot_col's aggregate/zip_with fold is CodegenFallback
