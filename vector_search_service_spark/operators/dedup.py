@@ -264,8 +264,18 @@ def minhash_lsh_pairs(df: DataFrame, *, text_col: str = "text",
                       max_bucket_size: int | None = DEFAULT_MAX_BUCKET) -> DataFrame:
     """Candidate pairs that collide in ≥1 band, verified by shingle-set
     Jaccard ≥ threshold. Returns (id_a, id_b, jaccard), id_a < id_b,
-    distinct. The band join shuffles ids only; shingles for the (rare)
-    candidates are attached via a broadcast of the candidate set.
+    distinct. The band join shuffles ids only; shingles are computed
+    only for candidate rows (semi-join first, UDF after).
+
+    Candidate-set join strategy is AQE-owned, not hinted: the hot-bucket
+    cap bounds pairs *per bucket*, but bucket count grows linearly with
+    the corpus, so at 100 TB with realistic dup rates ``pairs`` (and the
+    id sets derived from it) are billions of rows — a forced
+    ``F.broadcast`` there OOMs driver and executors (same reasoning as
+    the ``curate_corpus`` outer anti-join). The rows are 8–24 B each, so
+    whenever they actually fit AQE picks broadcast at runtime anyway;
+    the only hint kept is the hot-bucket set (provably tiny: ≤ one row
+    per degenerate key).
 
     Buckets with more than ``max_bucket_size`` members are dropped
     before the self-join (hot-bucket cap): identical/boilerplate text
@@ -297,14 +307,15 @@ def minhash_lsh_pairs(df: DataFrame, *, text_col: str = "text",
          .distinct()
          .localCheckpoint(eager=False)  # consumed 3x below (2 semi-joins + final)
     )
-    # verification: filter FIRST (broadcast semi-join on the rare
-    # candidate ids), THEN compute shingles — the UDF touches only
-    # candidate rows, not the corpus; the hashed-set representation
-    # (8-byte ints) keeps the Jaccard intersect off strings entirely
+    # verification: filter FIRST (semi-join on the candidate ids; AQE
+    # broadcasts the id set when it fits — never forced, see docstring),
+    # THEN compute shingles — the UDF touches only candidate rows, not
+    # the corpus; the hashed-set representation (8-byte ints) keeps the
+    # Jaccard intersect off strings entirely
     def _sh_side(alias: str) -> DataFrame:
         ids = pairs.select(F.col(alias).alias(id_col)).distinct()
         return (
-            df.join(F.broadcast(ids), id_col, "left_semi")
+            df.join(ids, id_col, "left_semi")
               .select(
                   F.col(id_col).alias(alias),
                   hashed_shingle_set_udf()(F.col(text_col)).alias(f"sh_{alias[-1]}"),
@@ -312,7 +323,7 @@ def minhash_lsh_pairs(df: DataFrame, *, text_col: str = "text",
         )
 
     return (
-        F.broadcast(pairs)
+        pairs
         .join(_sh_side("id_a"), "id_a")
         .join(_sh_side("id_b"), "id_b")
         .withColumn("jaccard", jaccard_col(F.col("sh_a"), F.col("sh_b")))

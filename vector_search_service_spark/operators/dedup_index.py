@@ -100,8 +100,21 @@ class MinHashIndexStore:
                      jaccard_threshold: float = 0.8) -> DataFrame:
         """Exact hashed-shingle-Jaccard verification against the
         corpus store (r4 rolling-hash representation; candidates only
-        behind broadcast semi-joins — same shape as
-        ``minhash_lsh_pairs``)."""
+        behind broadcast semi-joins — same verify-after-filter shape
+        as ``minhash_lsh_pairs``).
+
+        The ``F.broadcast`` hints on ``pairs``/``ids`` ARE legitimate
+        here — unlike inside ``minhash_lsh_pairs`` (where the r9 audit
+        removed them): this is the *incremental* path, so candidates
+        come from ONE ingest batch against the store. The reference
+        caps ingest batches at ``max_batch_documents = 50``
+        (``src/config/settings.py:53``), so pairs ≤ 50 × (store
+        collisions per band key, itself capped by the hot-bucket
+        discipline) — a few KB however big the store grows. Same
+        bounded-by-the-API argument as ``anti_join_delete``
+        (``queries_pipeline.py``). An UNBOUNDED candidate set (full
+        corpus self-dedup) must use ``minhash_lsh_pairs``, which is
+        AQE-owned."""
         pairs = pairs.localCheckpoint(eager=False)
 
         def side(alias: str) -> DataFrame:

@@ -94,7 +94,17 @@ def fts_search_indexed(documents: DataFrame, index: DataFrame, query: str, *,
     with a lexeme-partitioned index this reads only |terms| posting
     lists) → groupBy(doc_id) count = |terms| (AND) → broadcast the
     matched ids into the corpus scan → rank top-k on just those rows.
-    The corpus is touched only for matched ids."""
+    The corpus is touched only for matched ids.
+
+    Broadcast-hint bound (r9 audit discipline): |matched| ≤ min
+    document-frequency over the query's analyzed terms — AND semantics
+    intersect the posting lists, and the analyzer strips stopwords, so
+    a query needs only ONE selective term for the set to be small.
+    This mirrors the reference's GIN behavior (postgres materializes
+    the intersected TID set in memory the same way). A worst-case
+    all-common-terms query degrades the hint, not correctness; callers
+    with adversarial query streams should drop to the unindexed
+    ``fts_search`` scan path."""
     terms = analyze_terms(query)
     if not terms:
         return documents.limit(0).select(F.col(id_col)).join(documents, id_col).limit(0)

@@ -49,3 +49,13 @@ def has_top_k(df: DataFrame) -> bool:
 
 def has_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in explain_str(df) or "BroadcastNestedLoopJoin" in explain_str(df)
+
+
+def executed_plan_str(df: DataFrame) -> str:
+    """The FINAL adaptive plan, after running the query. Needed to pin
+    AQE-owned join strategies (r9 broadcast-audit): an unhinted join on
+    an aggregate-output build side plans SortMergeJoin statically and
+    only converts to broadcast at runtime when the measured size fits —
+    `explain_str` sees the static plan, this sees what actually ran."""
+    df.count()
+    return df._jdf.queryExecution().executedPlan().toString()

@@ -376,10 +376,13 @@ def q_dedup_canonical_pick(spark, sf_dir):
     )
     w = Window.partitionBy("component").orderBy(F.col("q").desc(), F.col("node").asc())
     return (
-        cc.join(F.broadcast(quality), cc.node == quality.doc_id)
+        # no forced hints: quality is corpus-sized and the component
+        # count scales with the corpus -- AQE owns both joins (they
+        # broadcast at bench scale; r9 broadcast-audit)
+        cc.join(quality, cc.node == quality.doc_id)
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") == 1)
-        .join(F.broadcast(sizes), "component")
+        .join(sizes, "component")
         .select(
             F.col("component").alias("comp_id"),
             F.col("node").alias("canonical_doc"),

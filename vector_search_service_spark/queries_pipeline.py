@@ -110,14 +110,19 @@ ORDER BY c_custkey
 )
 def q_semi_join_resolve(spark, sf_dir):
     """Collection-resolve semi-join shape (J1): documents ⋉ collections
-    becomes customer ⋉ filtered orders. Broadcast the filtered build
-    side — at 100 TB the dimension stays small, so no shuffle of the
-    probe side."""
+    becomes customer ⋉ filtered orders. NO broadcast hint: status 'F'
+    matches ~49% of orders, so the build side scales linearly with the
+    fact table — at 100 TB a forced broadcast OOMs. AQE picks the join
+    strategy from the measured build size (broadcast at bench scale,
+    shuffled hash at 100 TB). The *true* J1 — collections filtered to
+    one name, a ≤1-row build side — lives in ``catalog.py`` (see
+    ``Catalog._resolve``) and genuinely broadcasts at any scale; this
+    entry is the unbounded-build-side variant of the same shape."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     return (
         cust.join(
-            F.broadcast(orders.select(F.col("o_custkey").alias("c_custkey"))),
+            orders.select(F.col("o_custkey").alias("c_custkey")),
             "c_custkey",
             "left_semi",
         )

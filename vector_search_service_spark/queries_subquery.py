@@ -129,11 +129,14 @@ def q_scalar_subquery_avg(spark, sf_dir):
     """Per-part correlated scalar subquery (``qty < 0.2 * avg(qty)
     over the part``), decorrelated to aggregate-then-join. The
     fractional threshold is rewritten to integer arithmetic
-    (``5*qty*cnt < sum``) so both engines compare exactly. The
-    per-part aggregate is tiny relative to the fact table → broadcast
-    back, so lineitem is scanned twice but never shuffled; at 100 TB
-    the first pass is a map-side partial agg and the broadcast stays
-    ~#parts-sized."""
+    (``5*qty*cnt < sum``) so both engines compare exactly. NO broadcast
+    hint on the join-back: the per-part aggregate has one row per
+    distinct part — O(#parts), which scales with SF (~2×10⁸ rows per
+    SF-1k decade, tens of billions at the 100 TB design point) — so a
+    forced broadcast is a scale killer. AQE decides: broadcast at bench
+    scale where the agg fits, shuffled hash join on ``l_partkey`` at
+    scale (both sides already hash-partition on the join key, so the
+    shuffle is the minimal one)."""
     li = load_table(spark, sf_dir, "lineitem")
     qty = F.col("l_quantity").cast("long")
     stats = li.groupBy(F.col("l_partkey").alias("pk")).agg(
@@ -141,7 +144,7 @@ def q_scalar_subquery_avg(spark, sf_dir):
     )
     cents = F.round(F.col("l_extendedprice") * 100).cast("long")
     return (
-        li.join(F.broadcast(stats), li.l_partkey == stats.pk)
+        li.join(stats, li.l_partkey == stats.pk)
         .filter(F.lit(5) * qty * F.col("cnt") < F.col("sq"))
         .agg(
             F.count("*").alias("n_small"),
@@ -166,9 +169,11 @@ ORDER BY total_qty DESC, o_orderkey LIMIT 25
 )
 def q_having_join_topk(spark, sf_dir):
     """Grouped HAVING filter, joined back to orders+customer for the
-    top heavy orders. The HAVING output is small (hundreds of rows)
-    → it broadcasts into the join-back, so the big tables are read
-    once and never shuffled for the joins."""
+    top heavy orders. No forced hints: the HAVING output is a constant
+    *fraction* of orders (scales with SF) and customer scales with SF
+    outright, so both join strategies are AQE-owned — at bench scale
+    the runtime sizes make both broadcasts; at 100 TB they become
+    shuffled hash joins on their keys (r9 broadcast-audit)."""
     li = load_table(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
@@ -178,8 +183,8 @@ def q_having_join_topk(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     return (
-        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
         .select(
             "c_name",
             "o_orderkey",
@@ -296,8 +301,10 @@ def q_sole_fault_supplier(spark, sf_dir):
     a join residual: left_semi against all-lineitems, left_anti
     against returned-lineitems — so the whole query is one shuffle
     family on orderkey (the semi, the anti, and the base all co-
-    partition; AQE reuses the exchange), then a broadcast of the tiny
-    supplier dimension, a count, and a 10-row top-k."""
+    partition; AQE reuses the exchange), then the supplier join (no
+    forced hint — supplier scales with SF, ~10⁹ rows at the 100 TB
+    design point; AQE broadcasts it whenever it actually fits), a
+    count, and a 10-row top-k."""
     li = load_table(spark, sf_dir, "lineitem")
     sup = load_table(spark, sf_dir, "supplier")
     orders = load_table(spark, sf_dir, "orders").filter(
@@ -319,7 +326,7 @@ def q_sole_fault_supplier(spark, sf_dir):
               & (F.col("l_suppkey") != F.col("s3")), "left_anti")
     )
     return (
-        base.join(F.broadcast(sup), base.l_suppkey == sup.s_suppkey)
+        base.join(sup, base.l_suppkey == sup.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name"))

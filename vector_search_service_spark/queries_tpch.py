@@ -42,14 +42,15 @@ LIMIT 10
 )
 def q_join_agg_topk(spark, sf_dir):
     """Filter → 3-way join → grouped exact revenue → top-10. The
-    filtered customer dimension broadcasts (no fact shuffle for the
-    join); only the groupBy shuffles, on the join key already in hand."""
+    filtered customer side is a 1/5 slice of an SF-scaling table, so
+    its join strategy is AQE-owned (broadcast at bench scale, shuffled
+    hash at 100 TB); the groupBy shuffles on the key already in hand."""
     cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "F")
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("o_orderkey", "o_custkey")
         .agg(_rev_col().alias("revenue"))
         .select("o_orderkey", F.col("o_custkey").cast("long").alias("custkey"), "revenue")
@@ -75,11 +76,11 @@ GROUP BY n_name ORDER BY n_name
 """,
 )
 def q_star_join_by_nation(spark, sf_dir):
-    """Region-pruned star join rolled up by nation: every dimension
-    broadcasts (region → nation → customer chain collapses to one
-    broadcast map), the fact table streams through map-side joins —
-    one shuffle total (the final groupBy), which is the plan you need
-    at 100 TB."""
+    """Region-pruned star join rolled up by nation. Only the
+    SF-invariant region⋈nation chain (5×25 rows by TPC-H spec) carries
+    forced broadcasts; the customer-sized dims side is AQE-owned (it
+    scales with SF — broadcast at bench scale, shuffled hash at
+    100 TB). The fact table shuffles once, for the final groupBy."""
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = load_table(spark, sf_dir, "nation")
     cust = load_table(spark, sf_dir, "customer")
@@ -93,7 +94,7 @@ def q_star_join_by_nation(spark, sf_dir):
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .join(dims, orders.o_custkey == dims.c_custkey)
         .groupBy("n_name")
         .agg(_rev_col().alias("revenue"), F.count("*").alias("n_items"))
         .orderBy("n_name")

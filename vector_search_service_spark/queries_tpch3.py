@@ -60,9 +60,11 @@ ORDER BY supp_nation, cust_nation, l_year
 def q_volume_by_nation_pair(spark, sf_dir):
     """Q7: shipping volume between two nations by year. Both
     dimension chains (supplier→nation, customer→nation) are
-    pre-filtered to the two nations of interest and broadcast, so the
-    only shuffle is lineitem⋈orders plus the final small groupBy; the
-    pair-direction OR is applied after both chains resolve."""
+    pre-filtered to the two nations of interest; their join strategy is
+    AQE-owned (no forced hint — a 2/25-nation slice of supplier/customer
+    still scales linearly with SF; AQE broadcasts it whenever the
+    measured size fits, shuffled-hash otherwise). The pair-direction OR
+    is applied after both chains resolve (r9 broadcast-audit)."""
     nations = ("NATION_1", "NATION_2")
     nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name").isin(*nations))
     supp = (
@@ -79,8 +81,8 @@ def q_volume_by_nation_pair(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .filter(
             ((F.col("supp_nation") == nations[0]) & (F.col("cust_nation") == nations[1]))
             | ((F.col("supp_nation") == nations[1]) & (F.col("cust_nation") == nations[0]))
@@ -146,10 +148,10 @@ def q_market_share_by_year(spark, sf_dir):
     cents = F.round(F.col("l_extendedprice") * 100).cast("long")
     disc_rev = cents * (100 - F.round(F.col("l_discount") * 100).cast("long"))
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
             F.round(
@@ -202,7 +204,7 @@ def q_important_part_value(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     value_cents = F.round(F.col("l_quantity") * F.col("l_extendedprice") * 100).cast("long")
     vals = (
-        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(F.sum(value_cents).alias("value_cents"))
     )
@@ -243,13 +245,15 @@ def q_small_qty_revenue(spark, sf_dir):
     ``(SELECT 0.2*avg(l_quantity) WHERE same part)`` decorrelates into
     one per-part aggregate joined back on the part key; the threshold
     is the integer cross-multiplication ``qty*5*cnt < sum_qty`` so
-    Spark and the oracle agree bit-for-bit. Brand filter broadcasts
-    into the fact scan; one shuffle (the partkey agg/join family)."""
+    Spark and the oracle agree bit-for-bit. The brand-filtered part
+    build side is 1/|brands| of parts — it still scales with SF, so no
+    forced hint (AQE broadcasts when it fits); one shuffle family on
+    the part key for the agg/join (r9 broadcast-audit)."""
     part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
     li = load_table(spark, sf_dir, "lineitem")
     qty = F.round(F.col("l_quantity")).cast("long")
     brand_li = (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .select("l_partkey", qty.alias("qty_int"),
                 F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_cents"))
     )
@@ -282,7 +286,8 @@ def q_disjunctive_pushdown(spark, sf_dir):
     """Q19: revenue under an OR of three brand/size/quantity
     conjunctions. The part side of the disjunction
     (brand ∈ {12,23,3} ∧ size ≤ 15) is a derivable conjunct that
-    prunes the broadcast build side; the lineitem side
+    prunes the build side (strategy AQE-owned — a 3-brand slice of part
+    still scales with SF); the lineitem side
     (quantity ≤ 30) prunes the fact scan; the full OR applies after
     the join. Catalyst's own CNF extraction does the same on the SQL
     form — this spells it explicitly so both scans stay tight."""
@@ -300,7 +305,7 @@ def q_disjunctive_pushdown(spark, sf_dir):
         | ((b == "Brand#3") & s.between(1, 15) & (q >= 20) & (q <= 30))
     )
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .filter(disj)
         .agg(_rev_col().alias("revenue"))
     )

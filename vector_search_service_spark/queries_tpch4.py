@@ -54,9 +54,10 @@ def q_profit_by_nation_year(spark, sf_dir):
     """Q9 shape (profit := discounted revenue — this corpus has no
     partsupp.supplycost): product-line filter on the part dimension,
     fact joined through part/supplier/nation, rolled up by (nation,
-    year). All three dimensions broadcast (part pre-filtered by the
-    LIKE); the fact table shuffles once, for the final ~175-group
-    rollup. At 100 TB the selective part filter also seeds a runtime
+    year). Only the SF-invariant nation dimension (25 rows by spec)
+    carries a forced broadcast; part/supplier scale with SF so their
+    strategy is AQE-owned (broadcast at bench scale, shuffled hash at
+    100 TB). The fact table shuffles for the final ~175-group rollup. At 100 TB the selective part filter also seeds a runtime
     bloom filter on l_partkey."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
@@ -66,9 +67,12 @@ def q_profit_by_nation_year(spark, sf_dir):
     sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        # nation is 25 rows at ANY SF (TPC-H spec fixes it) -> the one
+        # hint with a provable bound; part/sup are AQE-owned (scale
+        # with SF; r9 broadcast-audit)
         .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -97,8 +101,9 @@ LIMIT 20
 )
 def q_returned_item_revenue(spark, sf_dir):
     """Q10 shape: revenue lost to returns per customer, top-20. The
-    returned-lineitem filter pushes to the fact scan; customer and
-    nation broadcast; one shuffle for the per-customer rollup, then
+    returned-lineitem filter pushes to the fact scan; nation (25
+    rows, SF-invariant) broadcasts by hint, customer is AQE-owned (it
+    scales with SF); one shuffle for the per-customer rollup, then
     TakeOrdered."""
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -108,7 +113,8 @@ def q_returned_item_revenue(spark, sf_dir):
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        # nation: 25 rows at any SF (bounded); customer is AQE-owned
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(_rev_col().alias("revenue"))
@@ -177,8 +183,9 @@ def q_top_revenue_supplier(spark, sf_dir):
     equal to the global max (the view + scalar-subquery pattern). The
     tie comparison happens in INTEGER revenue units — float equality
     against an aggregate is exactly the trap the exactness discipline
-    exists for. The 1-row max broadcasts; the supplier dimension
-    broadcasts; only the quarterly rollup shuffles."""
+    exists for. The 1-row max broadcasts (provably bounded); the
+    supplier join is AQE-owned (supplier scales with SF); only the
+    quarterly rollup shuffles."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
     )
@@ -192,7 +199,7 @@ def q_top_revenue_supplier(spark, sf_dir):
     return (
         rev.crossJoin(F.broadcast(mx))
         .filter(F.col("total_x10000") == F.col("mx"))
-        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             "s_suppkey", "s_name",
             (F.col("total_x10000") / 10000.0).alias("total_revenue"),
@@ -221,9 +228,10 @@ def q_supplier_diversity_by_part(spark, sf_dir):
     """Q16 shape (blacklist := suppliers with negative balance — this
     corpus has no comment field): how many distinct non-blacklisted
     suppliers serve each surviving (brand, type, size) bucket. The
-    NOT IN decorrelates to a broadcast anti join (the blacklist is
-    tiny by construction); the part filter broadcasts; one shuffle
-    for the distinct-count rollup."""
+    NOT IN decorrelates to an anti join. No forced hints: the
+    blacklist and the filtered part set are constant *fractions* of
+    SF-scaling tables, so AQE owns both strategies (broadcast at bench
+    scale where they fit); one shuffle for the distinct-count rollup."""
     part = load_table(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#45") & F.col("p_size").isin(1, 4, 7)
     ).select("p_partkey", "p_brand", "p_type", "p_size")
@@ -232,8 +240,8 @@ def q_supplier_diversity_by_part(spark, sf_dir):
     ).select("s_suppkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
         .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(
@@ -276,9 +284,10 @@ def q_dominant_part_suppliers(spark, sf_dir):
     sum over the (part, supplier) rollup — NOT a re-aggregate joined
     back, which would plan TWO scans of the fact table (the shape this
     replaced; the plan test pins single-scan). Exchanges touch only
-    shrinking rollup data; the dominant set is tiny and broadcasts
-    into the supplier scan. The 5*q > tot comparison is integer
-    (quantities are whole units)."""
+    shrinking rollup data; the dominant-set semi-join is AQE-owned (no
+    forced hint — the set is bounded by #suppliers, which scales with
+    SF; AQE broadcasts it whenever the measured size fits). The
+    5*q > tot comparison is integer (quantities are whole units)."""
     from pyspark.sql import Window
 
     li = load_table(spark, sf_dir, "lineitem").select(
@@ -294,8 +303,6 @@ def q_dominant_part_suppliers(spark, sf_dir):
     )
     sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        sup.join(
-            F.broadcast(dom), sup.s_suppkey == dom.l_suppkey, "left_semi"
-        )
+        sup.join(dom, sup.s_suppkey == dom.l_suppkey, "left_semi")
         .orderBy("s_suppkey")
     )
