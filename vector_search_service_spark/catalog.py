@@ -286,38 +286,58 @@ class Catalog:
         collection's ``embedding_dimension`` fails the whole batch.
         NULL embeddings pass (the not-yet-embedded ingest state). The
         dimension check rides the same job as the row count (one
-        aggregate, no extra scan)."""
-        coll = self._resolve(collection_name)
-        out = (
-            docs.withColumn("collection_id", F.lit(coll["id"]).cast("long"))
-                .withColumn("created_at", F.current_timestamp())
-                .withColumn("updated_at", F.current_timestamp())
-        )
-        out = out.select([f.name for f in DOCUMENT_SCHEMA.fields])
-        dim = int(coll["embedding_dimension"])
-        stats = out.agg(
-            F.count("*").alias("n"),
-            F.count_if(
-                F.col("embedding").isNotNull() & (F.size("embedding") != dim)
-            ).alias("bad_dim"),
-        ).first()
-        if stats["bad_dim"]:
-            raise ValueError(
-                f"collection {collection_name!r} expects {dim}-dim embeddings; "
-                f"{stats['bad_dim']} of {stats['n']} rows differ"
+        aggregate, no extra scan).
+
+        The batch is materialized ONCE (localCheckpoint) before
+        validation: a non-deterministic input (sample, unordered limit,
+        mutating source) must not be able to pass the dimension check
+        on one evaluation and write different rows on the next — the
+        validate, the parquet append, the postings append and the stats
+        bump all consume the same materialized rows (r9 advisor).
+        Mutations serialize on the catalog mutex: the service's async
+        batch jobs share one Catalog across threads, and the stats
+        read-modify-write below must not interleave."""
+        with self._mutex:
+            coll = self._resolve(collection_name)
+            out = (
+                docs.withColumn("collection_id", F.lit(coll["id"]).cast("long"))
+                    .withColumn("created_at", F.current_timestamp())
+                    .withColumn("updated_at", F.current_timestamp())
             )
-        n = stats["n"]
-        out.write.mode("append").partitionBy("collection_id").parquet(self.documents_path)
-        if self.postings is not None:
-            self.postings.append(coll["id"], docs)
-        self._bump_stats(coll["id"], n)
-        return n
+            out = out.select([f.name for f in DOCUMENT_SCHEMA.fields])
+            out = out.localCheckpoint()  # evaluate the input exactly once
+            dim = int(coll["embedding_dimension"])
+            stats = out.agg(
+                F.count("*").alias("n"),
+                F.count_if(
+                    F.col("embedding").isNotNull() & (F.size("embedding") != dim)
+                ).alias("bad_dim"),
+            ).first()
+            if stats["bad_dim"]:
+                raise ValueError(
+                    f"collection {collection_name!r} expects {dim}-dim embeddings; "
+                    f"{stats['bad_dim']} of {stats['n']} rows differ"
+                )
+            n = stats["n"]
+            out.write.mode("append").partitionBy("collection_id").parquet(self.documents_path)
+            if self.postings is not None:
+                # same materialized rows as the parquet append (out
+                # carries content_lexemes), never a re-evaluation of docs
+                self.postings.append(coll["id"], out)
+            self._bump_stats(coll["id"], n)
+            return n
 
     def delete_documents(self, collection_name: str, document_ids: list[str]) -> int:
         """S6 — targeted delete via anti-join, rewriting ONLY the one
         collection partition (dynamic overwrite keeps every other
         partition untouched — at scale, a delete costs one partition's
-        rewrite, not the table's)."""
+        rewrite, not the table's). Serialized on the catalog mutex
+        (shared-Catalog threads; stats read-modify-write)."""
+        with self._mutex:
+            return self._delete_documents_locked(collection_name, document_ids)
+
+    def _delete_documents_locked(self, collection_name: str,
+                                 document_ids: list[str]) -> int:
         coll = self._resolve(collection_name)
         cur = self.documents(collection_name)
         before = cur.count()
@@ -358,7 +378,12 @@ class Catalog:
         whose ``document_id`` already exists replace the stored rows
         (content-addressed ids make this the idempotent-reingest path);
         new ids append. One partition rewrite, same cost envelope as a
-        targeted delete."""
+        targeted delete. Serialized on the catalog mutex (shared-Catalog
+        threads; stats read-modify-write)."""
+        with self._mutex:
+            return self._upsert_documents_locked(collection_name, docs)
+
+    def _upsert_documents_locked(self, collection_name: str, docs: DataFrame) -> dict:
         coll = self._resolve(collection_name)
         cur = self.documents(collection_name)
         incoming = (
@@ -388,7 +413,7 @@ class Catalog:
             "updated": n_in - max(n_after - n_before, 0),
         }
 
-    def collection_stats(self, collection_name: str) -> dict:
+    def collection_stats(self, collection_name: str, *, refresh: bool = False) -> dict:
         """A1 + A2 — document count and storage bytes
         (``src/core/vector_store.py:394-427``).
 
@@ -397,13 +422,20 @@ class Catalog:
         matching the reference's cheap catalog-metadata semantics —
         ``pg_total_relation_size`` reads pg_class, it does not scan the
         relation. A store written before stats existed backfills once
-        (one count job + one partition listing), then reads O(1)."""
+        (one count job + one partition listing), then reads O(1).
+
+        ``refresh=True`` is the heal path (r9 advisor): a crash between
+        a parquet write and its stats bump leaves the maintained count
+        stale, and the O(1) read would trust the file forever — refresh
+        recounts from the store and rewrites the stats row (one count
+        job, same cost as the legacy backfill)."""
         coll = self._resolve(collection_name)
-        st = self._load_stats(coll["id"])
-        if st is None:  # legacy/backfill path, once per collection
-            st = self._store_stats(
-                coll["id"], self.documents(collection_name).count()
-            )
+        with self._mutex:
+            st = None if refresh else self._load_stats(coll["id"])
+            if st is None:  # legacy/backfill path or explicit refresh
+                st = self._store_stats(
+                    coll["id"], self.documents(collection_name).count()
+                )
         return {"collection": coll["name"], **st}
 
     # -- maintained stats (A2; reference src/core/vector_store.py:413-417) --
@@ -444,10 +476,15 @@ class Catalog:
     def _bump_stats(self, collection_id: int, delta: int) -> None:
         """Incremental count maintenance on a write path. No stats file
         yet (legacy store) → leave it absent; the next collection_stats
-        read backfills exactly rather than trusting a partial delta."""
-        st = self._load_stats(collection_id)
-        if st is not None:
-            self._store_stats(collection_id, st["document_count"] + delta)
+        read backfills exactly rather than trusting a partial delta.
+        The load+store pair is guarded by the catalog RLock (reentrant —
+        every mutation path already holds it) so two concurrent writers
+        cannot lose an update; a crash between the parquet write and
+        this bump is healed by ``collection_stats(refresh=True)``."""
+        with self._mutex:
+            st = self._load_stats(collection_id)
+            if st is not None:
+                self._store_stats(collection_id, st["document_count"] + delta)
 
     def _set_stats(self, collection_id: int, document_count: int) -> None:
         self._store_stats(collection_id, document_count)
