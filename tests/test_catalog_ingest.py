@@ -302,3 +302,85 @@ def test_collection_stats_maintained_o1(catalog, spark, monkeypatch):
     catalog.delete_collection("st")
     import os
     assert not os.path.exists(catalog._stats_file(1))
+
+
+def test_stats_survive_interleaved_threaded_mutations(catalog, spark):
+    """r9 advisor (medium): _bump_stats is a read-modify-write — two
+    concurrent add_documents through one shared Catalog must not lose
+    an update. Interleave adds from worker threads (the service's async
+    batch-job shape) and require the maintained count to equal ground
+    truth exactly."""
+    import threading
+
+    catalog.create_collection("tt")
+
+    def rows(lo, hi):
+        return spark.createDataFrame(
+            [(f"t{i}", f"content {i}", {}, None, None) for i in range(lo, hi)],
+            "document_id string, content string, "
+            "doc_metadata map<string,string>, "
+            "content_lexemes array<string>, embedding array<float>",
+        )
+
+    errs = []
+
+    def add(lo, hi):
+        try:
+            catalog.add_documents("tt", rows(lo, hi))
+        except Exception as e:  # pragma: no cover - failure reporting
+            errs.append(e)
+
+    threads = [threading.Thread(target=add, args=(i * 10, i * 10 + 10))
+               for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    truth = catalog.documents("tt").count()
+    assert truth == 60
+    assert catalog.collection_stats("tt")["document_count"] == 60
+
+
+def test_collection_stats_refresh_heals_stale_file(catalog, spark):
+    """r9 advisor: a crash between the parquet write and the stats bump
+    leaves the maintained count stale forever (the O(1) read trusts the
+    file). collection_stats(refresh=True) recounts from the store and
+    rewrites the row."""
+    import json
+
+    catalog.create_collection("rf")
+    catalog.add_documents("rf", spark.createDataFrame(
+        [(f"r{i}", f"content {i}", {}, None, None) for i in range(4)],
+        "document_id string, content string, doc_metadata map<string,string>, "
+        "content_lexemes array<string>, embedding array<float>",
+    ))
+    coll_id = catalog.get_collection("rf")["id"]
+    # simulate the crash: corrupt the maintained count
+    with open(catalog._stats_file(coll_id), "w") as f:
+        json.dump({"document_count": 999, "size_bytes": 1}, f)
+    assert catalog.collection_stats("rf")["document_count"] == 999  # trusts file
+    healed = catalog.collection_stats("rf", refresh=True)
+    assert healed["document_count"] == 4
+    assert healed["size_bytes"] > 1
+    # and the heal is persistent: the next O(1) read sees the fix
+    assert catalog.collection_stats("rf")["document_count"] == 4
+
+
+def test_add_documents_evaluates_nondeterministic_input_once(catalog, spark):
+    """r9 advisor (low): the batch is materialized before validation,
+    so a non-deterministic input cannot pass the dimension check on one
+    evaluation and write different rows on the next. A 50% sample is
+    re-drawn on every evaluation; after ingest, the stats count, the
+    stored rows and the postings all describe the SAME draw."""
+    catalog.create_collection("nd", embedding_dimension=4)
+    base = spark.createDataFrame(
+        [(f"n{i}", f"content {i}", {}, None, [float(i)] * 4) for i in range(200)],
+        "document_id string, content string, doc_metadata map<string,string>, "
+        "content_lexemes array<string>, embedding array<float>",
+    )
+    flaky = base.sample(0.5, seed=None)  # re-drawn per evaluation
+    n = catalog.add_documents("nd", flaky)
+    stored = catalog.documents("nd").count()
+    assert stored == n  # validated count == written count, same draw
+    assert catalog.collection_stats("nd")["document_count"] == stored
