@@ -508,9 +508,16 @@ def test_semdedup_bucket_cap_viral(spark, tmp_path):
     b = derive_n_planes(n)
     cap = 64
 
-    uncapped = {r["vec_id"] for r in _semdedup_plan(spark, out, b).collect()}
+    uncapped = {r["vec_id"] for r in
+                _semdedup_plan(spark, out, b, bucket_cap=None).collect()}
     capped = {r["vec_id"] for r in
               _semdedup_plan(spark, out, b, bucket_cap=cap).collect()}
+    # the PRODUCTION DEFAULT is bucket_cap="auto" (derived 16x the
+    # derive_n_planes target = 4096) — at this corpus no healthy
+    # bucket exceeds it, so the default path is output-identical to
+    # uncapped while the protection is armed (r9 verdict #3)
+    auto = {r["vec_id"] for r in _semdedup_plan(spark, out, b).collect()}
+    assert auto == uncapped
 
     viral_ids = {100_000 + i for i in range(n_viral)}
     # every viral copy except (at most) the first collapses in BOTH
@@ -536,3 +543,54 @@ def test_semdedup_bucket_cap_viral(spark, tmp_path):
                  "bucket").count()
     )
     assert viral_bucket_size >= n_viral
+
+
+def test_semdedup_cap_exact_dup_collapse_in_mixed_bucket(spark, tmp_path):
+    """r9 advisor (low): the prefix-only cap lost exact-dup collapse
+    when >= cap unrelated LOWER ids flood the viral cluster's bucket —
+    no cluster member (nor its base) landed in the pairing side. The
+    capped side now also retains each distinct vector value's minimum
+    id per bucket, so the cluster's base is ALWAYS pairable and every
+    copy collapses, whatever the bucket mix.
+
+    Setup targets the exact failure: the viral value is base vec 459 —
+    measured ISOLATED (max cosine to any other base vector 0.282 <
+    the 0.3 threshold) — so the cluster's only >=threshold partners
+    are its own members; copies get ids above every base id; cap is
+    set below the count of lower unrelated ids in 459's bucket, so
+    the bucket's cap-prefix contains NO cluster member. Prefix-only
+    capping finds zero pairs for the cluster; the per-value-min
+    retention must still collapse it onto 459."""
+    import pyspark.sql.functions as F
+
+    from vector_search_service_spark.queries_dedup import (
+        _semdedup_emb,
+        _semdedup_plan,
+    )
+    from vector_search_service_spark.sources.tables import load_table
+
+    base = load_table(spark, SF_SMOKE, "embeddings")
+    viral_vec = base.filter(F.col("vec_id") == 459).select("embedding").first()[0]
+    n_viral = 120
+    viral = spark.createDataFrame(
+        [(500_000 + i, viral_vec, 99) for i in range(n_viral)], base.schema,
+    )
+    out = str(tmp_path / "mixed")
+    base.unionByName(viral).coalesce(2).write.parquet(f"{out}/embeddings.parquet")
+
+    b = 2  # few planes -> big mixed buckets with many lower unrelated ids
+    emb = _semdedup_emb(spark, out, b)
+    vb = emb.filter(F.col("vec_id") == 459).select("bucket").first()[0]
+    n_lower_unrelated = emb.filter(
+        (F.col("bucket") == vb) & (F.col("vec_id") < 459)
+    ).count()
+    cap = min(32, n_lower_unrelated)
+    assert cap >= 8  # the prefix genuinely excludes every cluster member
+
+    capped = {r["vec_id"] for r in
+              _semdedup_plan(spark, out, b, bucket_cap=cap).collect()}
+    viral_ids = {500_000 + i for i in range(n_viral)}
+    # every copy collapses (onto 459, the retained per-value minimum)
+    assert viral_ids <= capped
+    # and the base survives: isolated below threshold from everything else
+    assert 459 not in capped

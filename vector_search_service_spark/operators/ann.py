@@ -113,6 +113,26 @@ def derive_semdedup_threshold(n_vectors: int, dim: int, *,
     return max(floor, min(cap, t))
 
 
+def derive_bucket_cap(*, target_bucket_rows: int = 256,
+                      factor: int = 16) -> int:
+    """Production default for the semantic-tier hot-bucket cap:
+    ``factor ×`` the rows-per-bucket target ``derive_n_planes`` aims
+    for (16 × 256 = 4096). Rationale: ``derive_n_planes`` bounds the
+    AVERAGE bucket at ~``target_bucket_rows``, so a bucket 16× over
+    target is pathological by construction — a viral duplicate
+    cluster (identical vectors → identical sign pattern at ANY B) or
+    severe embedding anisotropy — and exactly the case where the
+    bucket-local pair stage goes quadratic (commit 85a319f measured
+    2.6× on a 20 k-copy viral corpus, output bit-identical). A cap
+    this far above target never binds on healthy buckets, so the
+    protection is on by default (``bucket_cap="auto"`` in the
+    SemDeDup plan helpers) the way ``threshold="auto"`` derives the
+    random-pair floor; registered oracle entries opt out with an
+    explicit ``bucket_cap=None`` to keep the uncapped pinned
+    semantics."""
+    return factor * target_bucket_rows
+
+
 def bucket_code_col(vec: Column, planes: list[list[float]]) -> Column:
     """B-bit LSH bucket id: Σ 2^i · [⟨v, h_i⟩ > 0] — a codegen'd fold
     per plane, no UDF."""

@@ -812,7 +812,13 @@ def q_semdedup_prune(spark, sf_dir):
     pair-stage cost — see the inline note on the rejected
     alternatives). The oracle replays the identical normalize-then-dot
     arithmetic so floats stay bit-comparable."""
-    return _semdedup_plan(spark, sf_dir, _SEMDEDUP_PLANES)
+    # bucket_cap=None: the oracle pins UNCAPPED semantics (the cap is
+    # output-invariant on healthy corpora but not provably so on viral
+    # ones, and a driver grade must be exact at any SF). Production
+    # callers keep the default bucket_cap="auto" — cap = 16× the
+    # derive_n_planes target (operators/ann.py:derive_bucket_cap), the
+    # 85a319f viral-duplicate protection on unless opted out.
+    return _semdedup_plan(spark, sf_dir, _SEMDEDUP_PLANES, bucket_cap=None)
 
 
 def _semdedup_knobs(spark, sf_dir, n_planes, threshold):
@@ -846,7 +852,7 @@ def _semdedup_knobs(spark, sf_dir, n_planes, threshold):
 
 
 def _semdedup_plan(spark, sf_dir, n_planes=None, threshold=None,
-                   bucket_cap=None):
+                   bucket_cap="auto"):
     """SemDeDup plan with the bucket count (2^n_planes) as the scale
     knob. The registered entry pins n_planes = _SEMDEDUP_PLANES (the
     oracle replays those exact plane literals); ``n_planes=None``
@@ -863,6 +869,10 @@ def _semdedup_plan(spark, sf_dir, n_planes=None, threshold=None,
     from .functions.vectors import dot_col
 
     n_planes, threshold = _semdedup_knobs(spark, sf_dir, n_planes, threshold)
+    if bucket_cap == "auto":
+        from .operators.ann import derive_bucket_cap
+
+        bucket_cap = derive_bucket_cap()
     # No explicit repartition here, deliberately: at B=4 there are
     # only 16 bucket codes and the dup-stress corpus skews them, so
     # pinning one-partition-per-bucket makes the hottest bucket a
@@ -870,31 +880,9 @@ def _semdedup_plan(spark, sf_dir, n_planes=None, threshold=None,
     # skew-split the sort-merge join). The multiprobe tier, with 2^7
     # codes, takes the opposite trade — see _semdedup_multiprobe_plan.
     emb = _semdedup_emb(spark, sf_dir, n_planes)
-    from pyspark.sql.window import Window
-
     a_src = emb
     if bucket_cap is not None:
-        # HOT-BUCKET CAP (the minhash_lsh_dedup discipline applied to
-        # the semantic tier): derive_n_planes bounds the AVERAGE bucket,
-        # but a viral duplicate cluster — 10^6 copies of one document —
-        # lands every copy in ONE bucket at ANY B (identical vectors ⇒
-        # identical sign pattern), and that bucket alone goes quadratic.
-        # Restricting the LOWER-id pairing side to each bucket's
-        # `bucket_cap` smallest ids bounds per-bucket pairs to cap·size
-        # (linear), while a flooded bucket's prefix IS the viral
-        # cluster's lowest ids — so every copy still finds a lower-id
-        # exact dup and the cluster still collapses to one survivor.
-        # The trade (documented like minhash's drop-cap): in a MIXED
-        # bucket a near-dup pair whose lower member sorts beyond the
-        # prefix is missed — choose cap ≫ the derive_n_planes target
-        # (256) so it binds only on pathological buckets. Measured in
-        # tests/test_scale_tiers.py::test_semdedup_bucket_cap_viral.
-        wcap = Window.partitionBy("bucket").orderBy(F.col("vec_id").asc())
-        a_src = (
-            emb.withColumn("_rn", F.row_number().over(wcap))
-            .filter(F.col("_rn") <= int(bucket_cap))
-            .drop("_rn")
-        )
+        a_src = _capped_pair_side(emb, int(bucket_cap))
     a = a_src.select(F.col("vec_id").alias("ia"), "bucket",
                      F.col("vn").alias("va"))
     b = emb.select(F.col("vec_id").alias("ib"), "bucket",
@@ -922,6 +910,47 @@ def _semdedup_plan(spark, sf_dir, n_planes=None, threshold=None,
                 F.round("dup_cos", 6).alias("cosine_r"))
         .orderBy("vec_id")
     )
+
+
+def _capped_pair_side(emb, bucket_cap: int):
+    """HOT-BUCKET CAP for the semantic tier (the minhash_lsh_dedup
+    discipline): derive_n_planes bounds the AVERAGE bucket, but a viral
+    duplicate cluster — 10^6 copies of one document — lands every copy
+    in ONE bucket at ANY B (identical vectors ⇒ identical sign
+    pattern), and that bucket alone goes quadratic. Restricting the
+    LOWER-id pairing side to each bucket's ``bucket_cap`` smallest ids
+    bounds per-bucket pairs to cap·size (linear).
+
+    Exact-dup collapse is guaranteed regardless of bucket mix (r9
+    advisor caught the earlier prefix-only version overstating this):
+    the pairing side also retains each distinct vector VALUE's minimum
+    id per bucket — so even when ≥ cap unrelated lower ids flood a
+    viral cluster's bucket, every copy still finds its cluster's base
+    id on the pairing side and collapses. That retention set is one
+    map-side-combinable groupBy (one row per distinct value per
+    bucket — itself ≤ bucket size, and tiny after the first dup).
+    The remaining trade (documented like minhash's drop-cap): a
+    NEAR-dup pair (distinct values) whose lower member sorts beyond
+    the prefix is missed — cap ≫ the derive_n_planes target (256) so
+    it binds only on pathological buckets. Production default
+    ``bucket_cap="auto"`` derives 16× the target
+    (``operators.ann.derive_bucket_cap``); registered entries opt out
+    (``None``) to keep the oracle's uncapped pinned semantics.
+    Measured in tests/test_scale_tiers.py::test_semdedup_bucket_cap_viral."""
+    from pyspark.sql.window import Window
+
+    wcap = Window.partitionBy("bucket").orderBy(F.col("vec_id").asc())
+    prefix = (
+        emb.withColumn("_rn", F.row_number().over(wcap))
+        .filter(F.col("_rn") <= bucket_cap)
+        .drop("_rn")
+    )
+    mins = (
+        emb.groupBy("bucket", "vn")
+        .agg(F.min("vec_id").alias("vec_id"))
+        .select("vec_id", "bucket", "vn")
+    )
+    return prefix.unionByName(mins).dropDuplicates(["vec_id"])
 
 
 def _semdedup_emb(spark, sf_dir, n_planes):
@@ -990,10 +1019,14 @@ def q_semdedup_multiprobe(spark, sf_dir):
     of oversized buckets; raising B shrinks the budget further
     (docs/SCALE.md §12 has the B sweep). Exact duplicates are
     bucket-identical at any B and never need probing."""
-    return _semdedup_multiprobe_plan(spark, sf_dir, _SEMDEDUP_MP_PLANES)
+    # bucket_cap=None: oracle pins uncapped semantics (see
+    # q_semdedup_prune); production default is bucket_cap="auto"
+    return _semdedup_multiprobe_plan(spark, sf_dir, _SEMDEDUP_MP_PLANES,
+                                     bucket_cap=None)
 
 
-def _semdedup_multiprobe_plan(spark, sf_dir, n_planes=None, threshold=None):
+def _semdedup_multiprobe_plan(spark, sf_dir, n_planes=None, threshold=None,
+                              bucket_cap="auto"):
     """Hamming-1 multi-probe SemDeDup with the plane count explicit —
     the (B, probe) knob pair measured in docs/SCALE.md §12. The
     registered entry pins n_planes = _SEMDEDUP_MP_PLANES (the oracle
@@ -1012,16 +1045,28 @@ def _semdedup_multiprobe_plan(spark, sf_dir, n_planes=None, threshold=None):
     # Measured at sf1: 48.0 -> 16.6 s. This trade needs key
     # cardinality >> cores (2^7 probe codes here); at B=4's 16 codes
     # the same pin backfires on skew — see _semdedup_plan.
+    if bucket_cap == "auto":
+        from .operators.ann import derive_bucket_cap
+
+        bucket_cap = derive_bucket_cap()
     par = spark.sparkContext.defaultParallelism
     emb = _semdedup_emb(spark, sf_dir, n_planes)
+    a_src = emb
+    if bucket_cap is not None:
+        # same hot-bucket cap as _semdedup_plan, applied BEFORE the
+        # probe explode (the viral bucket's quadratic blow-up is in
+        # the probe join; exact dups are bucket-identical so the
+        # retained per-value minimum id covers them on probe = own
+        # bucket) — see _capped_pair_side for the guarantee argument
+        a_src = _capped_pair_side(emb, int(bucket_cap))
     probes = F.array(
         F.col("bucket"),
         *[F.col("bucket").bitwiseXOR(F.lit(1 << i))
           for i in range(n_planes)],
     )
     a = (
-        emb.select(F.col("vec_id").alias("ia"), "bucket",
-                   F.col("vn").alias("va"))
+        a_src.select(F.col("vec_id").alias("ia"), "bucket",
+                     F.col("vn").alias("va"))
         .withColumn("probe", F.explode(probes))
         .drop("bucket")
         .repartition(par, F.col("probe"))
