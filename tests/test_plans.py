@@ -595,9 +595,11 @@ def test_gopher_flags_single_pass_no_python(spark):
 
 def test_jl_candidate_stage_take_ordered_no_python(spark):
     """The JL tier's candidate selection must plan as
-    TakeOrderedAndProject over a single scan — the projection and the
-    integer squared-L2 are pure codegen (no Python node, no Exchange);
-    the final plan reads the 200 candidates behind the lineage cut."""
+    TakeOrderedAndProject over a single scan, and the final plan reads
+    the 200 candidates behind the lineage cut. Since r10 the projection
+    is an int64 Arrow kernel (vectorized pandas UDF, measured 3.6x the
+    HOF fold at sf1, bit-identical) — it lives entirely behind the cut,
+    so the FINAL plan the rerank runs still has no Python node."""
     from vector_search_service_spark.registry import all_queries
 
     df = all_queries()["jl_ann_topk"].fn(spark, SF_SMOKE)

@@ -3,6 +3,8 @@ path mirroring the reference's IVFFlat index shape)."""
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import functions as F
 
 from .operators.ann import (
@@ -424,13 +426,57 @@ def _jl_qproj() -> list[int]:
     return [sum(s * q for s, q in zip(row, qq)) for row in _jl_matrix()]
 
 
+def _jl_dist_kernel_udf():
+    """int64 Arrow kernel for the JL projection + squared-L2 distance —
+    the vectorized twin of the transform/zip_with/aggregate fold in
+    ``_jl_plan`` (VERDICT r9 perf note): integer addition is
+    order-independent, so a numpy int64 matmul of the sign matrix is
+    BIT-IDENTICAL to the interpreted HOF fold (no float accumulation
+    anywhere; bounds: |vq| <= 8e5, |proj| <= 64*8e5 ~ 5.1e7,
+    dist <= 48*(1e8)^2 ~ 4.8e17 << 2^63 — no int64 overflow). NULL
+    parity with the fold: a NULL row -> NULL; a NULL element at any
+    position some sign row covers (nonzero sign) -> NULL, while a NULL
+    at an everywhere-zero-sign position is ignored (the fold emits a
+    literal 0 there without touching vq[i])."""
+    import numpy as np
+
+    S = np.array(_jl_matrix(), dtype=np.int64)          # (k, dim)
+    covered = (S != 0).any(axis=0)                      # (dim,)
+    qp = np.array(_jl_qproj(), dtype=np.int64)          # (k,)
+    dim = S.shape[1]
+
+    @F.pandas_udf("long")
+    def kern(vq: pd.Series) -> pd.Series:
+        n = len(vq)
+        V = np.zeros((n, dim), dtype=np.int64)
+        null = np.zeros(n, dtype=bool)
+        for r, cell in enumerate(vq):
+            if cell is None:
+                null[r] = True
+                continue
+            a = np.asarray(cell, dtype=np.float64)  # int64-exact <= 2^53
+            m = np.isnan(a)
+            if (m & covered).any():
+                null[r] = True
+                continue
+            np.copyto(a, 0.0, where=m)
+            V[r] = a.astype(np.int64)
+        P = V @ S.T                                  # exact int64 matmul
+        D = ((P - qp) ** 2).sum(axis=1)
+        res = pd.Series(D, dtype="Int64")
+        res[null] = None
+        return res
+
+    return kern
+
+
 @register(
     "jl_ann_topk",
     survey_ref="F4,T2 (extension: JL random-projection candidate tier)",
     tags=("vector", "ann"),
     oracle=None,  # set below (needs the sign matrix + query projection)
 )
-def q_jl_ann_topk(spark, sf_dir):
+def q_jl_ann_topk(spark, sf_dir, kernel=True):
     """Johnson-Lindenstrauss candidate stage + exact rerank, top-10.
 
     Per row: clamp each coordinate to ±8, quantize to integer
@@ -456,14 +502,19 @@ def q_jl_ann_topk(spark, sf_dir):
     from .functions.vectors import cosine_distance_col, valid_vec_col
     from .sources.tables import parallelize_scan
 
-    # The fold form moves the cost from driver compile to EXECUTOR
-    # per-row fold work (HOFs are CodegenFallback/interpreted), so the
-    # candidate stage is now compute-bound and needs real width on
-    # few-file test scans — the AQE-vs-compute-bound pattern measured
-    # on the semdedup/trainer stages (SCALE.md §12 item 4). With the
-    # old unrolled tree this was a no-op (driver compile dominated,
-    # 6.2 s at sf1 regardless of scan width); with the fold it is the
-    # difference between 2-way and 32-way projection.
+    # Projection cost history (the record-either-way discipline):
+    # r8 unrolled expression tree — driver compile dominated (6.2 s at
+    # sf1 regardless of scan width); r9 HOF fold — tens of plan nodes,
+    # cost moved to interpreted executor fold work (CodegenFallback,
+    # 4.3 s r9; 6.1 s cold-process / 2.9 s warm min-of-3 in the r10
+    # environment); r10 int64 Arrow kernel (default) — numpy matmul
+    # per Arrow batch, 4.7 s cold-process / 0.81 s warm min-of-3 at
+    # sf1 (3.6x the fold warm), bit-identical to the fold because
+    # integer sums are order-independent (VERDICT r9 perf note). The
+    # fold stays selectable (kernel=False) as the pure-JVM semantics
+    # pin; both paths share _jl_rerank. Either way the stage is
+    # compute-bound and needs real width on few-file test scans — the
+    # AQE-vs-compute-bound pattern (SCALE.md §12 item 4).
     emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"), spark)
     # NULL / wrong-dim rows: vq is NULL, every projection is NULL,
     # jl_dist is NULL — and NULLs sort LAST (asc_nulls_last below,
@@ -481,6 +532,9 @@ def q_jl_ann_topk(spark, sf_dir):
         ).cast("long"),
     )
     e = emb.select("vec_id", "label", "embedding", vq.alias("vq"))
+    if kernel:
+        jl_dist = _jl_dist_kernel_udf()(F.col("vq"))
+        return _jl_rerank(e, jl_dist)
     qproj = _jl_qproj()
     # The projection is a FOLD over two array literals (the 48×64 sign
     # matrix and the 48-long projected query), not an unrolled term
@@ -514,12 +568,21 @@ def q_jl_ann_topk(spark, sf_dir):
         F.lit(0).cast("long"),
         lambda acc, t: acc + t,
     )
+    return _jl_rerank(e, jl_dist)
+
+
+def _jl_rerank(e, jl_dist):
+    """Shared JL tail: top-_JL_CAND candidates by integer sketch
+    distance (TakeOrderedAndProject; lineage-cut so the rerank reads
+    the 200 rows, not a re-planned global sort — the
+    quantized_vector_topk fix), exact cosine rerank, top-10."""
+    from .functions.vectors import cosine_distance_col, valid_vec_col
+
     cand = (
         e.select("vec_id", "label", "embedding", jl_dist.alias("jl_dist"))
         .orderBy(F.col("jl_dist").asc_nulls_last(), F.col("vec_id").asc())
         .limit(_JL_CAND)
-        .localCheckpoint(eager=False)  # cut lineage: rerank reads the 200
-        # candidates, not a re-planned global sort (quantized_vector_topk fix)
+        .localCheckpoint(eager=False)
     )
     dist = cosine_distance_col(
         F.transform(valid_vec_col(F.col("embedding"), _DIM),
