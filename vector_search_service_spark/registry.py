@@ -42,73 +42,82 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # (registry − ∪ CORRECTNESS_r*.json keys), oracled entries first.
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # ---- round-9 window (exactly 50), re-derived per VERDICT r8
-    # next-round #1. Derivation (docs/DRIVER_COVERAGE.md): the 19
-    # r4-era stale entries (the r8 roll-over list — the only grades
-    # older than r5 anywhere), then the entries whose code changed in
-    # r9 after their r7/r8 grade, then r5-era backfill oldest-first
-    # (all equal age → name order; none are tier=extra). After this
-    # round no surviving grade is older than r5.
-    # positions 1-19: the r4-era roll-over (DRIVER_COVERAGE.md r8
-    # "Rolls to the r9 window" list, name order)
-    "ivf_pq_topk",
-    "kneser_ney_bigram_topk",
-    "linestatus_priority_counts",
-    "ngram_jaccard_dedup",
-    "pii_scrub",
-    "pq_ann_topk",
-    "profit_by_nation_year",
-    "quality_model_calibration",
-    "range_join_pairs",
-    "returned_item_revenue",
-    "scalar_subquery_avg",
+    # ---- round-10 window (exactly 50), re-derived per VERDICT r9
+    # next-round #2. Derivation (docs/DRIVER_COVERAGE.md): the 19
+    # r5-era roll-over entries (the only grades older than r7 anywhere
+    # — after this round no surviving oracled grade is older than r7),
+    # then every entry whose code changed in r10 after its last grade
+    # (the broadcast-audit sweep, the semdedup bucket-cap default, the
+    # JL int64 kernel), then the queries_ann entries the r9
+    # dimension-derivation refactor touched after their r7/r8 grades,
+    # then oldest-first backfill. All 50 oracled.
+    # positions 1-19: the r5-era roll-over (docs/ROUND10_PLAN.md list,
+    # name order; star_join_by_nation is ALSO r10-code-touched)
+    "quantile_stats",
+    "reservoir_stratum_sample",
+    "rolling_avg_range_window",
+    "salted_group_agg",
+    "searchable_text",
+    "set_operations",
+    "sha_doc_id",
+    "sketch_distinct_tolerance",
+    "star_join_by_nation",
+    "stream_dedup_replay",
+    "stream_interval_join",
+    "stream_session_replay",
+    "table_profile",
+    "title_extract",
+    "topk_by_value",
+    "tpch_q1_full",
+    "validation_flags",
+    "value_outliers_zscore",
+    "window_rank_per_group",
+    # positions 20-43: r10 code-touched after their last grade — the
+    # broadcast-audit entries (hints removed / docstrings corrected;
+    # VERDICT r9 What's-wrong #1-3 + the 1d sweep), the semdedup pair
+    # (bucket-cap default derivation touched their plan helpers; the
+    # registered pins opt out but the ledger wants fresh rows), and
+    # jl_ann_topk (int64 Arrow kernel now the default path).
+    # having_semi_topk / quantized_vector_topk / ann_bucket_histogram
+    # are tier=extra but prioritized for regrade (the r6 spare-slot
+    # precedent): their code/oracle state changed or was refactored
+    # after their last grade.
     "semi_join_resolve",
-    "simhash_dedup",
-    "sole_fault_supplier",
-    "supplier_diversity_by_part",
-    "timeseries_gapfill",
-    "top_revenue_supplier",
-    "unigram_logprob",
-    "weighted_sample_topk",
-    # positions 20-22: r9-modified code whose r7/r8 grades predate it —
-    # curate_corpus (forced-broadcast fix, judge r8 What's-wrong #1),
-    # duplicate_span_extract (representative n_shingles-DESC slice,
-    # ADVICE r8 #3; oracle changed too), jl_ann_topk (projection as a
-    # fold over array literals + parallelize_scan, next-round #5)
+    "scalar_subquery_avg",
+    "minhash_lsh_dedup",
     "curate_corpus",
-    "duplicate_span_extract",
-    "jl_ann_topk",
-    # positions 23-50: r5-era backfill, name order (28 of 47; the
-    # remaining 19 — quantile_stats .. window_rank_per_group — roll to
-    # the r10 window, list in DRIVER_COVERAGE.md)
-    "anti_join_delete",
-    "asof_join_events",
-    "bigram_kn_logprob",
-    "content_type_detect",
-    "date_range_agg",
-    "dedup_span_clean",
-    "doc_fingerprint",
-    "doc_preprocess",
-    "events_tumbling_hourly",
-    "expsmooth_forecast",
-    "fts_indexed_topk",
-    "fts_metadata_filter",
-    "fts_snippet",
-    "full_scan_list",
-    "funnel_conversion",
-    "gopher_quality_flags",
-    "hourly_rollup_finalized",
+    "having_join_topk",
+    "sole_fault_supplier",
+    "volume_by_nation_pair",
+    "market_share_by_year",
+    "important_part_value",
+    "small_qty_revenue",
+    "disjunctive_pushdown",
+    "profit_by_nation_year",
+    "returned_item_revenue",
+    "top_revenue_supplier",
+    "supplier_diversity_by_part",
+    "dominant_part_suppliers",
+    "correlated_min_joinback",
+    "promo_revenue_ratio",
     "join_agg_topk",
-    "json_key_filter",
-    "lang_id",
-    "media_audio_features",
-    "media_image_decode",
-    "mixture_interleave",
-    "multilang_token_stats",
-    "per_stratum_sample",
-    "point_lookup",
-    "projection_rename_iso",
-    "quality_score",
+    "dedup_canonical_pick",
+    "jl_ann_topk",
+    "semdedup_prune",
+    "semdedup_multiprobe",
+    "having_semi_topk",
+    # positions 44-49: the queries_ann entries the r9 dimension-
+    # derivation refactor touched after their grades (identity
+    # refactor, locally parity-green — but the ledger discipline the
+    # repo established wants fresh driver rows; VERDICT r9 missing #1)
+    "ann_lsh_topk",
+    "quantized_vector_topk",
+    "ann_bucket_histogram",
+    "hybrid_rrf_topk",
+    "vector_topk_per_label",
+    "maxsim_topk",
+    # position 50: oldest-first backfill (r7-era, name order, non-extra)
+    "c4_clean_flags",
     # ---- end of the 50-entry window ----
     # Rows-only canonical entries stay OUT of the window: the driver
     # has twice demonstrated (r1/r2 `no_oracle` rows) that it errors
