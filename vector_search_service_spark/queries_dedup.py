@@ -1095,16 +1095,21 @@ def _semdedup_multiprobe_plan(spark, sf_dir, n_planes=None, threshold=None,
     )
 
 
-def _semdedup_multiprobe_oracle() -> str:
+def _semdedup_multiprobe_oracle(n_planes: int | None = None,
+                                threshold: float | None = None) -> str:
+    """DuckDB replay of _semdedup_multiprobe_plan; parametric like
+    _semdedup_oracle (defaults = the registered pin)."""
     from .functions.embed import EMB_DIM
     from .operators.ann import hyperplanes, sql_bucket_code_expr
     from .queries_reference import scoreable_emb_sql
 
-    planes = hyperplanes(EMB_DIM, _SEMDEDUP_MP_PLANES, seed=7)
+    n_planes = _SEMDEDUP_MP_PLANES if n_planes is None else n_planes
+    threshold = _SEMDEDUP_TH if threshold is None else threshold
+    planes = hyperplanes(EMB_DIM, n_planes, seed=7)
     bsql = sql_bucket_code_expr("v", planes)
     probe_list = ", ".join(
         ["bucket"] + [f"xor(bucket, {1 << i})"
-                      for i in range(_SEMDEDUP_MP_PLANES)]
+                      for i in range(n_planes)]
     )
     cos = "list_inner_product(a.vn, b.vn)"
     return f"""
@@ -1121,7 +1126,7 @@ p AS (
 pairs AS (
   SELECT a.vec_id AS ia, b.vec_id AS ib, b.bucket AS bucket, {cos} AS cos
   FROM p a JOIN e b ON a.probe = b.bucket AND a.vec_id < b.vec_id
-  WHERE {cos} >= {_SEMDEDUP_TH}
+  WHERE {cos} >= {threshold}
 )
 SELECT ib AS vec_id, CAST(bucket AS INT) AS bucket,
        min(ia) AS dup_of, round(arg_min(cos, ia), 6) AS cosine_r
@@ -1129,12 +1134,19 @@ FROM pairs GROUP BY ib, bucket ORDER BY vec_id
 """
 
 
-def _semdedup_oracle() -> str:
+def _semdedup_oracle(n_planes: int | None = None,
+                     threshold: float | None = None) -> str:
+    """DuckDB replay of _semdedup_plan. Defaults reproduce the
+    registered pin; explicit (n_planes, threshold) let scale scripts
+    oracle-grade the DERIVED-knob configs (SCALE.md §13) with the same
+    bit-strict compare."""
     from .functions.embed import EMB_DIM
     from .operators.ann import hyperplanes, sql_bucket_code_expr
     from .queries_reference import scoreable_emb_sql
 
-    planes = hyperplanes(EMB_DIM, _SEMDEDUP_PLANES, seed=7)
+    n_planes = _SEMDEDUP_PLANES if n_planes is None else n_planes
+    threshold = _SEMDEDUP_TH if threshold is None else threshold
+    planes = hyperplanes(EMB_DIM, n_planes, seed=7)
     bsql = sql_bucket_code_expr("v", planes)
     cos = "list_inner_product(a.vn, b.vn)"
     return f"""
@@ -1148,7 +1160,7 @@ e AS (
 pairs AS (
   SELECT a.vec_id AS ia, b.vec_id AS ib, a.bucket AS bucket, {cos} AS cos
   FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-  WHERE {cos} >= {_SEMDEDUP_TH}
+  WHERE {cos} >= {threshold}
 )
 SELECT ib AS vec_id, CAST(bucket AS INT) AS bucket,
        min(ia) AS dup_of, round(arg_min(cos, ia), 6) AS cosine_r
