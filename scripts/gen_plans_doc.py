@@ -15,23 +15,23 @@ NOTES = {
     "fts_topk": "no Exchange anywhere; match+rank inside the scan stage; TakeOrderedAndProject top-k.",
     "fts_indexed_topk": "postings filtered by a pushed IN-filter; matched ids broadcast back into the corpus scan.",
     "vector_topk": "codegen'd cosine fold over the scan; TakeOrderedAndProject; zero shuffle.",
-    "join_agg_topk": "dimension BroadcastHashJoin (no fact shuffle for the join); one Exchange for the groupBy; top-k merge.",
-    "star_join_by_nation": "chained broadcasts collapse the dimension tree; the fact table shuffles once (final rollup).",
-    "minhash_lsh_dedup": "band-key self-join Exchange carries ids only; candidate set feeds broadcast joins for verification.",
-    "semi_join_resolve": "LeftSemi BroadcastHashJoin — the J1 collection resolve shape.",
+    "join_agg_topk": "customer side AQE-owned (r10 audit — a 1/5 slice of an SF-scaling table): broadcast at this scale by size, shuffled hash at 100 TB; one Exchange for the groupBy; top-k merge.",
+    "star_join_by_nation": "only the SF-invariant region~nation chain keeps forced broadcasts; the customer-sized dims side is AQE-owned (r10 audit). Fact table shuffles once (final rollup).",
+    "minhash_lsh_dedup": "band-key self-join Exchange carries ids only; candidate-set verification joins are AQE-owned (r10 audit removed the forced hints — pairs/ids are unbounded at 100 TB); only the provably-tiny hot-bucket set keeps a hint.",
+    "semi_join_resolve": "LeftSemi with NO forced hint (r10 audit: the status-filtered build is ~49% of orders — SF-scaling); at this scale the planner broadcasts it on measured size, at 100 TB it becomes a shuffled semi-join. The true <=1-row J1 resolve lives in catalog.py and always broadcasts.",
     "pagination_offset": "global window for determinism at test scale; keyset variant (operators/search.py) is the scale path.",
     "events_tumbling_hourly": "partial aggregation before the single Exchange on (window, event_type).",
     "curate_corpus": "dedup drop-set left-anti with NO forced broadcast (unbounded cardinality at 100 TB — AQE upgrades to broadcast at runtime when the measured set fits); quality gate + rollup in one pass.",
     "range_join_pairs": "equi-join on (user, hour-bin) — no BroadcastNestedLoopJoin; the exact range predicate is a post-join filter.",
-    "scalar_subquery_avg": "per-part aggregate broadcasts back into the fact scan (Q17 decorrelation); fact table never shuffles.",
+    "scalar_subquery_avg": "Q17 decorrelation with NO forced hint (r10 audit: the per-part aggregate is O(#parts), SF-scaling); AQE broadcasts at bench scale, shuffled hash join on l_partkey at 100 TB.",
     "exists_semi_join": "EXISTS decorrelated to a LeftSemi join; only l_orderkey crosses the wire.",
     "tpch_q1_full": "one scan, partial_ aggregates before a single 6-group Exchange; date filter pushed to the scan.",
     "bucketed_join_agg": "SortMergeJoin with NO Exchange on either side — both scans are co-bucketed on the order key; the only shuffle is the 5-group priority rollup. (Rendered with broadcast disabled: at sf0.001 Catalyst rightly broadcasts the tiny side instead; at 100 TB neither side broadcasts and THIS is the plan.)",
-    "sole_fault_supplier": "Q21 decorrelation: LeftSemi + LeftAnti on the same orderkey shuffle family; supplier dimension broadcasts; 10-row top-k.",
+    "sole_fault_supplier": "Q21 decorrelation: LeftSemi + LeftAnti on the same orderkey shuffle family; supplier join AQE-owned (r10 audit — supplier scales with SF); 10-row top-k.",
     "decontaminate_overlap": "eval-set shingles broadcast into a LeftSemi against the exploded corpus — the corpus never shuffles; only flagged (doc_id, lang) pairs reach the exchange.",
     "timeseries_gapfill": "hourly partials, generated per-key grid (sequence+explode, no calendar join), gap left-join and LOCF window all on the user_id partitioning family.",
-    "volume_by_nation_pair": "Q7: both dimension chains (supplier+nation, customer+nation) pre-filtered and broadcast; lineitem⋈orders is the only fact shuffle before a tiny grouped rollup.",
-    "small_qty_revenue": "Q17 decorrelation: the per-part aggregate and its join-back share one partkey shuffle family; the brand dimension broadcasts into the fact scan.",
+    "volume_by_nation_pair": "Q7: both nation-filtered chains are AQE-owned (r10 audit — 2/25 slices still scale with SF; broadcast here by runtime size); lineitem⋈orders is the only fact shuffle before a tiny grouped rollup.",
+    "small_qty_revenue": "Q17 decorrelation: the per-part aggregate and its join-back share one partkey shuffle family; the brand-filtered part side is AQE-owned (r10 audit).",
     "idle_customer_balance": "Q22: 1-row global-average broadcast (cross join), integer cross-multiplied gate, then LeftAnti against projected order keys.",
     "sketch_heavy_hitters": "Count-Min as DataFrame ops: the depth×width table aggregate is map-side combined; estimates join the (tiny) table as a broadcast.",
     "variant_props_stats": "VARIANT parse-once: parse_json in the scan-stage projection, typed variant_get access, partial aggregation before the single Exchange.",
@@ -51,7 +51,7 @@ NOTES = {
     "gopher_quality_flags": "r5 Gopher rule report: all five rules as JVM expressions over one tokenization, partial HashAggregate map-side, ONE Exchange, no Python node.",
     "trigram_kn_logprob": "r5 3-level KN: three shrinking type tables (trigram / continuation-bigram / unigram fan-in), each map-side-combined on its own keys; scoring joins the position stream on the trigram key family; TakeOrdered, no global Sort.",
     "ccnet_ppl_buckets": "r5 CCNet terciles: per-doc stats (3 numbers/doc) ranked once; integer rollup per bucket — the corpus text never leaves the scoring stage.",
-    "jl_ann_topk": "r6 JL tier: integer sign-projection + squared-L2 entirely in the scan stage (no UDF, no shuffle); TakeOrdered top-200 candidates; exact rerank reads 200 rows past the lineage cut.",
+    "jl_ann_topk": "candidate stage behind the lineage cut (ExistingRDD): int64 Arrow-kernel projection (r10 — bit-identical to the HOF fold, 3.6x faster), TakeOrdered top-200; final plan is the 200-row exact rerank, no Python node.",
     "domain_capped_reservoir": "r6 mixture assembly: bounded ids-only explode, map-side-combined min-race, TWO stacked row_number windows each WindowGroupLimit-pruned (domain cap, then stratum top-k); text never shuffles.",
     "decimal_exact_revenue": "pinned r6 (bench plan-diff reference): one scan, decimal partials map-side, ONE groupBy Exchange, order-by Sort. No Window, no extra exchange.",
     "fts_match_count_by_lang": "pinned r6 (bench plan-diff reference): match predicate inside the scan stage, partial counts before ONE Exchange.",
