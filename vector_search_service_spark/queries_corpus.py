@@ -359,10 +359,17 @@ def q_unigram_logprob(spark, sf_dir):
     Exactness: ln P is computed once per *vocabulary entry* and
     quantized to integer micro-nats there; the per-document aggregate
     then sums integers — order-independent, partition-independent,
-    engine-exact. The vocab (tok, micro) table is broadcast into the
-    position stream (a corpus vocabulary is ~1e6 rows at 100 TB —
-    broadcastable by design), so the only shuffle is the final
-    per-doc sum, map-side combined on doc_id."""
+    engine-exact. The vocab join is AQE-owned (r10 audit): a raw-token
+    vocabulary grows ~Heaps' n^0.5 plus web noise (URLs, hashes,
+    numerics) — 1e8-1e9 distinct tokens at 100 TB, NOT provably
+    broadcastable — so no forced hint; AQE broadcasts the measured
+    table when it fits (it does at bench scale) and falls back to a
+    shuffled hash join on the token otherwise. A production deployment
+    caps the LM vocab (top-K by count + OOV smoothing mass), which
+    restores guaranteed-broadcast — the KN bigram/trigram entries'
+    scored tables take the same AQE-owned stance. Only shuffles:
+    the vocab aggregate and the final per-doc sum, both map-side
+    combined."""
     docs = load_table(spark, sf_dir, "documents")
     w = docs.select("doc_id", words_col(F.col("text")).alias("words"))
     pos = w.select("doc_id", F.explode("words").alias("tok"))
@@ -379,7 +386,7 @@ def q_unigram_logprob(spark, sf_dir):
         )
     )
     return (
-        pos.join(F.broadcast(scored), "tok")
+        pos.join(scored, "tok")
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("long").alias("n_tokens"),

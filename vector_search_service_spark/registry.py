@@ -116,8 +116,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "hybrid_rrf_topk",
     "vector_topk_per_label",
     "maxsim_topk",
-    # position 50: oldest-first backfill (r7-era, name order, non-extra)
-    "c4_clean_flags",
+    # position 50: unigram_logprob — r10 post-audit sweep removed its
+    # vocab-LM broadcast hint AFTER the window was first frozen (code-
+    # touched outranks backfill; c4_clean_flags rolls to r11)
+    "unigram_logprob",
     # ---- end of the 50-entry window ----
     # Rows-only canonical entries stay OUT of the window: the driver
     # has twice demonstrated (r1/r2 `no_oracle` rows) that it errors
