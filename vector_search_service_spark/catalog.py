@@ -344,6 +344,9 @@ class Catalog:
         ids_df = self.spark.createDataFrame(
             [(d,) for d in document_ids], "document_id string"
         )
+        # bound: the API caps delete batches (max_batch_documents = 50,
+        # reference src/config/settings.py:53) — the anti_join_delete
+        # discipline (r10 audit)
         remaining = cur.join(F.broadcast(ids_df), "document_id", "left_anti")
         after = remaining.count()
         if after == before:
@@ -395,6 +398,8 @@ class Catalog:
         n_in = incoming.count()
         n_before = cur.count()
         keys = incoming.select("document_id").distinct()
+        # bound: upsert batches arrive through the same API batch cap
+        # as deletes (≤ 50 docs/request; r10 audit)
         kept = cur.join(F.broadcast(keys), "document_id", "left_anti")
         merged = kept.unionByName(incoming)
         with self._dynamic_overwrite():

@@ -141,6 +141,7 @@ def train_pq(embeddings: DataFrame, *, m: int = 8, k: int = 16,
             "sub int, code int, cent array<double>",
         )
         assigned = (
+            # bound: k×m centroid rows — config constants (r10 audit)
             sub.join(F.broadcast(cent_df), "sub")
             .withColumn("_d", _sq_dist(F.col("sub_vec"), F.col("cent")))
             .groupBy("_id", "sub", "sub_vec")
@@ -178,6 +179,7 @@ def encode_pq(embeddings: DataFrame, codebook: PqCodebook, *,
         vec_col, id_col, codebook.m, codebook.sub_dim,
     )
     codes = (
+        # bound: k×m centroid rows — config constants (r10 audit)
         sub.join(F.broadcast(cent_df), "sub")
         .withColumn("_d", _sq_dist(F.col("sub_vec"), F.col("cent")))
         .groupBy("_id", "sub")

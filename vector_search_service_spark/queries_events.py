@@ -133,6 +133,8 @@ def q_value_outliers_zscore(spark, sf_dir):
                  / (F.col("n") - 1))
     )
     return (
+        # bound: one row per event_type — a closed enum (the reference's
+        # job-event vocabulary), not corpus-scaling (r10 audit)
         ev.join(F.broadcast(stats), "event_type")
         .select("event_id", "event_type", F.round("value", 6).alias("value_r"),
                 F.round(z, 6).alias("zscore_r"), F.abs(z).alias("_az"))

@@ -203,6 +203,7 @@ def q_fts_multiquery_topk(spark, sf_dir):
         "doc_id", F.explode(tokens_col(F.col("text"))).alias("tok")
     )
     matched = (
+        # bound: (query_id, term) literals — query-set-sized
         occ.join(F.broadcast(qdf), occ["tok"] == qdf["term"])
         .groupBy("query_id", "doc_id")
         .agg(

@@ -279,6 +279,7 @@ def q_winsorized_value_stats(spark, sf_dir):
         F.max(F.when(F.col("rn") <= k95, F.col("m"))).cast("long").alias("p95_micro"),
     )
     return (
+        # bound: one row per event_type (closed enum; r10 audit)
         ev.join(F.broadcast(p), "event_type")
         .groupBy("event_type", "n", "p05_micro", "p95_micro")
         .agg(

@@ -218,6 +218,8 @@ def q_mixture_token_sample(spark, sf_dir):
     rates = tot.crossJoin(F.broadcast(mn))
     h = _hash_bucket(F.col("doc_id"), 1_000_000)
     return (
+        # bound: one row per language — a fixed vocabulary (≤ a few
+        # hundred ISO codes), not corpus-scaling (r10 audit)
         docs.join(F.broadcast(rates), "lang")
         .filter(h * F.col("tot") < F.col("mn") * 1_000_000)
         .groupBy("lang")

@@ -116,6 +116,7 @@ def q_sketch_heavy_hitters(spark, sf_dir):
     est = (
         exact.select("uid", "exact_cnt", cells(F.col("uid")))
              .select("uid", "exact_cnt", "cell.h", "cell.bucket")
+             # bound: depth×width sketch cells — config constants
              .join(F.broadcast(table), ["h", "bucket"])
              .groupBy("uid", "exact_cnt")
              .agg(F.min("cnt").alias("cms_est"))
@@ -208,6 +209,7 @@ def q_sketch_topk_exact_when_small(spark, sf_dir):
     pairs = [(k, int(v)) for k, v in approx.items()]
     approx_df = ev.sparkSession.createDataFrame(pairs, "event_type string, approx_cnt long")
     return (
+        # bound: ≤ k rows (the sketch's own top-k output)
         exact.join(F.broadcast(approx_df), "event_type", "left")
         .select(
             "event_type", "exact_cnt",
