@@ -72,7 +72,11 @@ def main() -> int:
         for label, plan in (("plain", _semdedup_plan),
                             ("probe", _semdedup_multiprobe_plan)):
             t0 = time.time()
-            drops = plan(spark, sf_dir, b, threshold=th).select("vec_id")
+            # bucket_cap=None: sweep the pure (B, probe) knob semantics —
+            # the r10 default cap ("auto") is output-invariant on healthy
+            # buckets but this keeps the §13 history exactly reproducible
+            drops = plan(spark, sf_dir, b, threshold=th,
+                         bucket_cap=None).select("vec_id")
             hit = drops.filter(
                 (F.col("vec_id") >= stride) & (F.col("vec_id") < 4 * stride)
             ).count()
