@@ -63,6 +63,7 @@ ENTRIES = [
     "duplicate_ngram_spans",
     "duplicate_span_extract",
     "unigram_logprob",
+    "unigram_logprob_capped",
     "boilerplate_ngrams",
     "bigram_kn_logprob",
     "trigram_kn_logprob",

@@ -788,3 +788,29 @@ def test_curate_corpus_drop_set_anti_join_not_forced_broadcast(spark):
         line for line in reversed(head) if "Join" in line and "(" in line
     )
     assert "Broadcast" not in anti_node, anti_node
+
+
+def test_unigram_capped_guaranteed_broadcast_no_corpus_shuffle(spark):
+    """The capped-vocab LM tier's whole point (r10): the K-row scored
+    table and the 1-row OOV score broadcast by HINT (legal — K is a
+    config constant), the top-K selection is TakeOrderedAndProject
+    (never a global vocab sort), and the position stream reaches the
+    join without shuffling — even with size-based broadcast disabled,
+    the hinted plan keeps the corpus side exchange-free for the join
+    (only the vocab aggregate and the per-doc sum shuffle)."""
+    import re
+
+    from vector_search_service_spark.registry import all_queries
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = all_queries()["unigram_logprob_capped"].fn(spark, SF_SMOKE)
+        plan = explain_str(df)
+        assert "TakeOrderedAndProject" in plan           # top-K vocab
+        assert "BroadcastHashJoin" in plan               # hinted K-row LM
+        assert "SortMergeJoin" not in plan               # corpus never SMJs
+        # exchanges: vocab agg + per-doc agg + final order only
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -403,6 +403,124 @@ def q_unigram_logprob(spark, sf_dir):
     )
 
 
+_UNI_VOCAB_K = 1024  # capped-LM vocabulary size (config constant)
+
+
+@register(
+    "unigram_logprob_capped",
+    survey_ref="LLM-pipeline: perplexity-proxy quality, CAPPED-vocab "
+               "production tier (top-K LM + lumped OOV mass)",
+    tags=("textan", "corpus"),
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, {_WORDS_SQL} AS words FROM documents
+), pos AS (
+  SELECT doc_id, unnest(words) AS tok FROM w
+), vocab AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM pos GROUP BY tok
+), tot AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab
+), topk AS (
+  SELECT tok, cnt FROM vocab ORDER BY cnt DESC, tok LIMIT {_UNI_VOCAB_K}
+), inv AS (
+  SELECT tok,
+         CAST(round((ln(CAST(cnt AS DOUBLE)) - ln(CAST(total AS DOUBLE))) * 1000000) AS BIGINT) AS micro
+  FROM topk, tot
+), ins AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS in_cnt FROM topk
+), oov AS (
+  SELECT CASE WHEN total > in_cnt
+              THEN CAST(round((ln(CAST(total - in_cnt AS DOUBLE)) - ln(CAST(total AS DOUBLE))) * 1000000) AS BIGINT)
+         END AS oov_micro
+  FROM tot, ins
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN inv.micro IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       CAST(sum(coalesce(inv.micro, oov.oov_micro)) AS BIGINT) AS logprob_micro,
+       round(CAST(sum(coalesce(inv.micro, oov.oov_micro)) AS DOUBLE)
+             / (count(*) * 1000000.0), 6) + 0.0 AS mean_logprob_r
+FROM pos LEFT JOIN inv USING (tok) CROSS JOIN oov
+GROUP BY doc_id ORDER BY doc_id LIMIT 500
+""",
+)
+def q_unigram_logprob_capped(spark, sf_dir):
+    """The GUARANTEED-BROADCAST production tier of ``unigram_logprob``
+    (the deferred fix named in its r10 de-hint): the LM keeps only the
+    top-K vocabulary entries by count (K = 1024, a config constant —
+    so the broadcast hint is legal under the r10 audit rule) and lumps
+    every out-of-vocabulary token into one OOV symbol whose
+    probability is the leftover count mass. This is how real pipelines
+    bound an LM table against a Heaps-law-unbounded raw vocabulary:
+    P(tok) = cnt/total in-vocab, P(OOV) = (total − in_cnt)/total
+    lumped, both quantized to integer micro-nats at the vocabulary
+    entry (order-independent, engine-exact — the sibling's exactness
+    contract). The top-K selection is TakeOrderedAndProject with a
+    total order (cnt DESC, tok ASC — byte-identical collation in both
+    engines), never a global sort; the K-row scored table and the
+    1-row OOV score broadcast into the position stream, so the corpus
+    never shuffles for the join — the plan the uncapped sibling cannot
+    guarantee. n_oov per doc is the tier's own quality signal (heavy
+    OOV = vocabulary-atypical text)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", words_col(F.col("text")).alias("words"))
+    pos = w.select("doc_id", F.explode("words").alias("tok"))
+    # lineage cuts (the reused-tiny-table discipline): vocab feeds two
+    # branches (total + top-K) and topk feeds two more (scores + in-
+    # vocab mass) — without the cuts every branch re-plans the corpus
+    # scan (measured: 4 document scans in the uncut plan)
+    vocab = (
+        pos.groupBy("tok").agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    tot = vocab.agg(F.sum("cnt").alias("total"))
+    topk = (
+        vocab.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+        .limit(_UNI_VOCAB_K)
+        .localCheckpoint(eager=False)
+    )
+    ln = lambda c: F.log(c.cast("double"))  # noqa: E731
+    # bound: ≤ K = 1024 rows (config constant; r10 audit rule)
+    inv = (
+        topk.crossJoin(F.broadcast(tot))
+        .select(
+            "tok",
+            F.round((ln(F.col("cnt")) - ln(F.col("total"))) * 1000000)
+             .cast("long").alias("micro"),
+        )
+    )
+    ins = topk.agg(F.sum("cnt").alias("in_cnt"))
+    # bound: exactly 1 row
+    oov = (
+        tot.crossJoin(F.broadcast(ins))
+        .select(
+            F.when(
+                F.col("total") > F.col("in_cnt"),
+                F.round((ln(F.col("total") - F.col("in_cnt"))
+                         - ln(F.col("total"))) * 1000000).cast("long"),
+            ).alias("oov_micro")
+        )
+    )
+    m = F.coalesce(F.col("micro"), F.col("oov_micro"))
+    return (
+        pos.join(F.broadcast(inv), "tok", "left")
+        .crossJoin(F.broadcast(oov))
+        .select("doc_id", F.col("micro").isNull().alias("_oov"), m.alias("m"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("_oov"), 1).otherwise(0))
+             .cast("long").alias("n_oov"),
+            F.sum("m").alias("logprob_micro"),
+            (F.round(
+                F.sum("m").cast("double")
+                / (F.count("*") * F.lit(1000000.0)), 6,
+            ) + F.lit(0.0)).alias("mean_logprob_r"),
+        )
+        .orderBy("doc_id").limit(500)
+    )
+
+
 @register(
     "mixture_interleave",
     survey_ref="LLM-pipeline: deterministic mixture training order (sampling tier)",
