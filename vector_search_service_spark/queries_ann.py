@@ -150,12 +150,63 @@ def _quantize(vec: list[float]) -> tuple[list[int], float]:
     return [math.floor(x * s + 0.5) for x in vec], s
 
 
-def _candidate_stage(emb):
-    """Approximate-score top-50: int8-quantized integer dot product,
-    terminal orderBy+limit → TakeOrderedAndProject (per-partition
-    heaps, k×partitions rows move — never a corpus sort)."""
+def _quantized_approx_kernel_udf():
+    """int8-probe scoring as an Arrow kernel — the vectorized twin of
+    the HOF folds in ``_candidate_stage`` (the r10 JL-kernel pattern):
+    every step is replicated BIT-exactly. The integer dot is
+    order-independent (int64); max|x| is order-independent exactly;
+    the float norm fold is replayed as a 64-step LEFT fold vectorized
+    ACROSS rows (``acc = acc + x_i*x_i`` per dimension — the same IEEE
+    op sequence per row as ``F.aggregate(v, 0.0, a + x*x)``, which
+    numpy's own pairwise-summing ``sum`` would NOT reproduce); the
+    final descale replays the exact expression tree
+    ``(dot/(scale*qs)) / (sqrt(norm2)*qnorm)`` elementwise."""
+    import numpy as np
+
     from .queries_reference import QUERY_VEC
 
+    qv_list, qs = _quantize(QUERY_VEC)
+    qv = np.array(qv_list, dtype=np.int64)
+    qnorm = sum(x * x for x in QUERY_VEC) ** 0.5
+    dim = len(QUERY_VEC)
+
+    @F.pandas_udf("double")
+    def kern(emb: pd.Series) -> pd.Series:
+        n = len(emb)
+        V = np.empty((n, dim), dtype=np.float64)
+        for r, cell in enumerate(emb):
+            V[r] = np.asarray(cell, dtype=np.float64)  # float32->64 exact
+        maxabs = np.abs(V).max(axis=1)                 # order-independent
+        scale = 127.0 / maxabs
+        qdoc = np.floor(V * scale[:, None] + 0.5).astype(np.int64)
+        int_dot = qdoc @ qv                            # exact int64
+        norm2 = np.zeros(n, dtype=np.float64)
+        for i in range(dim):                           # sequential left fold,
+            norm2 = norm2 + V[:, i] * V[:, i]          # vectorized across rows
+        approx = (int_dot.astype(np.float64) / (scale * qs)) \
+            / (np.sqrt(norm2) * qnorm)
+        return pd.Series(approx)
+
+    return kern
+
+
+def _candidate_stage(emb, kernel=True):
+    """Approximate-score top-50: int8-quantized integer dot product,
+    terminal orderBy+limit → TakeOrderedAndProject (per-partition
+    heaps, k×partitions rows move — never a corpus sort). Default
+    scoring is the Arrow kernel (bit-identical; engine-only measured
+    2.8→1.4 s at sf1 and 25.2→2.7 s at sf10-mut — 9.3×, the stage is
+    now scan-bound with a 1.9× decade, SCALE.md §13); ``kernel=False``
+    keeps the pure-JVM HOF-fold form as the semantics pin."""
+    from .queries_reference import QUERY_VEC
+
+    if kernel:
+        approx_cos = _quantized_approx_kernel_udf()(F.col("embedding"))
+        return (
+            emb.select("vec_id", "embedding", approx_cos.alias("approx"))
+               .orderBy(F.col("approx").desc(), F.col("vec_id").asc())
+               .limit(_Q_CAND)
+        )
     qv, qs = _quantize(QUERY_VEC)
     qnorm = sum(x * x for x in QUERY_VEC) ** 0.5
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
