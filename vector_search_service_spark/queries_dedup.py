@@ -891,9 +891,17 @@ def _semdedup_plan(spark, sf_dir, n_planes=None, threshold=None,
     # (interpreted), but it still beats the alternatives measured at
     # sf0.1: a 64-term unrolled element_at expression is 2.3x SLOWER
     # (the 127-node tree falls out of whole-stage codegen AND pays
-    # ANSI bounds checks), and a BLAS-per-bucket applyInPandas gram
+    # ANSI bounds checks); a BLAS-per-bucket applyInPandas gram
     # matrix would break the bit-exact oracle (numpy's pairwise/SIMD
-    # summation order != the sequential fold both engines replay).
+    # summation order != the sequential fold both engines replay);
+    # and the r10 BIT-EXACT Arrow pair-dot kernel (the JL/quantized
+    # left-fold-across-rows trick applied to (va, vb)) measured
+    # SLOWER despite identical output: 2.47 -> 3.01 s at sf0.1 and
+    # +10.7 s on the sf10 derived-knob grade — a PAIR stream ships
+    # 2 x 512 B of vector per row across Arrow, which costs more than
+    # the interpreted fold it replaces. Scan-stage kernels (JL,
+    # quantized probe) win precisely because they move one array per
+    # ROW; pair stages keep the JVM fold (record-either-way).
     pairs = (
         a.join(b, "bucket")
         .filter(F.col("ia") < F.col("ib"))
