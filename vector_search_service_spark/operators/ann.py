@@ -27,6 +27,8 @@ from __future__ import annotations
 
 import math
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -143,6 +145,44 @@ def bucket_code_col(vec: Column, planes: list[list[float]]) -> Column:
     return code
 
 
+def bucket_code_kernel_udf(planes: list[list[float]]):
+    """``bucket_code_col`` as an Arrow kernel — bit-identical (the r10
+    scan-stage kernel pattern: one array per ROW crosses Arrow, so the
+    transfer is small and the fold work vectorizes). Each plane's dot
+    is replayed as the exact left fold ``acc = acc + v_j*h_j``
+    vectorized ACROSS rows — the per-row IEEE op sequence of
+    ``dot_col``, preserving the SIGN at the 0-boundary where a
+    pairwise-summed matmul could flip a bucket bit in the last ulp.
+    NULL semantics replicated: a NULL row or any NULL element makes
+    every plane's dot NULL, and ``F.when(NULL > 0, bit).otherwise(0)``
+    emits bucket 0 — the kernel maps missing values to NaN, whose
+    ``> 0`` is also False on every plane."""
+    import numpy as np
+
+    H = np.array(planes, dtype=np.float64)   # (B, dim)
+    n_planes, dim = H.shape
+
+    @F.pandas_udf("long")
+    def kern(vec: pd.Series) -> pd.Series:
+        n = len(vec)
+        V = np.full((n, dim), np.nan, dtype=np.float64)
+        for r, cell in enumerate(vec):
+            if cell is not None:
+                a = np.asarray(cell, dtype=np.float64)
+                if a.shape[0] == dim:
+                    V[r] = a
+        code = np.zeros(n, dtype=np.int64)
+        for i in range(n_planes):
+            acc = np.zeros(n, dtype=np.float64)
+            h = H[i]
+            for j in range(dim):                 # left fold, vectorized
+                acc = acc + V[:, j] * h[j]       # across rows
+            code |= np.where(acc > 0, np.int64(1) << i, 0)
+        return pd.Series(code)
+
+    return kern
+
+
 def sql_bucket_code_expr(vec_sql: str, planes: list[list[float]]) -> str:
     terms = []
     for i, plane in enumerate(planes):
@@ -164,7 +204,7 @@ def bucket_of(vec: list[float], planes: list[list[float]]) -> int:
 def ann_lsh_topk(embeddings: DataFrame, query_vec: list[float], *,
                  n_planes: int = 4, limit: int = 10,
                  vec_col: str = "embedding", id_col: str = "vec_id",
-                 seed: int = 7) -> DataFrame:
+                 seed: int = 7, kernel: bool = True) -> DataFrame:
     """Probe-then-rerank: filter to the query's LSH bucket, exact
     cosine inside it, top-k. The bucket filter is a plain equality
     predicate — with the index table laid out partitioned by
@@ -173,9 +213,11 @@ def ann_lsh_topk(embeddings: DataFrame, query_vec: list[float], *,
     planes = hyperplanes(dim, n_planes, seed)
     qb = bucket_of([float(x) for x in query_vec], planes)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
+    bucket = (bucket_code_kernel_udf(planes)(F.col(vec_col)) if kernel
+              else bucket_code_col(F.col(vec_col), planes))
     return (
         embeddings
-        .withColumn("bucket", bucket_code_col(F.col(vec_col), planes))
+        .withColumn("bucket", bucket)
         .filter(F.col("bucket") == F.lit(qb))
         .withColumn("distance", cosine_distance_col(F.col(vec_col), q))
         .orderBy(F.col("distance").asc(), F.col(id_col).asc())
@@ -212,10 +254,12 @@ def jl_signs(dim: int, k: int, seed: int = 11) -> list[list[int]]:
 
 def build_lsh_index(embeddings: DataFrame, *, n_planes: int = 4,
                     vec_col: str = "embedding", dim: int = 64,
-                    seed: int = 7) -> DataFrame:
+                    seed: int = 7, kernel: bool = True) -> DataFrame:
     """Batch index build: annotate every vector with its bucket code.
     At scale: ``.write.partitionBy('bucket')`` (or bucketBy for join
     co-location) — the one-pass MLlib-style bulk index build the
     BASELINE.json approach calls for."""
     planes = hyperplanes(dim, n_planes, seed)
-    return embeddings.withColumn("bucket", bucket_code_col(F.col(vec_col), planes))
+    bucket = (bucket_code_kernel_udf(planes)(F.col(vec_col)) if kernel
+              else bucket_code_col(F.col(vec_col), planes))
+    return embeddings.withColumn("bucket", bucket)
