@@ -32,6 +32,8 @@ from __future__ import annotations
 
 import math
 
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -68,6 +70,42 @@ def _sq_dist(a, b):
     )
 
 
+def _assign_kernel_udf(centroids: list[list[list[float]]], k: int,
+                       sub_dim: int):
+    """Sub-vector -> nearest-centroid code as an Arrow kernel (the r10
+    scan-stage kernel pattern: one sub_dim-float array per row crosses
+    Arrow). Replaces the n·m·k broadcast-join fan-out + min_by
+    aggregation (whose shuffle key carries the sub_vec itself) with a
+    map-only projection. Code-identical to the JVM path: the squared-L2
+    fold replays ``_sq_dist``'s left order per dimension (vectorized
+    across rows and centroids), and numpy ``argmin`` returns the FIRST
+    minimum — the same smallest-code tie-break as
+    ``min_by(code, struct(_d, code))``. (The oracled consumers are
+    exact full-probe/rerank modes that don't depend on code values at
+    all — the identity is belt and braces, and keeps kernel=False
+    measurements comparable.)"""
+    import numpy as np
+
+    C = np.array(centroids, dtype=np.float64)       # (m, k, sub_dim)
+
+    @F.pandas_udf("int")
+    def kern(sub: pd.Series, sub_vec: pd.Series) -> pd.Series:
+        n = len(sub)
+        if n == 0:
+            return pd.Series([], dtype="int32")
+        V = np.empty((n, sub_dim), dtype=np.float64)
+        for r in range(n):
+            V[r] = sub_vec.iloc[r]
+        Cs = C[sub.to_numpy()]                      # (n, k, sub_dim)
+        acc = np.zeros((n, k), dtype=np.float64)
+        for j in range(sub_dim):                    # left fold, vectorized
+            d = V[:, None, j] - Cs[:, :, j]         # across rows × centroids
+            acc = acc + d * d
+        return pd.Series(np.argmin(acc, axis=1).astype("int32"))
+
+    return kern
+
+
 class PqCodebook:
     """m per-subspace codebooks: centroids[sub][code] = list[float]."""
 
@@ -89,7 +127,7 @@ class PqCodebook:
 
 def train_pq(embeddings: DataFrame, *, m: int = 8, k: int = 16,
              vec_col: str = "embedding", id_col: str = "vec_id",
-             iters: int = 8, seed: int = 7) -> PqCodebook:
+             iters: int = 8, seed: int = 7, kernel: bool = True) -> PqCodebook:
     from ..sources.tables import parallelize_scan
 
     # Lloyd iterations run over `sub` at the input's parallelism —
@@ -136,17 +174,27 @@ def train_pq(embeddings: DataFrame, *, m: int = 8, k: int = 16,
 
     spark = embeddings.sparkSession
     for _ in range(iters):
-        cent_df = spark.createDataFrame(
-            [(s, c, centroids[s][c]) for s in range(m) for c in range(k)],
-            "sub int, code int, cent array<double>",
-        )
-        assigned = (
-            # bound: k×m centroid rows — config constants (r10 audit)
-            sub.join(F.broadcast(cent_df), "sub")
-            .withColumn("_d", _sq_dist(F.col("sub_vec"), F.col("cent")))
-            .groupBy("_id", "sub", "sub_vec")
-            .agg(F.min_by("code", F.struct(F.col("_d"), F.col("code"))).alias("code"))
-        )
+        if kernel:
+            # map-only assignment (r10 Arrow kernel): no k-way join
+            # fan-out, no (id, sub, sub_vec)-keyed shuffle — the only
+            # shuffle left per iteration is the (sub, code) means agg
+            assigned = sub.withColumn(
+                "code",
+                _assign_kernel_udf(centroids, k, sub_dim)(
+                    F.col("sub"), F.col("sub_vec")),
+            )
+        else:
+            cent_df = spark.createDataFrame(
+                [(s, c, centroids[s][c]) for s in range(m) for c in range(k)],
+                "sub int, code int, cent array<double>",
+            )
+            assigned = (
+                # bound: k×m centroid rows — config constants (r10 audit)
+                sub.join(F.broadcast(cent_df), "sub")
+                .withColumn("_d", _sq_dist(F.col("sub_vec"), F.col("cent")))
+                .groupBy("_id", "sub", "sub_vec")
+                .agg(F.min_by("code", F.struct(F.col("_d"), F.col("code"))).alias("code"))
+            )
         means = (
             assigned.groupBy("sub", "code")
             .agg(*[
@@ -161,16 +209,12 @@ def train_pq(embeddings: DataFrame, *, m: int = 8, k: int = 16,
 
 
 def encode_pq(embeddings: DataFrame, codebook: PqCodebook, *,
-              vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+              vec_col: str = "embedding", id_col: str = "vec_id",
+              kernel: bool = True) -> DataFrame:
     """-> (id_col, codes array<int>, vec_col) — in production the codes
     table is written WITHOUT vec_col (that is the 32x point) and the
     rerank joins the full-vector table on the candidate ids only."""
     spark = embeddings.sparkSession
-    cent_df = spark.createDataFrame(
-        [(s, c, codebook.centroids[s][c])
-         for s in range(codebook.m) for c in range(codebook.k)],
-        "sub int, code int, cent array<double>",
-    )
     sub = _sub_rows(
         embeddings.select(
             id_col,
@@ -178,12 +222,28 @@ def encode_pq(embeddings: DataFrame, codebook: PqCodebook, *,
         ),
         vec_col, id_col, codebook.m, codebook.sub_dim,
     )
+    if kernel:
+        # map-only assignment (r10 Arrow kernel; see _assign_kernel_udf)
+        per_sub = sub.withColumn(
+            "code",
+            _assign_kernel_udf(codebook.centroids, codebook.k,
+                               codebook.sub_dim)(F.col("sub"), F.col("sub_vec")),
+        ).select("_id", "sub", "code")
+    else:
+        cent_df = spark.createDataFrame(
+            [(s, c, codebook.centroids[s][c])
+             for s in range(codebook.m) for c in range(codebook.k)],
+            "sub int, code int, cent array<double>",
+        )
+        per_sub = (
+            # bound: k×m centroid rows — config constants (r10 audit)
+            sub.join(F.broadcast(cent_df), "sub")
+            .withColumn("_d", _sq_dist(F.col("sub_vec"), F.col("cent")))
+            .groupBy("_id", "sub")
+            .agg(F.min_by("code", F.struct(F.col("_d"), F.col("code"))).alias("code"))
+        )
     codes = (
-        # bound: k×m centroid rows — config constants (r10 audit)
-        sub.join(F.broadcast(cent_df), "sub")
-        .withColumn("_d", _sq_dist(F.col("sub_vec"), F.col("cent")))
-        .groupBy("_id", "sub")
-        .agg(F.min_by("code", F.struct(F.col("_d"), F.col("code"))).alias("code"))
+        per_sub
         .groupBy("_id")
         .agg(F.array_sort(F.collect_list(F.struct("sub", "code"))).alias("_sc"))
         .select("_id", F.transform("_sc", lambda x: x["code"]).alias("codes"))
