@@ -43,7 +43,7 @@ NOTES = {
     "importance_ratio_topk": "≤4096-bucket scored feature table broadcast into the token stream; per-doc integer sums map-side combined; TakeOrdered top-K.",
     "funnel_user_times": "three-stage min-after-min joins all shuffling on the same user_id key family; stage outputs only shrink.",
     "hybrid_rrf_topk": "r4: NO WindowExec — each TakeOrdered top-100 side packs into one sorted array (collect_list+array_sort) and posexplodes back to ranks; full-outer fuse on doc_id; 10-row top-k.",
-    "pq_ann_topk": "full-probe PQ: codes scan with the ADC table folded in as an array literal (codegen lookups, no UDF); exact cosine rerank bounded by the candidate limit.",
+    "pq_ann_topk": "full-probe PQ: codes scan with the ADC table folded in as an array literal (codegen lookups; the encode stage upstream uses the r10 Arrow argmin kernel, map-only); exact cosine rerank bounded by the candidate limit.",
     "quality_model_calibration": "corpus scanned once for features; LR inference is a map-only projection (broadcast coefficients); band rollup partial-aggregated before one tiny Exchange.",
     "bigram_kn_logprob": "r4 perplexity filter: ONE map-side-combined shuffle builds the bigram-type table; LM stats aggregate the shrinking type table and broadcast; per-doc integer micro-nat sums partial-aggregated; TakeOrdered — no global Sort anywhere.",
     "rerank_cross_topk": "r5 retrieve→rerank: TakeOrdered candidate scan, ≤50-row candidate set BroadcastHashJoin'd into the documents scan (corpus never shuffles), pairwise scorer in codegen, 10-row top-k.",
