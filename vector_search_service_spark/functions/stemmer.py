@@ -169,6 +169,214 @@ def stem_tokens_udf(tokens: pd.Series) -> pd.Series:
     )
 
 
+# --- DuckDB oracle mirror ---------------------------------------------------
+#
+# ``porter_stem`` re-derived as *generated DuckDB SQL* so the stemmed
+# FTS path gets a real value-level oracle (the sandbox has no network,
+# so DuckDB's fts extension / ``stem()`` cannot load — and its Snowball
+# variant would not be bit-faithful to the 1980 paper anyway).
+#
+# The one non-trivial primitive is Porter's consonant/vowel
+# classification (y is a consonant at position 0 or after a vowel).
+# That rule is left-to-right *causal*, so the classification string of
+# any PREFIX of a word is the prefix of the word's classification
+# string — which lets every measure()/has_vowel()/cvc() test in the
+# rule ladder read substrings of ONE ``list_reduce`` fold per step
+# instead of re-deriving context. measure(m) of a stem is then just
+# the count of maximal 'v+c+' runs in its classification prefix.
+#
+# Each algorithm step is one CTE over the vocabulary (steps chain w ->
+# w'), mirroring the Python rule ladder above clause for clause —
+# including the first-endswith-match-wins `break` (a WHEN arm whose
+# measure test fails still consumes the word unchanged). Bit-parity vs
+# ``porter_stem`` is pinned in tests/test_stemmer.py over the corpus
+# vocabulary, the canonical vectors, and a seeded random-word battery
+# (y-chains, digit tokens, bare suffixes).
+
+_SQL_STEP2 = (
+    ("ational", "ate"), ("tional", "tion"), ("enci", "ence"), ("anci", "ance"),
+    ("izer", "ize"), ("abli", "able"), ("alli", "al"), ("entli", "ent"),
+    ("eli", "e"), ("ousli", "ous"), ("ization", "ize"), ("ation", "ate"),
+    ("ator", "ate"), ("alism", "al"), ("iveness", "ive"), ("fulness", "ful"),
+    ("ousness", "ous"), ("aliti", "al"), ("iviti", "ive"), ("biliti", "ble"),
+)
+_SQL_STEP3 = (
+    ("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+    ("ical", "ic"), ("ful", ""), ("ness", ""),
+)
+_SQL_STEP4 = (
+    "al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
+    "ment", "ent", "ion", "ou", "ism", "ate", "iti", "ous", "ive", "ize",
+)
+
+
+def _sql_cl(w: str) -> str:
+    """Classification string of word expr ``w`` ('v'/'c' per char)."""
+    return (
+        f"list_reduce(list_prepend('', str_split({w}, '')), "
+        "(acc, x) -> acc || (CASE WHEN x IN ('a','e','i','o','u') THEN 'v' "
+        "WHEN x = 'y' THEN (CASE WHEN acc = '' OR right(acc, 1) = 'v' "
+        "THEN 'c' ELSE 'v' END) ELSE 'c' END))"
+    )
+
+
+def _sql_m(cl: str, n: str) -> str:
+    """measure() of the length-``n`` prefix (count of VC groups)."""
+    return f"length(regexp_extract_all(left({cl}, {n}), 'v+c+'))"
+
+
+def _sql_hasv(cl: str, n: str) -> str:
+    return f"contains(left({cl}, {n}), 'v')"
+
+
+def _sql_dbl(w: str, cl: str) -> str:
+    """word ends in a double consonant."""
+    return (
+        f"(length({w}) >= 2 AND right({w}, 1) = substr({w}, length({w}) - 1, 1) "
+        f"AND right({cl}, 1) = 'c')"
+    )
+
+
+def _sql_cvc(w: str, cl: str) -> str:
+    """word ends cons-vowel-cons, final char not in wxy."""
+    return (
+        f"(length({w}) >= 3 AND right({cl}, 3) = 'cvc' "
+        f"AND right({w}, 1) NOT IN ('w', 'x', 'y'))"
+    )
+
+
+def _sql_rule_case(rules, min_m: int) -> str:
+    """Steps 2-4: first-endswith-match-wins suffix ladder."""
+    whens = []
+    for suf, repl in rules:
+        k = len(suf)
+        strip = f"left(w, length(w) - {k})"
+        cond = f"{_sql_m('cl', f'length(w) - {k}')} > {min_m}"
+        if suf == "ion":
+            # Porter: -ion only strips after s/t (stem's last char);
+            # length guard keeps substr() off position 0 for w='ion'
+            cond = (
+                f"(length(w) >= 4 AND substr(w, length(w) - 3, 1) IN ('s', 't') "
+                f"AND {cond})"
+            )
+        new = strip if not repl else f"{strip} || '{repl}'"
+        whens.append(
+            f"WHEN ends_with(w, '{suf}') THEN (CASE WHEN {cond} THEN {new} ELSE w END)"
+        )
+    return "CASE " + " ".join(whens) + " ELSE w END"
+
+
+def sql_porter_stem_ctes(vocab_cte: str) -> str:
+    """CTE chain ``p0 .. stems``: maps ``{vocab_cte}(tok)`` to
+    ``stems(tok, stem)`` with ``stem = porter_stem(tok)`` bit-exactly.
+    Splice into a query as ``WITH <vocab>, {sql_porter_stem_ctes(...)},
+    <consumers>``."""
+    cl = _sql_cl("w")
+    s1a = """CASE WHEN ends_with(w, 'sses') THEN left(w, length(w) - 2)
+         WHEN ends_with(w, 'ies') THEN left(w, length(w) - 2)
+         WHEN ends_with(w, 'ss') THEN w
+         WHEN ends_with(w, 's') THEN left(w, length(w) - 1)
+         ELSE w END"""
+    pre = f"""CASE WHEN ends_with(w, 'eed') THEN
+           (CASE WHEN {_sql_m('cl', 'length(w) - 3')} > 0 THEN left(w, length(w) - 1) ELSE w END)
+         WHEN ends_with(w, 'ed') AND {_sql_hasv('cl', 'length(w) - 2')} THEN left(w, length(w) - 2)
+         WHEN ends_with(w, 'ing') AND {_sql_hasv('cl', 'length(w) - 3')} THEN left(w, length(w) - 3)
+         ELSE w END"""
+    fix = f"""(NOT ends_with(w, 'eed')) AND
+          ((ends_with(w, 'ed') AND {_sql_hasv('cl', 'length(w) - 2')})
+           OR (ends_with(w, 'ing') AND {_sql_hasv('cl', 'length(w) - 3')}))"""
+    clp = _sql_cl("pre")
+    s1b = f"""CASE WHEN NOT fix THEN pre
+         WHEN ends_with(pre, 'at') OR ends_with(pre, 'bl') OR ends_with(pre, 'iz') THEN pre || 'e'
+         WHEN {_sql_dbl('pre', 'clp')} AND right(pre, 1) NOT IN ('l', 's', 'z') THEN left(pre, length(pre) - 1)
+         WHEN length(regexp_extract_all(clp, 'v+c+')) = 1 AND {_sql_cvc('pre', 'clp')} THEN pre || 'e'
+         ELSE pre END"""
+    s1c = f"""CASE WHEN ends_with(w, 'y') AND {_sql_hasv('cl', 'length(w) - 1')}
+         THEN left(w, length(w) - 1) || 'i' ELSE w END"""
+    s2 = _sql_rule_case(_SQL_STEP2, 0)
+    s3 = _sql_rule_case(_SQL_STEP3, 0)
+    s4 = _sql_rule_case([(s, "") for s in _SQL_STEP4], 1)
+    # cvc of w[:-1]: classification chars len-3..len-1 of cl, last stem
+    # char is w[len-1]
+    cvc_pref = (
+        "(length(w) - 1 >= 3 AND substr(cl, length(w) - 3, 3) = 'cvc' "
+        "AND substr(w, length(w) - 1, 1) NOT IN ('w', 'x', 'y'))"
+    )
+    s5a = f"""CASE WHEN ends_with(w, 'e') AND
+           ({_sql_m('cl', 'length(w) - 1')} > 1
+            OR ({_sql_m('cl', 'length(w) - 1')} = 1 AND NOT {cvc_pref}))
+         THEN left(w, length(w) - 1) ELSE w END"""
+    s5b = f"""CASE WHEN length(regexp_extract_all(cl, 'v+c+')) > 1
+           AND {_sql_dbl('w', 'cl')} AND ends_with(w, 'l')
+         THEN left(w, length(w) - 1) ELSE w END"""
+    return f"""
+p0 AS (SELECT tok, lower(tok) AS w FROM {vocab_cte}),
+p1a AS (SELECT tok, {s1a} AS w FROM p0),
+p1b_pre AS (SELECT tok, w, {cl} AS cl FROM p1a),
+p1b_mid AS (SELECT tok, {pre} AS pre, ({fix}) AS fix FROM p1b_pre),
+p1b_cl AS (SELECT tok, pre, fix, {clp} AS clp FROM p1b_mid),
+p1b AS (SELECT tok, {s1b} AS w FROM p1b_cl),
+p1c_cl AS (SELECT tok, w, {cl} AS cl FROM p1b),
+p1c AS (SELECT tok, {s1c} AS w FROM p1c_cl),
+p2_cl AS (SELECT tok, w, {cl} AS cl FROM p1c),
+p2 AS (SELECT tok, {s2} AS w FROM p2_cl),
+p3_cl AS (SELECT tok, w, {cl} AS cl FROM p2),
+p3 AS (SELECT tok, {s3} AS w FROM p3_cl),
+p4_cl AS (SELECT tok, w, {cl} AS cl FROM p3),
+p4 AS (SELECT tok, {s4} AS w FROM p4_cl),
+p5a_cl AS (SELECT tok, w, {cl} AS cl FROM p4),
+p5a AS (SELECT tok, {s5a} AS w FROM p5a_cl),
+p5b_cl AS (SELECT tok, w, {cl} AS cl FROM p5a),
+p5b AS (SELECT tok, {s5b} AS w FROM p5b_cl),
+stems AS (SELECT tok, CASE WHEN length(tok) <= 2 THEN lower(tok) ELSE w END AS stem FROM p5b)
+""".strip()
+
+
+def sql_stemmed_fts_oracle(query: str, *, limit: int = 10) -> str:
+    """Full DuckDB oracle for :func:`fts_search_stemmed` over the
+    ``documents`` view: stems the corpus vocabulary (and the query
+    terms) with :func:`sql_porter_stem_ctes`, AND-matches all query
+    stems, ranks by raw/(raw+1) over summed stem counts. The query is
+    analyzed driver-side (the F1 analyzer is a driver literal in both
+    engines) but stemmed IN SQL — the oracle shares no stemming code
+    with the Spark path."""
+    from .analysis import TOKEN_SPLIT_RE, analyze_terms
+
+    terms = analyze_terms(query)
+    if not terms:  # empty tsquery matches nothing
+        return "SELECT NULL::BIGINT AS doc_id, NULL::VARCHAR AS lang, NULL::VARCHAR AS source, NULL::DOUBLE AS rank_r WHERE FALSE"
+    qvals = ", ".join(f"('{t}')" for t in terms)
+    return f"""
+WITH rawtok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}')) AS tok
+  FROM documents
+),
+qterm AS (SELECT tok FROM (VALUES {qvals}) v(tok)),
+vocab AS (
+  SELECT DISTINCT tok
+  FROM (SELECT tok FROM rawtok UNION ALL SELECT tok FROM qterm)
+),
+{sql_porter_stem_ctes('vocab')},
+qstem AS (SELECT DISTINCT s.stem FROM qterm q JOIN stems s USING (tok)),
+counts AS (
+  SELECT r.doc_id, s.stem, count(*) AS c
+  FROM rawtok r JOIN stems s USING (tok) JOIN qstem q USING (stem)
+  GROUP BY r.doc_id, s.stem
+),
+matched AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS raw
+  FROM counts GROUP BY doc_id
+  HAVING count(*) = (SELECT count(*) FROM qstem)
+)
+SELECT d.doc_id, d.lang, d.source,
+       round(CAST(m.raw AS DOUBLE) / (CAST(m.raw AS DOUBLE) + 1.0), 6) AS rank_r
+FROM matched m JOIN documents d USING (doc_id)
+ORDER BY m.raw DESC, d.doc_id ASC
+LIMIT {limit}
+"""
+
+
 def fts_search_stemmed(documents, query: str, *, limit: int = 10,
                        text_col: str = "text", id_col: str = "doc_id"):
     """Stemmed FTS: both sides stemmed by ``porter_stem`` (F1 == F3

@@ -118,16 +118,25 @@ def q_pq_ann_approx_topk(spark, sf_dir):
     )
 
 
+def _stemmed_fts_oracle() -> str:
+    from .functions.stemmer import sql_stemmed_fts_oracle
+
+    return sql_stemmed_fts_oracle("hash join merge", limit=10)
+
+
 @register(
     "fts_stemmed_topk",
     survey_ref="F1/F3 with Porter stemming (PostgreSQL english dictionary fidelity)",
     tags=("fts", "mllib"),
-    oracle=None,
+    oracle=_stemmed_fts_oracle(),
 )
 def q_fts_stemmed_topk(spark, sf_dir):
     """Stemmed FTS top-k: both analyzer sides share porter_stem
     (F1==F3 under stemming); canonical stemmer vectors + symmetry
-    pinned in tests."""
+    pinned in tests. Fully oracled (was rows-only through r10): the
+    oracle re-derives the Porter 1980 rule ladder as generated DuckDB
+    SQL (``functions/stemmer.py::sql_porter_stem_ctes``) — stemming,
+    match and rank are all value-checked cross-engine."""
     from .functions.stemmer import fts_search_stemmed
 
     docs = load_table(spark, sf_dir, "documents")

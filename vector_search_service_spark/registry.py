@@ -141,7 +141,11 @@ _EXTRA_TIER: frozenset[str] = frozenset({
     "sketch_topk_exact_when_small",  # variant of sketch_heavy_hitters
     "outer_count_distribution",      # variant of outer-join count shapes
     "fts_multiquery_topk",     # variant of fts_topk
-    "fts_stemmed_topk",        # variant of fts_topk (rows-only)
+    # fts_stemmed_topk PROMOTED out of this tier in r10: it gained a
+    # real value oracle (the SQL Porter mirror) and its match set is a
+    # distinct analyzer semantics (F3 stemming fidelity), not a
+    # near-duplicate shape. Never driver-graded — front-loads the r11
+    # window with unigram_logprob_capped.
     "zorder_values",           # layout demo; pinned by tests/test_zorder.py
     "bucketed_join_agg",       # layout demo; pinned by tests/test_plans.py
     "pagination_offset",       # anti-pattern pin; keyset variant is canonical
