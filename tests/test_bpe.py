@@ -72,3 +72,85 @@ def test_detokenize_roundtrip(spark):
 def test_training_deterministic(spark):
     docs = load_table(spark, SF, "documents").limit(50)
     assert learn_bpe(spark, docs, n_merges=12) == learn_bpe(spark, docs, n_merges=12)
+
+
+def test_sql_oracle_mirrors_training_on_adversarial_corpus(spark):
+    """The recursive-CTE training oracle must match learn_bpe on a
+    corpus crafted for the hard cases: count ties (lexicographic
+    tie-break), repeated characters (overlapping pair counts vs
+    non-overlapping merge application: 'aaaa' merges to two 'aa'
+    symbols), digits, and the cnt>=2 early stop."""
+    import duckdb
+
+    from vector_search_service_spark.functions.bpe import (
+        learn_bpe,
+        sql_bpe_train_oracle,
+    )
+
+    texts = [
+        "aaaa aaaa baaab",          # overlapping (a,a) counts; fold check
+        "low low low lower lowest", # the classic example
+        "zz zz yz zy",              # ties broken on (l, r)
+        "x1 x1 22x 22x",            # digits are symbols too
+        "unique",                   # freq-1 tail (never merged alone)
+    ]
+    docs = spark.createDataFrame([(t,) for t in texts], ["text"])
+    merges = learn_bpe(spark, docs, n_merges=12)
+    expected = [(i, l, r, l + r) for i, (l, r) in enumerate(merges)]
+
+    con = duckdb.connect()
+    vals = ", ".join(f"('{t}')" for t in texts)
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM (VALUES {vals}) v(text)")
+    got = con.sql(sql_bpe_train_oracle(12)).fetchall()
+    assert got == expected
+
+
+def test_sql_priority_encode_matches_encode_words():
+    """The encode CTE implements the PRIORITY algorithm (lowest rank,
+    then leftmost, one occurrence per step) — pin it per-word against
+    encode_words under a handwritten rank table, including a rank-0
+    pair whose adjacency is re-created by a later merge."""
+    import duckdb
+
+    from vector_search_service_spark.functions.bpe import EOW, encode_words
+
+    merges = [("a", "b"), ("ab", "c"), ("c", "a"), ("b", EOW), ("ca", "b")]
+    ranks = {p: i for i, p in enumerate(merges)}
+    words = ["abc", "cab", "abcab", "bb", "a", "cacab", "abab", "xyz"]
+    expected = {w: encode_words([w], ranks) for w in words}
+
+    con = duckdb.connect()
+    mvals = ", ".join(f"({i}, '{l}', '{r}')" for i, (l, r) in enumerate(merges))
+    wvals = ", ".join(f"('{w}')" for w in words)
+    q = f"""
+WITH RECURSIVE ranks AS (SELECT rank, l, r FROM (VALUES {mvals}) m(rank, l, r)),
+words0 AS (SELECT word FROM (VALUES {wvals}) w(word)),
+enc AS (
+  SELECT 'a' AS kind, word, list_append(str_split(word, ''), '{EOW}') AS sl FROM words0
+  UNION ALL
+  (
+    WITH cur AS (SELECT * FROM enc WHERE kind = 'a'),
+    cand AS (
+      SELECT e.word, e.sl, e.i,
+             row_number() OVER (PARTITION BY e.word ORDER BY m.rank ASC, e.i ASC) AS rn
+      FROM (
+        SELECT word, sl, unnest(generate_series(1, length(sl) - 1)) AS i
+        FROM cur WHERE length(sl) > 1
+      ) e
+      JOIN ranks m ON m.l = e.sl[e.i] AND m.r = e.sl[e.i + 1]
+    ),
+    best AS (SELECT word, sl, i FROM cand WHERE rn = 1)
+    SELECT * FROM (
+      SELECT 'a' AS kind, word,
+             list_concat(list_concat(sl[1:i-1], [sl[i] || sl[i+1]]), sl[i+2:length(sl)]) AS sl
+      FROM best
+      UNION ALL
+      SELECT 'd', c.word, c.sl FROM cur c
+      WHERE NOT EXISTS (SELECT 1 FROM best b WHERE b.word = c.word)
+    )
+  )
+)
+SELECT word, sl FROM enc WHERE kind = 'd'
+"""
+    got = {w: list(sl) for w, sl in con.sql(q).fetchall()}
+    assert got == expected

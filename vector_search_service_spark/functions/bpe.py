@@ -146,6 +146,152 @@ def encode_words(words: Iterable[str], ranks: dict[tuple[str, str], int]) -> lis
     return out
 
 
+# --- DuckDB oracle mirror ---------------------------------------------------
+#
+# BPE training and encoding re-derived as DuckDB *recursive CTEs* so
+# both registry entries get real value-level oracles (they were
+# rows-only through r10 as "iterative argmax is not SQL-expressible" —
+# DuckDB's recursive CTEs allow aggregation/joins/LIMIT in the
+# recursive term, which is exactly the shape an iterative argmax
+# needs; verified equivalent to the Spark implementation bit-for-bit).
+#
+# Training state rides the working table as one row per vocab word
+# plus one marker row ('m') per learned merge; marker rows accumulate
+# in the UNION ALL result while only 'v' rows drive the next step.
+# Symbol arrays travel as individually-bracketed strings
+# ("\x1e sym \x1f" per symbol, control chars that cannot appear in
+# [a-z0-9]+ words or the "</w>" sentinel): with per-symbol brackets,
+# plain left-to-right non-overlapping replace() of
+# "\x1e l \x1f \x1e r \x1f" is exactly the _merge_fold semantics —
+# adjacent occurrences never share a boundary character, so
+# ["a","a","a","a"] -> ["aa","aa"] matches the fold.
+#
+# Pair counting mirrors the Spark zip_with (OVERLAPPING adjacencies,
+# freq-weighted); the argmax mirrors (cnt DESC, l ASC, r ASC) LIMIT 1
+# and the cnt >= 2 stop. Encoding is a second recursive CTE over the
+# vocabulary applying the PRIORITY algorithm (lowest rank, then
+# leftmost, ONE occurrence per step) — the same algorithm as
+# encode_words, not the rank-order sweep, which is not provably
+# equivalent when a later merge re-creates an earlier pair's adjacency.
+# For the same reason the rank table takes max(rank) per pair: a
+# Python dict comprehension keeps the LAST duplicate.
+
+_BPE_O = "\x1e"
+_BPE_C = "\x1f"
+_SQL_WORDS = "regexp_split_to_array(lower(text), '[^a-z0-9]+')"
+
+
+def sql_bpe_ctes(n_merges: int) -> str:
+    """Shared CTE chain ``vocab0, st, merges, ranks`` (requires a
+    ``WITH RECURSIVE`` prefix): trains ``n_merges`` BPE merges over the
+    ``documents`` view, bit-identically to :func:`learn_bpe`."""
+    o, c = _BPE_O, _BPE_C
+    return f"""
+vocab0 AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest({_SQL_WORDS}) AS word FROM documents)
+  WHERE length(word) > 0
+  GROUP BY word
+),
+st AS (
+  SELECT 0 AS it, 'v' AS kind,
+         '{o}' || array_to_string(str_split(word, ''), '{c}{o}') || '{c}{o}</w>{c}' AS syms,
+         freq, NULL::VARCHAR AS l, NULL::VARCHAR AS r
+  FROM vocab0
+  UNION ALL
+  (
+    WITH cur AS (SELECT * FROM st WHERE kind = 'v' AND it < {n_merges}),
+    lists AS (
+      SELECT it, freq, str_split(substr(syms, 2, length(syms) - 2), '{c}{o}') AS sl, syms
+      FROM cur
+    ),
+    pc AS (
+      SELECT z[1] AS pl, z[2] AS pr, CAST(sum(freq) AS BIGINT) AS cnt
+      FROM (
+        SELECT unnest(list_zip(sl[1:length(sl)-1], sl[2:length(sl)])) AS z, freq
+        FROM lists WHERE length(sl) >= 2
+      )
+      GROUP BY 1, 2
+    ),
+    best AS (SELECT pl, pr, cnt FROM pc WHERE cnt >= 2 ORDER BY cnt DESC, pl ASC, pr ASC LIMIT 1)
+    SELECT u.* FROM (
+      SELECT c.it + 1 AS it, 'v' AS kind,
+             replace(c.syms, '{o}' || b.pl || '{c}{o}' || b.pr || '{c}',
+                     '{o}' || b.pl || b.pr || '{c}') AS syms,
+             c.freq, NULL::VARCHAR AS l, NULL::VARCHAR AS r
+      FROM cur c, best b
+      UNION ALL
+      SELECT min(c2.it) + 1, 'm', NULL, NULL, b.pl, b.pr
+      FROM cur c2, best b GROUP BY b.pl, b.pr
+    ) u
+  )
+),
+merges AS (SELECT CAST(it - 1 AS INT) AS rank, l, r FROM st WHERE kind = 'm'),
+ranks AS (SELECT l, r, max(rank) AS rank FROM merges GROUP BY l, r)
+""".strip()
+
+
+def sql_bpe_train_oracle(n_merges: int) -> str:
+    """Oracle for ``bpe_train_merges``: the learned merge table."""
+    return f"""
+WITH RECURSIVE {sql_bpe_ctes(n_merges)}
+SELECT rank, l AS "left", r AS "right", l || r AS merged
+FROM merges ORDER BY rank
+"""
+
+
+def sql_bpe_stats_oracle(n_merges: int) -> str:
+    """Oracle for ``bpe_token_stats``: per-language token counts under
+    the trained tokenizer. Encode = recursive priority-merge over the
+    distinct vocabulary; document totals recovered by joining word
+    occurrences back to per-word token counts (the encode is per-word
+    independent, exactly like :func:`encode_words`)."""
+    return f"""
+WITH RECURSIVE {sql_bpe_ctes(n_merges)},
+enc AS (
+  SELECT 'a' AS kind, word, list_append(str_split(word, ''), '</w>') AS sl FROM vocab0
+  UNION ALL
+  (
+    WITH cur AS (SELECT * FROM enc WHERE kind = 'a'),
+    cand AS (
+      SELECT e.word, e.sl, e.i,
+             row_number() OVER (PARTITION BY e.word ORDER BY m.rank ASC, e.i ASC) AS rn
+      FROM (
+        SELECT word, sl, unnest(generate_series(1, length(sl) - 1)) AS i
+        FROM cur WHERE length(sl) > 1
+      ) e
+      JOIN ranks m ON m.l = e.sl[e.i] AND m.r = e.sl[e.i + 1]
+    ),
+    best AS (SELECT word, sl, i FROM cand WHERE rn = 1)
+    SELECT * FROM (
+      SELECT 'a' AS kind, word,
+             list_concat(list_concat(sl[1:i-1], [sl[i] || sl[i+1]]), sl[i+2:length(sl)]) AS sl
+      FROM best
+      UNION ALL
+      SELECT 'd', c.word, c.sl FROM cur c
+      WHERE NOT EXISTS (SELECT 1 FROM best b WHERE b.word = c.word)
+    )
+  )
+),
+wtok AS (SELECT word, length(sl) AS ntok FROM enc WHERE kind = 'd'),
+occf AS (
+  SELECT lang, word FROM (
+    SELECT lang, unnest({_SQL_WORDS}) AS word FROM documents
+  ) WHERE length(word) > 0
+),
+langdocs AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang),
+tot AS (
+  SELECT o.lang, CAST(sum(w.ntok) AS BIGINT) AS total_bpe_tokens
+  FROM occf o JOIN wtok w USING (word) GROUP BY o.lang
+)
+SELECT d.lang, d.n_docs,
+       COALESCE(t.total_bpe_tokens, 0) AS total_bpe_tokens,
+       CAST(COALESCE(t.total_bpe_tokens, 0) AS DOUBLE) / d.n_docs AS avg_tokens_per_doc
+FROM langdocs d LEFT JOIN tot t USING (lang)
+ORDER BY lang
+"""
+
+
 def bpe_tokens_col(df: DataFrame, text_col: str, merges: list[tuple[str, str]],
                    out_col: str = "bpe_tokens") -> DataFrame:
     """Arrow-batched encode: tokens per document under the learned

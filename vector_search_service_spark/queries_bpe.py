@@ -1,17 +1,24 @@
 """Registry entries — trained BPE tokenization (functions/bpe.py).
 
-Genuinely non-SQL-expressible (iterative argmax training, priority
-merge encode), so both entries are rows-only for the driver;
-``tests/test_bpe.py`` pins canonical merges, the distributed==local
-encode equality, the detokenization roundtrip invariant, and
-determinism instead.
+Fully oracled since r10: the "iterative argmax training is not
+SQL-expressible" assumption held only for single-pass SQL — DuckDB's
+recursive CTEs permit aggregation in the recursive term, so both the
+training loop and the priority-merge encode are re-derived as pure SQL
+(``functions/bpe.py::sql_bpe_*``) and value-checked cross-engine.
+``tests/test_bpe.py`` still pins canonical merges, distributed==local
+encode equality, the detokenization roundtrip, and determinism.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .functions.bpe import bpe_tokens_col, learn_bpe
+from .functions.bpe import (
+    bpe_tokens_col,
+    learn_bpe,
+    sql_bpe_stats_oracle,
+    sql_bpe_train_oracle,
+)
 from .registry import register
 from .sources.tables import load_table
 
@@ -22,12 +29,14 @@ _N_MERGES = 30
     "bpe_train_merges",
     survey_ref="extension: trained BPE merges (token-accounting tier)",
     tags=("bpe", "textan"),
-    oracle=None,  # iterative argmax training is not SQL-expressible
+    oracle=sql_bpe_train_oracle(_N_MERGES),
 )
 def q_bpe_train_merges(spark, sf_dir):
     """The learned merge table itself: rank-ordered (left, right)
     pairs from the documents corpus. Training cost is one corpus
-    shuffle (word freq) + n_merges vocab-only jobs."""
+    shuffle (word freq) + n_merges vocab-only jobs. Oracle: the same
+    greedy loop as a DuckDB recursive CTE (argmax + bracketed-replace
+    per iteration), bit-identical by construction and by test."""
     docs = load_table(spark, sf_dir, "documents")
     merges = learn_bpe(spark, docs, n_merges=_N_MERGES)
     return spark.createDataFrame(
@@ -40,13 +49,15 @@ def q_bpe_train_merges(spark, sf_dir):
     "bpe_token_stats",
     survey_ref="extension: BPE token counts per language (mixture budgeting input)",
     tags=("bpe", "textan"),
-    oracle=None,  # depends on trained merges
+    oracle=sql_bpe_stats_oracle(_N_MERGES),
 )
 def q_bpe_token_stats(spark, sf_dir):
     """Tokens-under-the-training-tokenizer per language — the number
     mixture budgeting actually needs (whitespace counts under-price
     morphologically rich text). Train once, broadcast the merges in
-    the encode UDF's closure, one Arrow pass over the corpus."""
+    the encode UDF's closure, one Arrow pass over the corpus. Oracle:
+    train + priority-encode as two recursive CTEs, word-occurrence
+    join-back for the per-language totals."""
     docs = load_table(spark, sf_dir, "documents")
     merges = learn_bpe(spark, docs, n_merges=_N_MERGES)
     toks = bpe_tokens_col(docs, "text", merges)

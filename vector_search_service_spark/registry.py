@@ -151,8 +151,11 @@ _EXTRA_TIER: frozenset[str] = frozenset({
     "pagination_offset",       # anti-pattern pin; keyset variant is canonical
     "in_list_filter",          # subsumed by semi-join shapes
     "recency_topk",            # variant of topk_by_value
-    "bpe_token_stats",         # rows-only; pinned by tests/test_bpe.py
-    "bpe_train_merges",        # rows-only; pinned by tests/test_bpe.py
+    # bpe_token_stats / bpe_train_merges PROMOTED out of this tier in
+    # r10: both gained real value oracles (recursive-CTE training +
+    # priority encode in functions/bpe.py) and the BPE tier is a
+    # distinct surface, not a variant shape. Never driver-graded —
+    # they front-load the r11 window.
     "media_frame_sample",      # variant of media_decode_stats
     "quantized_vector_topk",   # tier variant of vector_topk (recall-pinned)
     "ann_bucket_histogram",    # diagnostics for ann_lsh_topk
