@@ -124,3 +124,47 @@ def test_match_set_identical_to_tf_rank(spark):
     tf_ids = {r["doc_id"] for r in fts_search(docs, q, limit=10**6).collect()}
     cd_ids = {r["doc_id"] for r in fts_cover_search(docs, q, limit=10**6).collect()}
     assert tf_ids == cd_ids  # P7 AND-match is rank-independent
+
+
+def test_sql_cover_oracle_matches_sweep_on_adversarial_docs():
+    """The recursive-CTE oracle (fts_cover_topk's value check) must
+    reproduce cover_density_score per document on crafted sequences
+    exercising the sweep's state machine: cover consumption then
+    re-cover, repeated terms updating `latest`, noise runs, covers
+    back-to-back sharing no entries, and docs with many covers."""
+    import duckdb
+
+    from vector_search_service_spark.functions.analysis import analyze_terms
+    from vector_search_service_spark.functions.ranking import (
+        cover_density_score,
+        sql_cover_rank_oracle,
+    )
+
+    terms = analyze_terms("hash join merge")
+    texts = [
+        "hash join merge",                                  # adjacent cover
+        "hash x join y merge",                              # noise inside
+        "hash join merge hash join merge",                  # two covers
+        "hash hash join join merge merge",                  # latest-updates
+        "merge join hash merge join hash",                  # reversed orders
+        "hash x x x join x x merge x hash join merge",      # mixed widths
+        "join merge join merge hash",                       # late first term
+        "hash join x merge merge merge join hash",          # trailing echoes
+        "hash join",                                        # no match (AND)
+    ]
+    con = duckdb.connect()
+    vals = ", ".join(f"({i}, '{t}', 'en', 's')" for i, t in enumerate(texts))
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM (VALUES {vals}) "
+        "v(doc_id, text, lang, source)"
+    )
+    got = {
+        r[0]: r[3]
+        for r in con.sql(sql_cover_rank_oracle("hash join merge", limit=100)).fetchall()
+    }
+    expected = {}
+    for i, t in enumerate(texts):
+        s = cover_density_score(t.split(), terms)
+        if all(w in t.split() for w in terms):
+            expected[i] = round(s / (s + 1.0), 6)
+    assert got == expected

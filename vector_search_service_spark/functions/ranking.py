@@ -81,6 +81,99 @@ def cover_rank_udf(terms: list[str]):
     return rank
 
 
+# --- DuckDB oracle mirror ---------------------------------------------------
+#
+# The cover sweep is a sequential fold over each document's query-term
+# positions — rows-only through r10 ("the stateful sweep is
+# deliberately not expressed in SQL"). Like the BPE oracle, it IS
+# expressible as a DuckDB recursive CTE: query terms are literals, so
+# the sweep state is one (latest pos, seq) column pair per term plus
+# the running score; each recursion step consumes one query-term
+# occurrence (all matched docs advance in parallel rows). Float
+# accumulation happens in the identical left-to-right order with the
+# identical IEEE ops (0.1/(1+noise), +=), so scores are bit-equal.
+# n_entries via global seq numbering mirrors the bisect in
+# cover_density_score; cover consumption (tsrank.c restarting after
+# the cover's begin) is the per-term NULL reset of the state whose
+# position equals the cover start (positions are unique, so exactly
+# one term resets — mirroring `del latest[t]`).
+
+
+def sql_cover_rank_oracle(query: str, *, limit: int = 10) -> str:
+    """Full DuckDB oracle for :func:`fts_cover_search` over the
+    ``documents`` view (columns doc_id, lang, source, rank_cd_r)."""
+    from .analysis import TOKEN_SPLIT_RE, analyze_terms
+
+    terms = analyze_terms(query)
+    if not terms:
+        return ("SELECT NULL::BIGINT AS doc_id, NULL::VARCHAR AS lang, "
+                "NULL::VARCHAR AS source, NULL::DOUBLE AS rank_cd_r WHERE FALSE")
+    ids = list(range(1, len(terms) + 1))
+    term_in = ", ".join(f"'{t}'" for t in terms)
+    match = " AND ".join(f"list_contains(toks, '{t}')" for t in terms)
+    init_cols = ", ".join(
+        f"CAST(NULL AS BIGINT) AS p{i}, CAST(NULL AS BIGINT) AS s{i}" for i in ids
+    )
+    upd_cols = ", ".join(
+        f"CASE WHEN e.term = '{terms[i-1]}' THEN e.pos ELSE c.p{i} END AS p{i}, "
+        f"CASE WHEN e.term = '{terms[i-1]}' THEN e.seq ELSE c.s{i} END AS s{i}"
+        for i in ids
+    )
+    full = " AND ".join(f"p{i} IS NOT NULL" for i in ids)
+    start = "least(" + ", ".join(f"p{i}" for i in ids) + ")"
+    startseq = "CASE " + " ".join(f"WHEN p{i} = strt THEN s{i}" for i in ids) + " END"
+    consume_cols = ", ".join(
+        f"CASE WHEN isfull AND p{i} = strt THEN NULL ELSE p{i} END AS p{i}, s{i}"
+        for i in ids
+    )
+    return f"""
+WITH RECURSIVE dtoks AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}') AS toks
+  FROM documents
+),
+m AS (SELECT doc_id, toks FROM dtoks WHERE {match}),
+pos AS (
+  SELECT doc_id, i AS pos, toks[i] AS term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY i) AS seq
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, length(toks))) AS i FROM m)
+  WHERE toks[i] IN ({term_in})
+),
+docseq AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nseq FROM pos GROUP BY doc_id),
+cov AS (
+  SELECT doc_id, 0 AS k, nseq, {init_cols}, 0.0::DOUBLE AS score
+  FROM docseq
+  UNION ALL
+  (
+    WITH cur AS (SELECT * FROM cov WHERE k < nseq),
+    upd AS (
+      SELECT c.doc_id, c.k + 1 AS k, c.nseq, {upd_cols},
+             c.score AS score0, e.pos AS epos, e.seq AS eseq
+      FROM cur c JOIN pos e ON e.doc_id = c.doc_id AND e.seq = c.k + 1
+    ),
+    cv AS (
+      SELECT *, ({full}) AS isfull,
+             CASE WHEN {full} THEN {start} END AS strt
+      FROM upd
+    ),
+    cv2 AS (
+      SELECT *, CASE WHEN isfull THEN {startseq} END AS strtseq FROM cv
+    )
+    SELECT doc_id, k, nseq, {consume_cols},
+           score0 + CASE WHEN isfull
+                    THEN {PG_WEIGHT_D} / (1 + ((epos - strt) - (eseq - strtseq)))
+                    ELSE 0.0 END AS score
+    FROM cv2
+  )
+),
+final AS (SELECT doc_id, score FROM cov WHERE k = nseq)
+SELECT d.doc_id, d.lang, d.source,
+       round(f.score / (f.score + 1.0), 6) AS rank_cd_r
+FROM final f JOIN documents d USING (doc_id)
+ORDER BY f.score / (f.score + 1.0) DESC, d.doc_id ASC
+LIMIT {limit}
+"""
+
+
 def fts_cover_search(documents, query: str, *, limit: int = 10,
                      text_col: str = "text", id_col: str = "doc_id"):
     """FTS top-k ranked by positional cover density — same match set

@@ -1,14 +1,15 @@
-"""Registry entry — F2(a) positional cover-density FTS (rows-only:
-the stateful cover sweep is deliberately not expressed in SQL; match
-set and score range are pinned by unit tests, and the
-rank-order-equivalent F2(b) variant is fully oracle-checked as
-``fts_topk``)."""
+"""Registry entries — F2(a) positional cover-density FTS and the
+index-accelerated FTS access paths. The cover entry is fully oracled
+since r10: the sequential cover sweep is a recursive CTE in DuckDB
+(``functions/ranking.py::sql_cover_rank_oracle``), so F2(a) is now
+value-checked cross-engine in addition to the unit-test anchor pins
+and the rank-order-equivalent F2(b) oracle (``fts_topk``)."""
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .functions.ranking import fts_cover_search
+from .functions.ranking import fts_cover_search, sql_cover_rank_oracle
 from .operators.fts_index import build_inverted_index, fts_search_indexed
 from .registry import register
 from .sources.tables import load_table
@@ -18,7 +19,7 @@ from .sources.tables import load_table
     "fts_cover_topk",
     survey_ref="F2(a) cover-density rank (ts_rank_cd fidelity path)",
     tags=("fts",),
-    oracle=None,
+    oracle=sql_cover_rank_oracle("hash join merge", limit=10),
 )
 def q_fts_cover_topk(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
