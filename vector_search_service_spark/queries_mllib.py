@@ -47,7 +47,16 @@ LIMIT {k}
 )
 def q_ann_ivf_probe(spark, sf_dir):
     """KMeans-IVF probe-then-rerank top-10 (nprobe=4 of 16 lists);
-    recall vs exact asserted in tests, full-probe == exact asserted."""
+    recall vs exact asserted in tests, full-probe == exact asserted.
+
+    Deliberately rows-only — the one relic that CANNOT gain an oracle:
+    with nprobe < nlist the match set depends on which lists the
+    KMeans centroids carve, and Lloyd centroids are partition-order-
+    sensitive floats (the ADVICE r8 constraint documented at
+    pq_ann_topk). Any value oracle here would pin centroid-dependent
+    output. The family's driver-visible exactness mode is
+    ``ivf_pq_topk`` (full-probe == exact, oracled); this entry's
+    approximation QUALITY is recall-pinned in tests/test_ann_ivf.py."""
     from .operators.ann_ivf import build_ivf_index
     from .queries_reference import QUERY_VEC
 
