@@ -289,11 +289,18 @@ def test_bm25_stats_broadcast_and_top_k(spark):
     TakeOrderedAndProject, not a global sort."""
     from vector_search_service_spark.registry import all_queries
 
+    from vector_search_service_spark.plans import executed_plan_str
+
     df = all_queries()["bm25_topk"].fn(spark, SF_SMOKE)
     plan = explain_str(df)
     assert has_broadcast_join(df)
     assert has_top_k(df)
     assert "SortMergeJoin" not in plan
+    # the stats side is an AGGREGATE output — its static broadcast rests
+    # on estimated stats, so also pin what actually ran (r10 sweep)
+    executed = executed_plan_str(df)
+    assert "BroadcastHashJoin" in executed or "BroadcastNestedLoopJoin" in executed
+    assert "SortMergeJoin" not in executed
 
 
 def test_multiquery_fts_single_scan_broadcast_terms(spark):
@@ -303,10 +310,13 @@ def test_multiquery_fts_single_scan_broadcast_terms(spark):
     (doc, query) aggregate)."""
     from vector_search_service_spark.registry import all_queries
 
+    from vector_search_service_spark.plans import executed_plan_str
+
     df = all_queries()["fts_multiquery_topk"].fn(spark, SF_SMOKE)
     plan = explain_str(df)
     assert has_broadcast_join(df)
     assert plan.count("documents.parquet") == 1  # corpus scanned once
+    assert "SortMergeJoin" not in executed_plan_str(df)  # runtime too
 
 
 def test_duplicate_spans_shuffles_hashes_not_text(spark):
@@ -436,6 +446,8 @@ def test_range_shards_has_no_window_or_global_sort(spark):
 
     from vector_search_service_spark.registry import all_queries
 
+    from vector_search_service_spark.plans import executed_plan_str
+
     df = all_queries()["range_shards"].fn(spark, SF_SMOKE)
     plan = explain_str(df)
     assert "Window" not in plan
@@ -443,6 +455,9 @@ def test_range_shards_has_no_window_or_global_sort(spark):
     # Sorts may exist only AFTER the final aggregate (the ORDER BY shard
     # on ≤16 rows), never over the corpus scan: no sort on doc_id.
     assert not re.search(r"Sort \[doc_id", plan)
+    # the bounds side is a 1-row AGGREGATE — pin the executed plan too
+    executed = executed_plan_str(df)
+    assert "Broadcast" in executed and "SortMergeJoin" not in executed
 
 
 def test_fts_probe_reads_only_term_buckets(spark):
@@ -454,12 +469,19 @@ def test_fts_probe_reads_only_term_buckets(spark):
 
     from vector_search_service_spark.registry import all_queries
 
+    from vector_search_service_spark.plans import executed_plan_str
+
     df = all_queries()["fts_probe_topk"].fn(spark, SF_SMOKE)
     plan = explain_str(df)
     m = re.search(r"PartitionFilters: \[[^\]]*lex_bucket[^\]]*IN \(([^)]*)\)", plan)
     assert m, f"no lex_bucket partition filter in plan"
     assert len(m.group(1).split(",")) <= 3  # one bucket per query term
     assert has_broadcast_join(df)  # matched ids broadcast into corpus
+    # the matched-ids side is an AGGREGATE (AND-match groupBy) — pin
+    # the executed strategy: the corpus scan must not SMJ at runtime
+    executed = executed_plan_str(df)
+    assert "BroadcastHashJoin" in executed
+    assert "SortMergeJoin" not in executed
 
 
 def test_importance_ratio_broadcasts_feature_table(spark):
@@ -469,9 +491,16 @@ def test_importance_ratio_broadcasts_feature_table(spark):
     — never a global sort of per-doc scores."""
     from vector_search_service_spark.registry import all_queries
 
+    from vector_search_service_spark.plans import executed_plan_str
+
     df = all_queries()["importance_ratio_topk"].fn(spark, SF_SMOKE)
     assert has_broadcast_join(df)
     assert has_top_k(df)
+    # the scored feature table is an AGGREGATE (≤4096 rows by
+    # construction) — pin the executed join strategy too (r10 sweep)
+    executed = executed_plan_str(df)
+    assert "BroadcastHashJoin" in executed
+    assert "SortMergeJoin" not in executed
 
 
 def test_tpch4_dimension_broadcasts_and_topk(spark):
@@ -539,10 +568,14 @@ def test_bigram_kn_logprob_no_global_sort(spark):
 
     import re
 
+    from vector_search_service_spark.plans import executed_plan_str
+
     df = all_queries()["bigram_kn_logprob"].fn(spark, SF_SMOKE)
     plan = explain_str(df)
     assert has_top_k(df)
     assert has_broadcast_join(df)
+    # LM stat tables are AGGREGATE outputs — pin the executed joins too
+    assert "SortMergeJoin" not in executed_plan_str(df)
     # no standalone Sort node anywhere — formatted mode renders nodes
     # as "Sort (n)" regardless of branch prefix (+-, :-, indentation),
     # and neither TakeOrderedAndProject nor SortAggregate matches the
@@ -558,11 +591,18 @@ def test_rerank_candidates_broadcast_into_corpus_join(spark):
     a top-k, not a global sort."""
     from vector_search_service_spark.registry import all_queries
 
+    from vector_search_service_spark.plans import executed_plan_str
+
     df = all_queries()["rerank_cross_topk"].fn(spark, SF_SMOKE)
     plan = explain_str(df)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "TakeOrderedAndProject" in plan
+    # the candidate set sits behind a lineage cut (ExistingRDD, no
+    # stats) — pin the executed join strategy as well (r10 sweep)
+    executed = executed_plan_str(df)
+    assert "BroadcastHashJoin" in executed
+    assert "SortMergeJoin" not in executed
 
 
 def test_reservoir_stratum_uses_window_group_limit_ids_only(spark):
