@@ -106,51 +106,43 @@ def test_sql_oracle_mirrors_training_on_adversarial_corpus(spark):
 
 
 def test_sql_priority_encode_matches_encode_words():
-    """The encode CTE implements the PRIORITY algorithm (lowest rank,
-    then leftmost, one occurrence per step) — pin it per-word against
-    encode_words under a handwritten rank table, including a rank-0
-    pair whose adjacency is re-created by a later merge."""
+    """The encode CTEs implement the PRIORITY algorithm (lowest rank,
+    then leftmost). Pin the production SQL (sql_bpe_encode_ctes, which
+    batches a step only when the danger check proves it faithful)
+    against encode_words under handwritten rank tables, including one
+    where batching WOULD diverge — ranks (ab,a)=0, (a,b)=1 on "abab":
+    one-at-a-time yields [aba, b], a blind all-occurrence sweep would
+    yield [ab, ab] — so the danger check must force the fallback."""
     import duckdb
 
-    from vector_search_service_spark.functions.bpe import EOW, encode_words
-
-    merges = [("a", "b"), ("ab", "c"), ("c", "a"), ("b", EOW), ("ca", "b")]
-    ranks = {p: i for i, p in enumerate(merges)}
-    words = ["abc", "cab", "abcab", "bb", "a", "cacab", "abab", "xyz"]
-    expected = {w: encode_words([w], ranks) for w in words}
-
-    con = duckdb.connect()
-    mvals = ", ".join(f"({i}, '{l}', '{r}')" for i, (l, r) in enumerate(merges))
-    wvals = ", ".join(f"('{w}')" for w in words)
-    q = f"""
-WITH RECURSIVE ranks AS (SELECT rank, l, r FROM (VALUES {mvals}) m(rank, l, r)),
-words0 AS (SELECT word FROM (VALUES {wvals}) w(word)),
-enc AS (
-  SELECT 'a' AS kind, word, list_append(str_split(word, ''), '{EOW}') AS sl FROM words0
-  UNION ALL
-  (
-    WITH cur AS (SELECT * FROM enc WHERE kind = 'a'),
-    cand AS (
-      SELECT e.word, e.sl, e.i,
-             row_number() OVER (PARTITION BY e.word ORDER BY m.rank ASC, e.i ASC) AS rn
-      FROM (
-        SELECT word, sl, unnest(generate_series(1, length(sl) - 1)) AS i
-        FROM cur WHERE length(sl) > 1
-      ) e
-      JOIN ranks m ON m.l = e.sl[e.i] AND m.r = e.sl[e.i + 1]
-    ),
-    best AS (SELECT word, sl, i FROM cand WHERE rn = 1)
-    SELECT * FROM (
-      SELECT 'a' AS kind, word,
-             list_concat(list_concat(sl[1:i-1], [sl[i] || sl[i+1]]), sl[i+2:length(sl)]) AS sl
-      FROM best
-      UNION ALL
-      SELECT 'd', c.word, c.sl FROM cur c
-      WHERE NOT EXISTS (SELECT 1 FROM best b WHERE b.word = c.word)
+    from vector_search_service_spark.functions.bpe import (
+        EOW,
+        encode_words,
+        sql_bpe_encode_ctes,
     )
-  )
-)
-SELECT word, sl FROM enc WHERE kind = 'd'
-"""
-    got = {w: list(sl) for w, sl in con.sql(q).fetchall()}
-    assert got == expected
+
+    cases = [
+        # re-created-adjacency + rank-priority interplay
+        ([("a", "b"), ("ab", "c"), ("c", "a"), ("b", EOW), ("ca", "b")],
+         ["abc", "cab", "abcab", "bb", "a", "cacab", "abab", "xyz"]),
+        # danger-triggering table: pair 0 involves pair 1's merged symbol
+        ([("ab", "a"), ("a", "b")],
+         ["abab", "ababab", "aab", "abba", "abaab"]),
+        # repeated-char batching (the 5000-char edge-word shape, small)
+        ([("a", "a"), ("aa", "aa")],
+         ["a" * 17, "a" * 8, "baab", "aba"]),
+    ]
+    con = duckdb.connect()
+    for merges, words in cases:
+        ranks = {p: i for i, p in enumerate(merges)}
+        expected = {w: encode_words([w], ranks) for w in words}
+        mvals = ", ".join(f"({i}, '{l}', '{r}')" for i, (l, r) in enumerate(merges))
+        wvals = ", ".join(f"('{w}')" for w in words)
+        q = (
+            f"WITH RECURSIVE ranks AS (SELECT rank, l, r FROM (VALUES {mvals}) m(rank, l, r)), "
+            f"words0 AS (SELECT word FROM (VALUES {wvals}) w(word)), "
+            f"{sql_bpe_encode_ctes('words0')} "
+            "SELECT word, sl FROM enc WHERE kind = 'd'"
+        )
+        got = {w: list(sl) for w, sl in con.sql(q).fetchall()}
+        assert got == expected, f"merges={merges}"

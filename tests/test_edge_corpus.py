@@ -90,6 +90,15 @@ ENTRIES = [
     "temperature_mixture_alloc",
     "tfidf_pair_topk",
     "tfidf_prefix_pair_topk",  # r8: prefix-filtered tier (same edge classes)
+    # r10: the newly-oracled relics — the SQL Porter mirror must agree
+    # on the pathological vocab (5000-char word, digits, unicode-split
+    # fragments), the recursive BPE training/encode on NULL/empty/
+    # punctuation-only docs and long repeated-char words, the cover
+    # sweep on docs where terms never co-occur
+    "fts_stemmed_topk",
+    "fts_cover_topk",
+    "bpe_train_merges",
+    "bpe_token_stats",
 ]
 
 

@@ -231,6 +231,60 @@ ranks AS (SELECT l, r, max(rank) AS rank FROM merges GROUP BY l, r)
 """.strip()
 
 
+def sql_bpe_encode_ctes(words_cte: str) -> str:
+    """CTE chain ``danger, enc`` (requires ``WITH RECURSIVE`` and a
+    preceding ``ranks(l, r, rank)`` CTE): priority-encodes every word
+    of ``{words_cte}(word)``; final per-word symbol lists are the
+    ``enc`` rows with kind='d'. See sql_bpe_stats_oracle's docstring
+    for the batched-step faithfulness argument."""
+    o, c = _BPE_O, _BPE_C
+    return f"""
+danger AS (
+  SELECT sym, min(rank) AS drank FROM (
+    SELECT l AS sym, rank FROM ranks UNION ALL SELECT r AS sym, rank FROM ranks
+  ) GROUP BY sym
+),
+enc AS (
+  SELECT 'a' AS kind, word, list_append(str_split(word, ''), '{EOW}') AS sl FROM {words_cte}
+  UNION ALL
+  (
+    WITH cur AS (SELECT * FROM enc WHERE kind = 'a'),
+    cand AS (
+      SELECT e.word, e.sl, e.i, m.rank, m.l AS bl, m.r AS br,
+             row_number() OVER (PARTITION BY e.word ORDER BY m.rank ASC, e.i ASC) AS rn
+      FROM (
+        SELECT word, sl, unnest(generate_series(1, length(sl) - 1)) AS i
+        FROM cur WHERE length(sl) > 1
+      ) e
+      JOIN ranks m ON m.l = e.sl[e.i] AND m.r = e.sl[e.i + 1]
+    ),
+    best AS (
+      SELECT b.word, b.sl, b.i, b.bl, b.br,
+             COALESCE(d.drank > b.rank, TRUE) AS batch_ok
+      FROM (SELECT * FROM cand WHERE rn = 1) b
+      LEFT JOIN danger d ON d.sym = b.bl || b.br
+    )
+    SELECT * FROM (
+      SELECT 'a' AS kind, word,
+             CASE WHEN batch_ok THEN
+               str_split(trim(
+                 replace('{o}' || array_to_string(sl, '{c}{o}') || '{c}',
+                         '{o}' || bl || '{c}{o}' || br || '{c}',
+                         '{o}' || bl || br || '{c}'),
+                 '{o}{c}'), '{c}{o}')
+             ELSE
+               list_concat(list_concat(sl[1:i-1], [sl[i] || sl[i+1]]), sl[i+2:length(sl)])
+             END AS sl
+      FROM best
+      UNION ALL
+      SELECT 'd', c.word, c.sl FROM cur c
+      WHERE NOT EXISTS (SELECT 1 FROM best b WHERE b.word = c.word)
+    )
+  )
+)
+""".strip()
+
+
 def sql_bpe_train_oracle(n_merges: int) -> str:
     """Oracle for ``bpe_train_merges``: the learned merge table."""
     return f"""
@@ -245,34 +299,28 @@ def sql_bpe_stats_oracle(n_merges: int) -> str:
     the trained tokenizer. Encode = recursive priority-merge over the
     distinct vocabulary; document totals recovered by joining word
     occurrences back to per-word token counts (the encode is per-word
-    independent, exactly like :func:`encode_words`)."""
+    independent, exactly like :func:`encode_words`).
+
+    Batched step (faithfulness argument): let P = (l, r) be the
+    minimum-rank pair present in a word and m = l||r its merged
+    symbol. Merging one occurrence of P destroys only pairs that
+    touch the occurrence and creates only pairs involving m (m is
+    strictly longer than l and r, so no new occurrence of P itself can
+    appear). Therefore, as long as NO ranked pair involving m has rank
+    < rank(P), the one-occurrence-at-a-time loop keeps selecting P's
+    leftmost occurrence until P is exhausted — which is exactly one
+    left-to-right non-overlapping sweep, i.e. the training rewrite's
+    bracketed replace(). ``danger`` precomputes min(rank of any pair
+    whose l or r equals m); a step batches when danger is absent or
+    > rank(P) (trained tables virtually always — a violation needs a
+    later merge to re-create an earlier pair's symbol string), else it
+    falls back to the single-occurrence splice. This turns the
+    pathological repeated-char word (~n/2 steps) into ~1 step per
+    applied merge rank. Fallback + batch both pinned against
+    encode_words in tests/test_bpe.py."""
     return f"""
 WITH RECURSIVE {sql_bpe_ctes(n_merges)},
-enc AS (
-  SELECT 'a' AS kind, word, list_append(str_split(word, ''), '</w>') AS sl FROM vocab0
-  UNION ALL
-  (
-    WITH cur AS (SELECT * FROM enc WHERE kind = 'a'),
-    cand AS (
-      SELECT e.word, e.sl, e.i,
-             row_number() OVER (PARTITION BY e.word ORDER BY m.rank ASC, e.i ASC) AS rn
-      FROM (
-        SELECT word, sl, unnest(generate_series(1, length(sl) - 1)) AS i
-        FROM cur WHERE length(sl) > 1
-      ) e
-      JOIN ranks m ON m.l = e.sl[e.i] AND m.r = e.sl[e.i + 1]
-    ),
-    best AS (SELECT word, sl, i FROM cand WHERE rn = 1)
-    SELECT * FROM (
-      SELECT 'a' AS kind, word,
-             list_concat(list_concat(sl[1:i-1], [sl[i] || sl[i+1]]), sl[i+2:length(sl)]) AS sl
-      FROM best
-      UNION ALL
-      SELECT 'd', c.word, c.sl FROM cur c
-      WHERE NOT EXISTS (SELECT 1 FROM best b WHERE b.word = c.word)
-    )
-  )
-),
+{sql_bpe_encode_ctes('vocab0')},
 wtok AS (SELECT word, length(sl) AS ntok FROM enc WHERE kind = 'd'),
 occf AS (
   SELECT lang, word FROM (
@@ -287,8 +335,11 @@ tot AS (
 SELECT d.lang, d.n_docs,
        COALESCE(t.total_bpe_tokens, 0) AS total_bpe_tokens,
        CAST(COALESCE(t.total_bpe_tokens, 0) AS DOUBLE) / d.n_docs AS avg_tokens_per_doc
-FROM langdocs d LEFT JOIN tot t USING (lang)
-ORDER BY lang
+FROM langdocs d
+-- null-safe: a NULL lang is a real group in Spark's groupBy (edge
+-- corpus regression: USING (lang) silently dropped its token total)
+LEFT JOIN tot t ON d.lang IS NOT DISTINCT FROM t.lang
+ORDER BY d.lang
 """
 
 
