@@ -42,9 +42,12 @@ EOW = "</w>"
 
 def word_freq_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus → (word, freq): THE scale reduction. Lowercased
-    alphanumeric words; one shuffle over the corpus, after which
-    training never reads the corpus again."""
-    words = F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+")
+    alphanumeric words (the shared analyzer split, so the SQL oracle
+    mirror below can never silently diverge); one shuffle over the
+    corpus, after which training never reads the corpus again."""
+    from .analysis import TOKEN_SPLIT_RE
+
+    words = F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE)
     return (
         docs.select(F.explode(words).alias("word"))
         .filter(F.length("word") > 0)
@@ -178,7 +181,15 @@ def encode_words(words: Iterable[str], ranks: dict[tuple[str, str], int]) -> lis
 
 _BPE_O = "\x1e"
 _BPE_C = "\x1f"
-_SQL_WORDS = "regexp_split_to_array(lower(text), '[^a-z0-9]+')"
+
+
+def _sql_words() -> str:
+    # the ONE analyzer contract (functions/analysis.py) — both the
+    # Spark word_freq_table and this oracle derive from it, so an
+    # analyzer change can never desync the BPE oracle silently
+    from .analysis import TOKEN_SPLIT_RE
+
+    return f"regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}')"
 
 
 def sql_bpe_ctes(n_merges: int) -> str:
@@ -189,7 +200,7 @@ def sql_bpe_ctes(n_merges: int) -> str:
     return f"""
 vocab0 AS (
   SELECT word, CAST(count(*) AS BIGINT) AS freq
-  FROM (SELECT unnest({_SQL_WORDS}) AS word FROM documents)
+  FROM (SELECT unnest({_sql_words()}) AS word FROM documents)
   WHERE length(word) > 0
   GROUP BY word
 ),
@@ -324,7 +335,7 @@ WITH RECURSIVE {sql_bpe_ctes(n_merges)},
 wtok AS (SELECT word, length(sl) AS ntok FROM enc WHERE kind = 'd'),
 occf AS (
   SELECT lang, word FROM (
-    SELECT lang, unnest({_SQL_WORDS}) AS word FROM documents
+    SELECT lang, unnest({_sql_words()}) AS word FROM documents
   ) WHERE length(word) > 0
 ),
 langdocs AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang),

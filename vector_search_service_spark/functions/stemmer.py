@@ -20,6 +20,26 @@ from pyspark.sql import types as T
 
 _VOWELS = set("aeiou")
 
+# Steps 2-4 rule tables — the ONE copy both engines are generated
+# from: porter_stem iterates these, and the DuckDB SQL mirror below
+# compiles them into its CASE ladders. First-endswith-match-wins in
+# tuple order (Porter's `break`), so order is part of the contract.
+_STEP2_RULES = (
+    ("ational", "ate"), ("tional", "tion"), ("enci", "ence"), ("anci", "ance"),
+    ("izer", "ize"), ("abli", "able"), ("alli", "al"), ("entli", "ent"),
+    ("eli", "e"), ("ousli", "ous"), ("ization", "ize"), ("ation", "ate"),
+    ("ator", "ate"), ("alism", "al"), ("iveness", "ive"), ("fulness", "ful"),
+    ("ousness", "ous"), ("aliti", "al"), ("iviti", "ive"), ("biliti", "ble"),
+)
+_STEP3_RULES = (
+    ("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+    ("ical", "ic"), ("ful", ""), ("ness", ""),
+)
+_STEP4_SUFFIXES = (
+    "al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
+    "ment", "ent", "ion", "ou", "ism", "ate", "iti", "ous", "ive", "ize",
+)
+
 
 def _is_cons(word: str, i: int) -> bool:
     c = word[i]
@@ -94,33 +114,21 @@ def porter_stem(word: str) -> str:  # noqa: PLR0912, PLR0915 — the algorithm i
         w = w[:-1] + "i"
 
     # step 2 (m > 0)
-    for suf, repl in (
-        ("ational", "ate"), ("tional", "tion"), ("enci", "ence"), ("anci", "ance"),
-        ("izer", "ize"), ("abli", "able"), ("alli", "al"), ("entli", "ent"),
-        ("eli", "e"), ("ousli", "ous"), ("ization", "ize"), ("ation", "ate"),
-        ("ator", "ate"), ("alism", "al"), ("iveness", "ive"), ("fulness", "ful"),
-        ("ousness", "ous"), ("aliti", "al"), ("iviti", "ive"), ("biliti", "ble"),
-    ):
+    for suf, repl in _STEP2_RULES:
         if w.endswith(suf):
             if _measure(w[: -len(suf)]) > 0:
                 w = w[: -len(suf)] + repl
             break
 
     # step 3 (m > 0)
-    for suf, repl in (
-        ("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
-        ("ical", "ic"), ("ful", ""), ("ness", ""),
-    ):
+    for suf, repl in _STEP3_RULES:
         if w.endswith(suf):
             if _measure(w[: -len(suf)]) > 0:
                 w = w[: -len(suf)] + repl
             break
 
     # step 4 (m > 1)
-    for suf in (
-        "al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
-        "ment", "ent", "ion", "ou", "ism", "ate", "iti", "ous", "ive", "ize",
-    ):
+    for suf in _STEP4_SUFFIXES:
         if w.endswith(suf):
             stem = w[: -len(suf)]
             if suf == "ion" and not (stem.endswith("s") or stem.endswith("t")):
@@ -192,23 +200,6 @@ def stem_tokens_udf(tokens: pd.Series) -> pd.Series:
 # ``porter_stem`` is pinned in tests/test_stemmer.py over the corpus
 # vocabulary, the canonical vectors, and a seeded random-word battery
 # (y-chains, digit tokens, bare suffixes).
-
-_SQL_STEP2 = (
-    ("ational", "ate"), ("tional", "tion"), ("enci", "ence"), ("anci", "ance"),
-    ("izer", "ize"), ("abli", "able"), ("alli", "al"), ("entli", "ent"),
-    ("eli", "e"), ("ousli", "ous"), ("ization", "ize"), ("ation", "ate"),
-    ("ator", "ate"), ("alism", "al"), ("iveness", "ive"), ("fulness", "ful"),
-    ("ousness", "ous"), ("aliti", "al"), ("iviti", "ive"), ("biliti", "ble"),
-)
-_SQL_STEP3 = (
-    ("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
-    ("ical", "ic"), ("ful", ""), ("ness", ""),
-)
-_SQL_STEP4 = (
-    "al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
-    "ment", "ent", "ion", "ou", "ism", "ate", "iti", "ous", "ive", "ize",
-)
-
 
 def _sql_cl(w: str) -> str:
     """Classification string of word expr ``w`` ('v'/'c' per char)."""
@@ -293,9 +284,9 @@ def sql_porter_stem_ctes(vocab_cte: str) -> str:
          ELSE pre END"""
     s1c = f"""CASE WHEN ends_with(w, 'y') AND {_sql_hasv('cl', 'length(w) - 1')}
          THEN left(w, length(w) - 1) || 'i' ELSE w END"""
-    s2 = _sql_rule_case(_SQL_STEP2, 0)
-    s3 = _sql_rule_case(_SQL_STEP3, 0)
-    s4 = _sql_rule_case([(s, "") for s in _SQL_STEP4], 1)
+    s2 = _sql_rule_case(_STEP2_RULES, 0)
+    s3 = _sql_rule_case(_STEP3_RULES, 0)
+    s4 = _sql_rule_case([(s, "") for s in _STEP4_SUFFIXES], 1)
     # cvc of w[:-1]: classification chars len-3..len-1 of cl, last stem
     # char is w[len-1]
     cvc_pref = (
