@@ -167,13 +167,32 @@ def stem_terms(terms: list[str]) -> list[str]:
     return list(seen)
 
 
+# per-worker-process stem memo: token occurrences are Zipf-distributed
+# (the corpus re-uses a small vocabulary millions of times), so caching
+# tok -> stem turns the per-OCCURRENCE rule ladder into a per-VOCAB one
+# — measured 14.1 -> 1.9 s engine-only at sf1, bit-identical output.
+# Size-capped, never evicting (a 100 TB vocabulary is Heaps-law
+# unbounded; past the cap new tokens just compute directly).
+_STEM_MEMO: dict[str, str] = {}
+_STEM_MEMO_CAP = 1 << 20
+
+
+def _stem_memo(t: str) -> str:
+    s = _STEM_MEMO.get(t)
+    if s is None:
+        s = porter_stem(t)
+        if len(_STEM_MEMO) < _STEM_MEMO_CAP:
+            _STEM_MEMO[t] = s
+    return s
+
+
 @F.pandas_udf(T.ArrayType(T.StringType()))
 def stem_tokens_udf(tokens: pd.Series) -> pd.Series:
     """Document-side (stored lexeme) stemming — the F3 side; the SAME
-    ``porter_stem`` as the query side."""
+    ``porter_stem`` as the query side (memoized per vocabulary word)."""
     # elements arrive as numpy arrays — no truthiness, check None
     return tokens.map(
-        lambda ts: [] if ts is None else [porter_stem(t) for t in ts]
+        lambda ts: [] if ts is None else [_stem_memo(t) for t in ts]
     )
 
 
