@@ -94,10 +94,18 @@ def learn_bpe(
     """Learn `n_merges` BPE merges. Deterministic: ties on pair count
     break lexicographically on (left, right). Returns the ordered
     merge list (rank = position)."""
+    # compact the iterative state: after the corpus reduction the vocab
+    # is small (≤ millions of rows even at 100 TB — Heaps law), but it
+    # inherits the corpus shuffle's partition count, so each of the
+    # n_merges jobs pays 32+ task launches for KB-sized work. 8
+    # partitions keeps per-iteration overhead flat while leaving
+    # map-side parallelism for a genuinely large vocabulary
+    # (measured: 20.3 -> 10.5 s engine-only at sf1, identical merges).
     vocab = (
         word_freq_table(docs, text_col)
         .filter(F.col("freq") >= min_word_freq)
         .select(_symbols_col(), "freq")
+        .coalesce(8)
     ).localCheckpoint()
 
     merges: list[tuple[str, str]] = []
