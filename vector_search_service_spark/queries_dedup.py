@@ -270,10 +270,22 @@ WITH RECURSIVE d AS (
   SELECT doc_id, list_distinct({sql_shingles_expr(_WORDS)}) AS sh
   FROM documents WHERE doc_id < 500
 ),
-p AS (
+ex AS (SELECT doc_id, unnest(sh) AS g FROM d),
+cand AS (
+  -- Jaccard >= 0.3 > 0 requires a shared shingle (and both-empty
+  -- pairs evaluate NULL >= 0.3 = excluded either way), so brute-force
+  -- scoring only co-shingle pairs is EXACTLY the all-pairs semantics
+  -- at a fraction of the cost (the 42 s -> ~4 s oracle fix, r10)
   SELECT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM d a, d b
-  WHERE a.doc_id < b.doc_id AND {sql_jaccard_expr('a.sh', 'b.sh')} >= 0.3
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+p AS (
+  SELECT id_a, id_b
+  FROM cand
+  JOIN d da ON da.doc_id = id_a
+  JOIN d db ON db.doc_id = id_b
+  WHERE {sql_jaccard_expr('da.sh', 'db.sh')} >= 0.3
 ),
 e AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
 n AS (SELECT DISTINCT u AS node FROM e),
@@ -322,10 +334,22 @@ WITH RECURSIVE d AS (
   SELECT doc_id, list_distinct({sql_shingles_expr(_WORDS)}) AS sh
   FROM documents WHERE doc_id < 500
 ),
-p AS (
+ex AS (SELECT doc_id, unnest(sh) AS g FROM d),
+cand AS (
+  -- Jaccard >= 0.3 > 0 requires a shared shingle (and both-empty
+  -- pairs evaluate NULL >= 0.3 = excluded either way), so brute-force
+  -- scoring only co-shingle pairs is EXACTLY the all-pairs semantics
+  -- at a fraction of the cost (the 42 s -> ~4 s oracle fix, r10)
   SELECT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM d a, d b
-  WHERE a.doc_id < b.doc_id AND {sql_jaccard_expr('a.sh', 'b.sh')} >= 0.3
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+p AS (
+  SELECT id_a, id_b
+  FROM cand
+  JOIN d da ON da.doc_id = id_a
+  JOIN d db ON db.doc_id = id_b
+  WHERE {sql_jaccard_expr('da.sh', 'db.sh')} >= 0.3
 ),
 e AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
 n AS (SELECT DISTINCT u AS node FROM e),
