@@ -146,3 +146,59 @@ def test_sql_priority_encode_matches_encode_words():
         )
         got = {w: list(sl) for w, sl in con.sql(q).fetchall()}
         assert got == expected, f"merges={merges}"
+
+def test_min_word_freq_threads_into_both_oracles(spark):
+    """ADVICE r10: a caller passing min_word_freq>1 must get the SAME
+    filtered training vocab in the oracle as learn_bpe applies — and
+    the stats oracle must still ENCODE every corpus word (the engine's
+    bpe_tokens_col does not vocab-filter), so rare words are counted
+    under the filtered tokenizer rather than dropped."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from vector_search_service_spark.functions.bpe import (
+        bpe_tokens_col,
+        learn_bpe,
+        sql_bpe_stats_oracle,
+        sql_bpe_train_oracle,
+    )
+
+    texts_langs = [
+        ("aaaa aaaa baaab", "en"),
+        ("low low low lower lowest", "en"),
+        ("zz zz yz zy", "de"),
+        ("rareword appears once", "de"),   # freq-1 words: filtered from
+        ("unique", None),                  # training, still encoded
+    ]
+    docs = spark.createDataFrame(texts_langs, ["text", "lang"])
+    merges = learn_bpe(spark, docs, n_merges=10, min_word_freq=2)
+    # the filter must matter on this corpus: training differs from default
+    assert merges != learn_bpe(spark, docs, n_merges=10)
+
+    con = duckdb.connect()
+    vals = ", ".join(
+        f"('{t}', {'NULL' if g is None else repr(g)})" for t, g in texts_langs
+    )
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM (VALUES {vals}) v(text, lang)")
+
+    got_train = con.sql(sql_bpe_train_oracle(10, min_word_freq=2)).fetchall()
+    assert got_train == [(i, l, r, l + r) for i, (l, r) in enumerate(merges)]
+
+    toks = bpe_tokens_col(docs, "text", merges)
+    expected_stats = {
+        r["lang"]: (r["n_docs"], r["total_bpe_tokens"], r["avg_tokens_per_doc"])
+        for r in toks.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size("bpe_tokens")).alias("total_bpe_tokens"),
+            (F.sum(F.size("bpe_tokens")) / F.count("*")).alias("avg_tokens_per_doc"),
+        )
+        .collect()
+    }
+    # keyed compare: Spark and DuckDB disagree on NULL sort position
+    got_stats = {
+        lang: rest
+        for lang, *rest in con.sql(sql_bpe_stats_oracle(10, min_word_freq=2)).fetchall()
+    }
+    assert got_stats == {k: list(v) for k, v in expected_stats.items()}

@@ -97,16 +97,20 @@ def learn_bpe(
     # compact the iterative state: after the corpus reduction the vocab
     # is small (≤ millions of rows even at 100 TB — Heaps law), but it
     # inherits the corpus shuffle's partition count, so each of the
-    # n_merges jobs pays 32+ task launches for KB-sized work. 8
-    # partitions keeps per-iteration overhead flat while leaving
-    # map-side parallelism for a genuinely large vocabulary
+    # n_merges jobs pays 32+ task launches for KB-sized work. Order
+    # matters: localCheckpoint FIRST so the one corpus-wide reduce
+    # runs at full shuffle parallelism (a pre-checkpoint coalesce
+    # would merge into the parent stage and pin the reduce side of
+    # num_map_tasks × per-task vocab to 8 tasks), THEN coalesce(8)
+    # the materialized vocab for the KB-sized per-merge iteration jobs
     # (measured: 20.3 -> 10.5 s engine-only at sf1, identical merges).
     vocab = (
         word_freq_table(docs, text_col)
         .filter(F.col("freq") >= min_word_freq)
         .select(_symbols_col(), "freq")
+        .localCheckpoint()
         .coalesce(8)
-    ).localCheckpoint()
+    )
 
     merges: list[tuple[str, str]] = []
     for i in range(n_merges):
@@ -200,10 +204,12 @@ def _sql_words() -> str:
     return f"regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}')"
 
 
-def sql_bpe_ctes(n_merges: int) -> str:
+def sql_bpe_ctes(n_merges: int, *, min_word_freq: int = 1) -> str:
     """Shared CTE chain ``vocab0, st, merges, ranks`` (requires a
     ``WITH RECURSIVE`` prefix): trains ``n_merges`` BPE merges over the
-    ``documents`` view, bit-identically to :func:`learn_bpe`."""
+    ``documents`` view, bit-identically to :func:`learn_bpe` —
+    including its ``min_word_freq`` vocab filter, threaded here so a
+    non-default caller cannot silently diverge from the oracle."""
     o, c = _BPE_O, _BPE_C
     return f"""
 vocab0 AS (
@@ -211,6 +217,7 @@ vocab0 AS (
   FROM (SELECT unnest({_sql_words()}) AS word FROM documents)
   WHERE length(word) > 0
   GROUP BY word
+  HAVING count(*) >= {int(min_word_freq)}
 ),
 st AS (
   SELECT 0 AS it, 'v' AS kind,
@@ -304,21 +311,27 @@ enc AS (
 """.strip()
 
 
-def sql_bpe_train_oracle(n_merges: int) -> str:
+def sql_bpe_train_oracle(n_merges: int, *, min_word_freq: int = 1) -> str:
     """Oracle for ``bpe_train_merges``: the learned merge table."""
     return f"""
-WITH RECURSIVE {sql_bpe_ctes(n_merges)}
+WITH RECURSIVE {sql_bpe_ctes(n_merges, min_word_freq=min_word_freq)}
 SELECT rank, l AS "left", r AS "right", l || r AS merged
 FROM merges ORDER BY rank
 """
 
 
-def sql_bpe_stats_oracle(n_merges: int) -> str:
+def sql_bpe_stats_oracle(n_merges: int, *, min_word_freq: int = 1) -> str:
     """Oracle for ``bpe_token_stats``: per-language token counts under
     the trained tokenizer. Encode = recursive priority-merge over the
     distinct vocabulary; document totals recovered by joining word
     occurrences back to per-word token counts (the encode is per-word
     independent, exactly like :func:`encode_words`).
+
+    ``min_word_freq`` filters only the TRAINING vocab (mirroring
+    :func:`learn_bpe`); the encode side always covers every corpus
+    word, because the engine's :func:`bpe_tokens_col` encodes whatever
+    the documents contain — so when the filter is active the encode
+    CTE gets its own unfiltered word list.
 
     Batched step (faithfulness argument): let P = (l, r) be the
     minimum-rank pair present in a word and m = l||r its merged
@@ -337,9 +350,19 @@ def sql_bpe_stats_oracle(n_merges: int) -> str:
     pathological repeated-char word (~n/2 steps) into ~1 step per
     applied merge rank. Fallback + batch both pinned against
     encode_words in tests/test_bpe.py."""
+    if min_word_freq <= 1:
+        enc_words_cte, enc_words_name = "", "vocab0"
+    else:
+        enc_words_name = "encwords"
+        enc_words_cte = f"""encwords AS (
+  SELECT DISTINCT word
+  FROM (SELECT unnest({_sql_words()}) AS word FROM documents)
+  WHERE length(word) > 0
+),
+"""
     return f"""
-WITH RECURSIVE {sql_bpe_ctes(n_merges)},
-{sql_bpe_encode_ctes('vocab0')},
+WITH RECURSIVE {sql_bpe_ctes(n_merges, min_word_freq=min_word_freq)},
+{enc_words_cte}{sql_bpe_encode_ctes(enc_words_name)},
 wtok AS (SELECT word, length(sl) AS ntok FROM enc WHERE kind = 'd'),
 occf AS (
   SELECT lang, word FROM (

@@ -14,9 +14,10 @@ but at 100 TB a query that matches 0.01% of documents shouldn't read
 - **query**: filter postings to the query's lexemes (partition
   pruning / pushed IN-filter on the lexeme key → reads only those
   posting lists), count distinct matched lexemes per doc, keep docs
-  matching ALL terms (the AND semantics of P7), then join the
-  (small) matched-id set back to the corpus — broadcast, no corpus
-  shuffle — for ranking/projection.
+  matching ALL terms (the AND semantics of P7), then semi-join the
+  (usually small) matched-id set back to the corpus — AQE broadcasts
+  it at runtime when it fits, no corpus shuffle in the common case —
+  for ranking/projection.
 
 This is exactly the "semi-join against an inverted-index table" plan
 the survey sketches; no Catalyst extension needed, and the result is
@@ -92,19 +93,23 @@ def fts_search_indexed(documents: DataFrame, index: DataFrame, query: str, *,
 
     Plan: postings filtered to the query lexemes (pushed IN-filter —
     with a lexeme-partitioned index this reads only |terms| posting
-    lists) → groupBy(doc_id) count = |terms| (AND) → broadcast the
+    lists) → groupBy(doc_id) count = |terms| (AND) → semi-join the
     matched ids into the corpus scan → rank top-k on just those rows.
     The corpus is touched only for matched ids.
 
-    Broadcast-hint bound (r9 audit discipline): |matched| ≤ min
-    document-frequency over the query's analyzed terms — AND semantics
-    intersect the posting lists, and the analyzer strips stopwords, so
-    a query needs only ONE selective term for the set to be small.
-    This mirrors the reference's GIN behavior (postgres materializes
-    the intersected TID set in memory the same way). A worst-case
-    all-common-terms query degrades the hint, not correctness; callers
-    with adversarial query streams should drop to the unindexed
-    ``fts_search`` scan path."""
+    Join sizing is AQE-owned, NOT hinted (r10 broadcast-audit rule,
+    applied here by the r10 verdict): |matched| ≤ min document-
+    frequency over the query's analyzed terms, which is usually tiny —
+    but document frequency of any fixed term grows LINEARLY with the
+    corpus, so the bound is data-dependent, not corpus-independent
+    (a 1%-DF rarest term at the 100 TB design point is ~10⁸ ids), and
+    the query stream on this path is user-controlled. A forced hint
+    here would OOM the driver exactly when an adversarial/common-terms
+    query arrives; AQE sizes the aggregate output at runtime and
+    broadcasts when (and only when) it actually fits, degrading to a
+    shuffled semi-join — not a failure — when it doesn't. Mirrors the
+    reference's GIN behavior (postgres materializes the intersected
+    TID set in work_mem and likewise spills when it doesn't fit)."""
     terms = analyze_terms(query)
     if not terms:
         return documents.limit(0).select(F.col(id_col)).join(documents, id_col).limit(0)
@@ -117,7 +122,7 @@ def fts_search_indexed(documents: DataFrame, index: DataFrame, query: str, *,
     )
     toks = raw_tokens_col(F.col(text_col))
     return (
-        documents.join(F.broadcast(matched), id_col, "left_semi")
+        documents.join(matched, id_col, "left_semi")
         .withColumn("rank", tf_rank_col(toks, terms))
         .orderBy(F.col("rank").desc(), F.col(id_col).asc())
         .limit(limit)

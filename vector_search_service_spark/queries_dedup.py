@@ -272,10 +272,13 @@ WITH RECURSIVE d AS (
 ),
 ex AS (SELECT doc_id, unnest(sh) AS g FROM d),
 cand AS (
-  -- Jaccard >= 0.3 > 0 requires a shared shingle (and both-empty
-  -- pairs evaluate NULL >= 0.3 = excluded either way), so brute-force
-  -- scoring only co-shingle pairs is EXACTLY the all-pairs semantics
-  -- at a fraction of the cost (the 42 s -> ~4 s oracle fix, r10)
+  -- Jaccard >= 0.3 > 0 requires a shared shingle. Empty docs are not
+  -- a gap: sql_shingles_expr COALESCEs an empty doc to the sentinel
+  -- [''] shingle (deliberately preserved by hashing.py), so two empty
+  -- docs co-shingle on '' and score Jaccard 1.0 in BOTH the all-pairs
+  -- and the prefiltered form. Scoring only co-shingle pairs is
+  -- therefore EXACTLY the all-pairs semantics at a fraction of the
+  -- cost (the 42 s -> ~4 s oracle fix, r10)
   SELECT a.doc_id AS id_a, b.doc_id AS id_b
   FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
   GROUP BY 1, 2
@@ -336,10 +339,13 @@ WITH RECURSIVE d AS (
 ),
 ex AS (SELECT doc_id, unnest(sh) AS g FROM d),
 cand AS (
-  -- Jaccard >= 0.3 > 0 requires a shared shingle (and both-empty
-  -- pairs evaluate NULL >= 0.3 = excluded either way), so brute-force
-  -- scoring only co-shingle pairs is EXACTLY the all-pairs semantics
-  -- at a fraction of the cost (the 42 s -> ~4 s oracle fix, r10)
+  -- Jaccard >= 0.3 > 0 requires a shared shingle. Empty docs are not
+  -- a gap: sql_shingles_expr COALESCEs an empty doc to the sentinel
+  -- [''] shingle (deliberately preserved by hashing.py), so two empty
+  -- docs co-shingle on '' and score Jaccard 1.0 in BOTH the all-pairs
+  -- and the prefiltered form. Scoring only co-shingle pairs is
+  -- therefore EXACTLY the all-pairs semantics at a fraction of the
+  -- cost (the 42 s -> ~4 s oracle fix, r10)
   SELECT a.doc_id AS id_a, b.doc_id AS id_b
   FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
   GROUP BY 1, 2
