@@ -42,84 +42,84 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # (registry − ∪ CORRECTNESS_r*.json keys), oracled entries first.
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # ---- round-10 window (exactly 50), re-derived per VERDICT r9
-    # next-round #2. Derivation (docs/DRIVER_COVERAGE.md): the 19
-    # r5-era roll-over entries (the only grades older than r7 anywhere
-    # — after this round no surviving oracled grade is older than r7),
-    # then every entry whose code changed in r10 after its last grade
-    # (the broadcast-audit sweep, the semdedup bucket-cap default, the
-    # JL int64 kernel), then the queries_ann entries the r9
-    # dimension-derivation refactor touched after their r7/r8 grades,
-    # then oldest-first backfill. All 50 oracled.
-    # positions 1-19: the r5-era roll-over (docs/ROUND10_PLAN.md list,
-    # name order; star_join_by_nation is ALSO r10-code-touched)
-    "quantile_stats",
-    "reservoir_stratum_sample",
-    "rolling_avg_range_window",
-    "salted_group_agg",
-    "searchable_text",
-    "set_operations",
-    "sha_doc_id",
-    "sketch_distinct_tolerance",
-    "star_join_by_nation",
-    "stream_dedup_replay",
-    "stream_interval_join",
-    "stream_session_replay",
-    "table_profile",
-    "title_extract",
-    "topk_by_value",
-    "tpch_q1_full",
-    "validation_flags",
-    "value_outliers_zscore",
-    "window_rank_per_group",
-    # positions 20-43: r10 code-touched after their last grade — the
-    # broadcast-audit entries (hints removed / docstrings corrected;
-    # VERDICT r9 What's-wrong #1-3 + the 1d sweep), the semdedup pair
-    # (bucket-cap default derivation touched their plan helpers; the
-    # registered pins opt out but the ledger wants fresh rows), and
-    # jl_ann_topk (int64 Arrow kernel now the default path).
-    # having_semi_topk / quantized_vector_topk / ann_bucket_histogram
-    # are tier=extra but prioritized for regrade (the r6 spare-slot
-    # precedent): their code/oracle state changed or was refactored
-    # after their last grade.
-    "semi_join_resolve",
-    "scalar_subquery_avg",
-    "minhash_lsh_dedup",
-    "curate_corpus",
-    "having_join_topk",
-    "sole_fault_supplier",
-    "volume_by_nation_pair",
-    "market_share_by_year",
-    "important_part_value",
-    "small_qty_revenue",
-    "disjunctive_pushdown",
-    "profit_by_nation_year",
-    "returned_item_revenue",
-    "top_revenue_supplier",
-    "supplier_diversity_by_part",
-    "dominant_part_suppliers",
-    "correlated_min_joinback",
-    "promo_revenue_ratio",
-    "join_agg_topk",
+    # ---- round-11 window (exactly 50), re-derived per VERDICT r10
+    # next-round #1 (== docs/ROUND11_PLAN.md item 2). Derivation
+    # (docs/DRIVER_COVERAGE.md): first the FIVE oracled entries that
+    # have never had a driver-green row (all gained real oracles after
+    # the r10 window freeze), then the three entries whose code/oracle
+    # changed after their last grade (post-freeze PQ Arrow kernel;
+    # components oracle prefilter), then the three entries touched by
+    # r11 code (the postings matched-ids de-hint — VERDICT r10
+    # What's-wrong #1 — and the canonical-pick oracle comment fix),
+    # then the 34 r7-era roll-overs (the only grades older than r8
+    # anywhere), then r8 oldest-first backfill in name order. All 50
+    # oracled. After this round: every oracle-able entry has a green
+    # driver row and no surviving grade is older than r8.
+    # positions 1-5: never driver-green, now oracled (r10 post-freeze
+    # additions: SQL Porter mirror, recursive-CTE BPE train/encode,
+    # recursive-CTE cover sweep, capped-vocab LM)
+    "unigram_logprob_capped",
+    "fts_stemmed_topk",
+    "bpe_train_merges",
+    "bpe_token_stats",
+    "fts_cover_topk",
+    # positions 6-8: code/oracle changed after last grade (PQ argmin
+    # Arrow kernel landed post-freeze; dedup_components oracle gained
+    # the co-shingle candidate prefilter after its r8 grade)
+    "pq_ann_topk",
+    "ivf_pq_topk",
+    "dedup_components",
+    # positions 9-11: r11 code-touched — the postings matched-ids
+    # broadcast is now AQE-owned (hint removed in fts_search_indexed
+    # and the service postings path), and dedup_canonical_pick's
+    # oracle text changed (empty-doc rationale comment corrected)
+    "fts_indexed_topk",
+    "fts_probe_topk",
     "dedup_canonical_pick",
-    "jl_ann_topk",
-    "semdedup_prune",
-    "semdedup_multiprobe",
-    "having_semi_topk",
-    # positions 44-49: the queries_ann entries the r9 dimension-
-    # derivation refactor touched after their grades (identity
-    # refactor, locally parity-green — but the ledger discipline the
-    # repo established wants fresh driver rows; VERDICT r9 missing #1)
-    "ann_lsh_topk",
-    "quantized_vector_topk",
-    "ann_bucket_histogram",
-    "hybrid_rrf_topk",
-    "vector_topk_per_label",
-    "maxsim_topk",
-    # position 50: unigram_logprob — r10 post-audit sweep removed its
-    # vocab-LM broadcast hint AFTER the window was first frozen (code-
-    # touched outranks backfill; c4_clean_flags rolls to r11)
-    "unigram_logprob",
+    # positions 12-45: the r7-era roll-over (docs/DRIVER_COVERAGE.md
+    # "Rolls to the r11 window", name order; several are tier=extra
+    # and rotate via spare slots per the r6 precedent)
+    "asof_forward_events",
+    "c4_clean_flags",
+    "ccnet_ppl_buckets",
+    "cube_counts",
+    "domain_capped_reservoir",
+    "domain_top_k",
+    "embedding_dim_stats",
+    "events_progress",
+    "events_retention_filter",
+    "events_sessions",
+    "events_sliding_2h",
+    "events_status_filter",
+    "exact_correlation",
+    "json_props_stats",
+    "mixture_token_sample",
+    "multi_distinct_agg",
+    "ntile_shards",
+    "outer_count_distribution",
+    "pivot_status_counts",
+    "range_shards",
+    "repetition_signals",
+    "rollup_counts",
+    "sequence_pack_spans",
+    "sketch_heavy_hitters",
+    "sketch_quantile_tolerance",
+    "sketch_topk_exact_when_small",
+    "temperature_mixture_alloc",
+    "token_count",
+    "token_entropy",
+    "trigram_kn_logprob",
+    "value_histogram",
+    "variant_props_stats",
+    "window_lead_lag_cumsum",
+    "winsorized_value_stats",
+    # positions 46-50: r8 oldest-first backfill, canonical entries in
+    # name order
+    "abandoned_first_view",
+    "bm25_topk",
+    "boilerplate_ngrams",
+    "cep_abandon_stream",
+    "cep_funnel_stream",
     # ---- end of the 50-entry window ----
     # Rows-only canonical entries stay OUT of the window: the driver
     # has twice demonstrated (r1/r2 `no_oracle` rows) that it errors
