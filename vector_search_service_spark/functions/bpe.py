@@ -253,7 +253,11 @@ st AS (
   )
 ),
 merges AS (SELECT CAST(it - 1 AS INT) AS rank, l, r FROM st WHERE kind = 'm'),
-ranks AS (SELECT l, r, max(rank) AS rank FROM merges GROUP BY l, r)
+-- MATERIALIZED is load-bearing: the encode recursion joins ranks in
+-- EVERY step, and DuckDB inlines plain CTEs — the whole TRAINING
+-- recursion would re-run once per encode iteration (measured 7.7 s
+-- -> 0.6 s at sf0.1, bit-identical; docs/ROUND11.md)
+ranks AS MATERIALIZED (SELECT l, r, max(rank) AS rank FROM merges GROUP BY l, r)
 """.strip()
 
 

@@ -126,13 +126,17 @@ def sql_cover_rank_oracle(query: str, *, limit: int = 10) -> str:
         f"CASE WHEN isfull AND p{i} = strt THEN NULL ELSE p{i} END AS p{i}, s{i}"
         for i in ids
     )
+    # AS MATERIALIZED on the recursion inputs is load-bearing: DuckDB
+    # inlines plain CTEs, so `pos` (joined in EVERY recursive step)
+    # would re-tokenize the corpus once per iteration — measured 7.1 s
+    # -> 0.3 s at sf0.1 (25x), bit-identical output (docs/ROUND11.md).
     return f"""
-WITH RECURSIVE dtoks AS (
+WITH RECURSIVE dtoks AS MATERIALIZED (
   SELECT doc_id, regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}') AS toks
   FROM documents
 ),
-m AS (SELECT doc_id, toks FROM dtoks WHERE {match}),
-pos AS (
+m AS MATERIALIZED (SELECT doc_id, toks FROM dtoks WHERE {match}),
+pos AS MATERIALIZED (
   SELECT doc_id, i AS pos, toks[i] AS term,
          row_number() OVER (PARTITION BY doc_id ORDER BY i) AS seq
   FROM (SELECT doc_id, toks, unnest(generate_series(1, length(toks))) AS i FROM m)

@@ -266,7 +266,11 @@ def q_embedding_near_dup(spark, sf_dir):
     survey_ref="extension: dedup cluster assignment (connected components)",
     tags=("dedup",),
     oracle=f"""
-WITH RECURSIVE d AS (
+WITH RECURSIVE d AS MATERIALIZED (
+  -- MATERIALIZED: d is referenced twice (cand joins it per side) and e
+  -- feeds the reach recursion; DuckDB inlines plain CTEs, so the whole
+  -- shingle/Jaccard pipeline would re-run per reference / per recursive
+  -- step (measured 10.7 s -> 1.8 s at sf0.1, bit-identical; ROUND11.md)
   SELECT doc_id, list_distinct({sql_shingles_expr(_WORDS)}) AS sh
   FROM documents WHERE doc_id < 500
 ),
@@ -290,7 +294,7 @@ p AS (
   JOIN d db ON db.doc_id = id_b
   WHERE {sql_jaccard_expr('da.sh', 'db.sh')} >= 0.3
 ),
-e AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
+e AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
 n AS (SELECT DISTINCT u AS node FROM e),
 reach(node, m) AS (
   SELECT node, node FROM n
@@ -333,7 +337,11 @@ _CANON_Q = _sqse("documents.text", _CANON_WORDS)
     survey_ref="extension: canonical-document selection (keep-best per dup cluster)",
     tags=("dedup", "textan"),
     oracle=f"""
-WITH RECURSIVE d AS (
+WITH RECURSIVE d AS MATERIALIZED (
+  -- MATERIALIZED: d is referenced twice (cand joins it per side) and e
+  -- feeds the reach recursion; DuckDB inlines plain CTEs, so the whole
+  -- shingle/Jaccard pipeline would re-run per reference / per recursive
+  -- step (measured 10.7 s -> 1.8 s at sf0.1, bit-identical; ROUND11.md)
   SELECT doc_id, list_distinct({sql_shingles_expr(_WORDS)}) AS sh
   FROM documents WHERE doc_id < 500
 ),
@@ -357,7 +365,7 @@ p AS (
   JOIN d db ON db.doc_id = id_b
   WHERE {sql_jaccard_expr('da.sh', 'db.sh')} >= 0.3
 ),
-e AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
+e AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
 n AS (SELECT DISTINCT u AS node FROM e),
 reach(node, m) AS (
   SELECT node, node FROM n
