@@ -330,6 +330,17 @@ class Catalog:
                     f"{stats['bad_dim']} of {stats['n']} rows differ"
                 )
             n = stats["n"]
+            # size the write fan-out from the row count we already
+            # have: an API-capped mutation batch (<=50 docs) must not
+            # append one near-empty file per shuffle partition — 40
+            # batches at 32 partitions is 1280 stub files, and probe
+            # latency on the maintained postings was MEASURED doubling
+            # after just 10 such batches (scripts/postings_scale.py).
+            # ~100k docs per file keeps bulk ingest parallel (1e9 docs
+            # -> 10k writers) while a small batch appends exactly one
+            # file. coalesce on the checkpointed rows is narrow.
+            n_files = max(1, min(out.rdd.getNumPartitions(), -(-n // 100_000)))
+            out = out.coalesce(n_files)
             out.write.mode("append").partitionBy("collection_id").parquet(self.documents_path)
             if self.postings is not None:
                 # same materialized rows as the parquet append (out
