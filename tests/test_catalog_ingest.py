@@ -384,3 +384,79 @@ def test_add_documents_evaluates_nondeterministic_input_once(catalog, spark):
     stored = catalog.documents("nd").count()
     assert stored == n  # validated count == written count, same draw
     assert catalog.collection_stats("nd")["document_count"] == stored
+
+
+def test_readers_stay_live_during_mutations(catalog, spark):
+    """r10 verdict next-round #6: the versioned-pointer flip promises a
+    LIVE catalog at every instant, and document readers must not
+    serialize behind the mutation mutex. Two pins in one interleave:
+
+    (a) while a mutator loops create_collection (each one a full
+        collections rewrite + pointer flip), catalog readers must never
+        observe a missing/partial catalog — every read succeeds and
+        always sees the seed collection;
+    (b) while a long upsert rewrites collection A's partition, readers
+        of the catalog AND of collection B's documents (untouched by
+        the dynamic overwrite) keep making progress — reads COMPLETE
+        strictly inside the mutation window, proving they don't queue
+        on the catalog mutex the mutation holds.
+    """
+    import threading
+    import time
+
+    def rows(lo, hi):
+        return spark.createDataFrame(
+            [(f"d{i}", f"content {i}", {}, None, None) for i in range(lo, hi)],
+            "document_id string, content string, "
+            "doc_metadata map<string,string>, "
+            "content_lexemes array<string>, embedding array<float>",
+        )
+
+    catalog.create_collection("seed")
+    catalog.create_collection("bee")
+    catalog.add_documents("seed", rows(0, 120))
+    catalog.add_documents("bee", rows(0, 30))
+
+    stop = threading.Event()
+    errs: list[Exception] = []
+    read_windows: list[tuple[float, float]] = []
+
+    def reader():
+        while not stop.is_set():
+            t0 = time.monotonic()
+            try:
+                assert catalog.get_collection("seed") is not None
+                names = {c["name"] for c in catalog.list_collections()}
+                assert {"seed", "bee"} <= names
+                assert catalog.documents("bee").count() == 30
+            except Exception as e:  # pragma: no cover - failure reporting
+                errs.append(e)
+                return
+            read_windows.append((t0, time.monotonic()))
+
+    readers = [threading.Thread(target=reader) for _ in range(2)]
+    for t in readers:
+        t.start()
+    try:
+        # (a) catalog rewrites + pointer flips under live readers
+        for i in range(5):
+            catalog.create_collection(f"flip{i}")
+        # (b) one long document mutation (holds the catalog mutex)
+        m0 = time.monotonic()
+        catalog.upsert_documents("seed", rows(100, 150))
+        m1 = time.monotonic()
+    finally:
+        stop.set()
+        for t in readers:
+            t.join()
+
+    assert not errs
+    # liveness floor: at least one full read completed strictly inside
+    # the mutation window — readers were never queued behind the mutex
+    inside = [w for w in read_windows if w[0] >= m0 and w[1] <= m1]
+    assert inside, (
+        f"no reader completed inside the {m1 - m0:.1f}s mutation window "
+        f"({len(read_windows)} total reads)"
+    )
+    # the upsert itself is correct under the concurrent read load
+    assert catalog.documents("seed").count() == 150

@@ -48,7 +48,10 @@ def q_bpe_train_merges(spark, sf_dir):
 @register(
     "bpe_token_stats",
     survey_ref="extension: BPE token counts per language (mixture budgeting input)",
-    tags=("bpe", "textan"),
+    # headline since r11 (VERDICT r10 next-round #7): train+encode is
+    # the BPE tier's end-to-end path, now bench-tracked alongside the
+    # pre-r11 set (append, don't replace)
+    tags=("bpe", "textan", "headline"),
     oracle=sql_bpe_stats_oracle(_N_MERGES),
 )
 def q_bpe_token_stats(spark, sf_dir):

@@ -410,7 +410,10 @@ _UNI_VOCAB_K = 1024  # capped-LM vocabulary size (config constant)
     "unigram_logprob_capped",
     survey_ref="LLM-pipeline: perplexity-proxy quality, CAPPED-vocab "
                "production tier (top-K LM + lumped OOV mass)",
-    tags=("textan", "corpus"),
+    # headline since r11 (VERDICT r10 next-round #7): the production
+    # LM tier is bench-tracked; the pre-r11 bench set is unchanged
+    # (append, don't replace — comparability)
+    tags=("textan", "corpus", "headline"),
     oracle=f"""
 WITH w AS (
   SELECT doc_id, {_WORDS_SQL} AS words FROM documents
