@@ -44,9 +44,9 @@ def _fts_topk_oracle() -> str:
 )
 def q_fts_indexed_topk(spark, sf_dir):
     """Index-accelerated FTS: build the (lexeme, doc_id) posting table,
-    AND-match through it, broadcast matched ids into the corpus scan,
-    rank top-k. Same oracle as fts_topk — the access path must be
-    invisible in the results."""
+    AND-match through it, semi-join matched ids into the corpus scan
+    (AQE-owned sizing — r11 de-hint), rank top-k. Same oracle as
+    fts_topk — the access path must be invisible in the results."""
     from .queries_reference import FTS_QUERY
 
     docs = load_table(spark, sf_dir, "documents")
