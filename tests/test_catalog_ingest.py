@@ -460,3 +460,64 @@ def test_readers_stay_live_during_mutations(catalog, spark):
     )
     # the upsert itself is correct under the concurrent read load
     assert catalog.documents("seed").count() == 150
+
+
+def test_postings_compact_preserves_matches_and_shrinks_files(spark, tmp_path):
+    """PostingsStore.compact (the autovacuum / GIN pending-list-merge
+    analog): after a mutation history of one-file-per-batch appends,
+    compaction must rebuild the partition into fewer files with the
+    EXACT same posting multiset — matched_ids identical for every
+    query shape, including post-compaction appends."""
+    import os
+
+    from vector_search_service_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "store"), maintain_fts_index=True)
+    cat.create_collection("kb")
+
+    def rows(lo, hi, words):
+        return spark.createDataFrame(
+            [(f"d{i}", words, {}, words.split(), None) for i in range(lo, hi)],
+            "document_id string, content string, "
+            "doc_metadata map<string,string>, "
+            "content_lexemes array<string>, embedding array<float>",
+        )
+
+    for b in range(8):  # 8 append batches -> 8+ posting files
+        cat.add_documents("kb", rows(b * 5, b * 5 + 5, f"spark shuffl batch{b}"))
+
+    coll_id = cat.get_collection("kb")["id"]
+    part = os.path.join(cat.postings.path, f"collection_id={coll_id}")
+
+    def files():
+        return [f for f in os.listdir(part) if f.endswith(".parquet")]
+
+    def matches(terms):
+        m = cat.postings.matched_ids(coll_id, terms)
+        return sorted(r["document_id"] for r in m.collect())
+
+    before_files = files()
+    assert len(before_files) >= 8
+    pins = {
+        t: matches(list(t))
+        for t in (("spark",), ("spark", "batch3"), ("batch0", "shuffl"), ("absent",))
+    }
+    n_rows = cat.postings.postings(coll_id).count()
+
+    compacted = cat.compact_index("kb")
+    assert compacted == n_rows
+    assert len(files()) == 1  # 40 docs' postings fit one size-targeted file
+    assert cat.postings.postings(coll_id).count() == n_rows
+    for t, expect in pins.items():
+        assert matches(list(t)) == expect, t
+
+    # the store stays appendable after compaction
+    cat.add_documents("kb", rows(100, 105, "spark postcompact"))
+    assert matches(["postcompact"]) == [f"d{i}" for i in range(100, 105)]
+
+    # no-op paths: unindexed catalog and index-less collection
+    plain = Catalog(spark, str(tmp_path / "plain"))
+    plain.create_collection("kb")
+    assert plain.compact_index("kb") == 0
+    cat.create_collection("empty")
+    assert cat.compact_index("empty") == 0

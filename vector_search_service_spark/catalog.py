@@ -349,6 +349,19 @@ class Catalog:
             self._bump_stats(coll["id"], n)
             return n
 
+    def compact_index(self, collection_name: str) -> int:
+        """Maintenance entry point for the postings store (see
+        ``PostingsStore.compact``): rebuilds one collection's postings
+        partition into size-targeted files after a long append
+        history. Serialized on the catalog mutex like every other
+        index mutation; a no-op (returns 0) when the catalog doesn't
+        maintain an index or the collection has none yet."""
+        if self.postings is None:
+            return 0
+        coll = self._resolve(collection_name)
+        with self._mutex:
+            return self.postings.compact(coll["id"])
+
     def delete_documents(self, collection_name: str, document_ids: list[str]) -> int:
         """S6 — targeted delete via anti-join, rewriting ONLY the one
         collection partition (dynamic overwrite keeps every other

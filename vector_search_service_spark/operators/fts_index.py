@@ -186,6 +186,35 @@ class PostingsStore:
                 .write.mode("append").partitionBy("collection_id").parquet(self.path)
             )
 
+    def compact(self, collection_id: int, *, rows_per_file: int = 4_000_000) -> int:
+        """Maintenance compaction — the autovacuum / GIN fastupdate
+        pending-list-merge analog. Appends are sized one file per
+        mutation batch (catalog.add_documents derives the fan-out from
+        the batch row count), so a long mutation history accumulates
+        one small file per batch; compacting rebuilds the collection's
+        postings partition at ``max(1, n/rows_per_file)`` files.
+        Returns the posting row count. The live rows are MATERIALIZED
+        (localCheckpoint) before the partition directory is deleted —
+        the rewrite never reads the files it is replacing."""
+        import os
+        import shutil
+
+        idx = self.postings(collection_id)
+        if idx is None:
+            return 0
+        rows = idx.localCheckpoint()
+        n = rows.count()
+        shutil.rmtree(
+            os.path.join(self.path, f"collection_id={collection_id}"),
+            ignore_errors=True,
+        )
+        (
+            rows.coalesce(max(1, -(-n // rows_per_file)))
+            .withColumn("collection_id", F.lit(collection_id).cast("long"))
+            .write.mode("append").partitionBy("collection_id").parquet(self.path)
+        )
+        return n
+
     def postings(self, collection_id: int) -> DataFrame | None:
         import os
 
