@@ -13,7 +13,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 NOTES = {
     "fts_topk": "no Exchange anywhere; match+rank inside the scan stage; TakeOrderedAndProject top-k.",
-    "fts_indexed_topk": "postings filtered by a pushed IN-filter; matched ids broadcast back into the corpus scan.",
+    "fts_indexed_topk": "postings filtered by a pushed IN-filter; matched-ids semi-join AQE-owned (r11 de-hint: |matched| scales with term document frequency) — broadcast at this scale by runtime size, shuffled semi-join at 100 TB.",
     "vector_topk": "codegen'd cosine fold over the scan; TakeOrderedAndProject; zero shuffle.",
     "join_agg_topk": "customer side AQE-owned (r10 audit — a 1/5 slice of an SF-scaling table): broadcast at this scale by size, shuffled hash at 100 TB; one Exchange for the groupBy; top-k merge.",
     "star_join_by_nation": "only the SF-invariant region~nation chain keeps forced broadcasts; the customer-sized dims side is AQE-owned (r10 audit). Fact table shuffles once (final rollup).",
