@@ -120,6 +120,17 @@ def main() -> int:
     print(f"probe post-mutation ({nfiles} posting files): "
           f"matched_ids {m1:.2f}s ({n1} ids), indexed top-k {q1:.2f}s ({k1} rows)")
 
+    # -- 3. compaction (the autovacuum analog) ----------------------------
+    t0 = time.time()
+    n_post = cat.compact_index("corpus")
+    wall_c = time.time() - t0
+    nfiles_c = sum(len(fs) for _, _, fs in os.walk(cat.postings.path))
+    m2, n2, q2, k2 = probe(cat)
+    assert (n2, k2) == (n1, k1), "compaction changed results"
+    print(f"compact: {wall_c:.2f}s ({n_post} posting rows, "
+          f"{nfiles} -> {nfiles_c} files); probe post-compact: "
+          f"matched_ids {m2:.2f}s, indexed top-k {q2:.2f}s")
+
     shutil.rmtree(root0, ignore_errors=True)
     shutil.rmtree(root, ignore_errors=True)
     return 0

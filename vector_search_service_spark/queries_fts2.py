@@ -69,10 +69,11 @@ def q_fts_probe_topk(spark, sf_dir):
     bench number mostly measures the build. This entry probes a
     PRE-BUILT lex_bucket-partitioned postings store — build happens
     once per (sf_dir) into ``.cache/`` (bench's warm-up pass pays it;
-    timed runs measure prune → probe → broadcast-rerank only, the
+    timed runs measure prune → probe → semi-join rerank only, the
     steady-state cost a serving engine pays). Plan: partition-pruned
     posting scan (|buckets(terms)| of 64 directories) → AND-match
-    groupBy → matched ids broadcast into the corpus scan → top-k."""
+    groupBy → matched-ids semi-join into the corpus scan (AQE-owned
+    sizing, r11 de-hint) → top-k."""
     import os
 
     from .operators.fts_index import read_posting_lists, write_inverted_index
