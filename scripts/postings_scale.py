@@ -114,8 +114,14 @@ def main() -> int:
           f"mean {sum(walls) / len(walls):.2f}s, p50 {walls_s[len(walls) // 2]:.2f}s, "
           f"max {walls_s[-1]:.2f}s, first {walls[0]:.2f}s, last {walls[-1]:.2f}s")
 
-    # posting-store file census (the growth the probe has to read)
-    nfiles = sum(len(fs) for _, _, fs in os.walk(cat.postings.path))
+    # posting-store file census (the growth the probe has to read) —
+    # LIVE snapshot only (superseded versions are retained one cycle
+    # for reader grace and are not part of any probe's scan)
+    def live_files() -> int:
+        d = cat.postings.live_dir(cat.get_collection("corpus")["id"])
+        return len([f for f in os.listdir(d) if f.endswith(".parquet")])
+
+    nfiles = live_files()
     m1, n1, q1, k1 = probe(cat)
     print(f"probe post-mutation ({nfiles} posting files): "
           f"matched_ids {m1:.2f}s ({n1} ids), indexed top-k {q1:.2f}s ({k1} rows)")
@@ -124,7 +130,7 @@ def main() -> int:
     t0 = time.time()
     n_post = cat.compact_index("corpus")
     wall_c = time.time() - t0
-    nfiles_c = sum(len(fs) for _, _, fs in os.walk(cat.postings.path))
+    nfiles_c = live_files()
     m2, n2, q2, k2 = probe(cat)
     assert (n2, k2) == (n1, k1), "compaction changed results"
     print(f"compact: {wall_c:.2f}s ({n_post} posting rows, "

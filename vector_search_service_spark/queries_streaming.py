@@ -89,9 +89,64 @@ ORDER BY user_id, session_start_ms
 def q_events_sessions(spark, sf_dir):
     """Per-user 30-minute-gap sessionization via native
     ``session_window``; the oracle is the classic gaps-and-islands
-    rewrite (lag → flag → cumulative sum), independently implemented."""
+    rewrite (lag → flag → cumulative sum), independently implemented.
+
+    NOTE: the result is O(corpus) (one row per session — 9.55M rows at
+    sf10), which is fine for the engine (linear, 8.9 s at sf10) but
+    makes GRADING wall-dominated by result hashing at big SF
+    (docs/ROUND11.md §15). Big-SF sweeps grade the bounded sibling
+    ``events_sessions_topk`` instead (identical sessionization plan,
+    O(k) result)."""
     ev = load_table(spark, sf_dir, "events")
     return session_windows(ev, gap="30 minutes").orderBy("user_id", "session_start_ms")
+
+
+@register(
+    "events_sessions_topk",
+    survey_ref="extension: session windows (§2.10), bounded-output grading tier",
+    tags=("streaming",),
+    oracle="""
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+s AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM o
+),
+g AS (
+  SELECT user_id,
+         CAST(epoch_ms(min(ts)) AS BIGINT) AS session_start_ms,
+         CAST(epoch_ms(max(ts) + INTERVAL 30 MINUTE) AS BIGINT) AS session_end_ms,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM s GROUP BY user_id, session_no
+)
+SELECT * FROM g
+ORDER BY n_events DESC, user_id, session_start_ms LIMIT 1000
+""",
+)
+def q_events_sessions_topk(spark, sf_dir):
+    """``events_sessions`` with a bounded result (r11 verdict
+    next-round #5): the FULL corpus is sessionized by the identical
+    ``session_window`` plan — the engine work doesn't shrink — but
+    only the top-1000 busiest sessions are returned, so oracle
+    grading at sf10 hashes 1000 rows instead of 9.55M. Total order:
+    (user_id, session_start_ms) is unique per session, so the
+    (n_events DESC, user_id, session_start_ms) sort is deterministic.
+    At scale this is TakeOrderedAndProject over the session aggregate
+    — no full sort, no corpus-sized collect."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        session_windows(ev, gap="30 minutes")
+        .orderBy(F.col("n_events").desc(), "user_id", "session_start_ms")
+        .limit(1000)
+    )
 
 
 @register(
