@@ -753,3 +753,60 @@ def test_postings_snapshot_grace_for_inflight_readers(indexed_cat):
     cat.compact_index("kb")
     # two mutations later: the old snapshot is pruned
     assert not os.path.isdir(old_dir)
+
+
+def test_postings_incremental_compact_links_full_files(spark, tmp_path):
+    """compact_incremental is the pending-list merge: only small
+    (per-batch) files are read+merged; full files are HARDLINKED into
+    the new snapshot (same inode — zero data movement), so the auto
+    trigger's cost is O(pending rows), never O(collection)."""
+    import os
+
+    from vector_search_service_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "store"), maintain_fts_index=True)
+    cat.create_collection("kb")
+    # base corpus (one bigger file after a full compact)
+    cat.add_documents("kb", _kb_rows(
+        spark, 0, 40, "spark shuffle exchange partition base " * 4))
+    coll_id = cat.get_collection("kb")["id"]
+    assert cat.compact_index("kb") > 0  # full compact -> 1 file
+    live = cat.postings.live_dir(coll_id)
+    [big] = [f for f in os.listdir(live) if f.endswith(".parquet")]
+    big_size = os.path.getsize(os.path.join(live, big))
+    big_ino = os.stat(os.path.join(live, big)).st_ino
+
+    # pending list: small append batches (strictly smaller files)
+    for b in range(4):
+        cat.add_documents("kb", _kb_rows(spark, 100 + b * 2, 102 + b * 2,
+                                         f"tiny batch{b}"))
+    live = cat.postings.live_dir(coll_id)
+    sizes = {f: os.path.getsize(os.path.join(live, f))
+             for f in os.listdir(live) if f.endswith(".parquet")}
+    assert all(s < big_size for f, s in sizes.items() if f != big)
+    pins = {t: _matches(cat, coll_id, list(t))
+            for t in (("spark", "base"), ("batch2",), ("tiny",))}
+    n_rows = cat.postings.postings(coll_id).count()
+    # exact pending-row count: the small files' rows
+    small_rows = (
+        spark.read.schema("document_id string, lexeme string")
+        .parquet(*[os.path.join(live, f) for f in sizes if f != big])
+        .count()
+    )
+
+    # merge with the threshold set between batch-file and big-file size
+    merged = cat.postings.compact_incremental(coll_id, small_bytes=big_size)
+    assert merged == small_rows
+    new_live = cat.postings.live_dir(coll_id)
+    assert new_live != live
+    new_files = [f for f in os.listdir(new_live) if f.endswith(".parquet")]
+    # the big file was linked, not copied: same name, same inode
+    assert big in new_files
+    assert os.stat(os.path.join(new_live, big)).st_ino == big_ino
+    # pending files merged down; total rows and every probe exact
+    assert len(new_files) < len(sizes)
+    assert cat.postings.postings(coll_id).count() == n_rows
+    for t, expect in pins.items():
+        assert _matches(cat, coll_id, list(t)) == expect, t
+    # nothing pending -> no-op
+    assert cat.postings.compact_incremental(coll_id, small_bytes=big_size) in (0,)

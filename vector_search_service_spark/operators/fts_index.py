@@ -317,14 +317,15 @@ class PostingsStore:
 
     def compact(self, collection_id: int, *,
                 rows_per_file: int | None = None) -> int:
-        """Maintenance compaction — the autovacuum / GIN fastupdate
-        pending-list-merge analog. Appends are sized one file per
-        mutation batch, so a long mutation history accumulates one
-        small file per batch; compacting rewrites the snapshot at
-        ``max(1, n/rows_per_file)`` files. Returns the posting row
-        count. Reads the live snapshot's immutable files and writes
-        v{n+1} — the live version is never deleted before the pointer
-        flip, so a crash at any instant leaves a complete index."""
+        """FULL maintenance compaction (defrag) — rewrites the whole
+        snapshot at ``max(1, n/rows_per_file)`` files. Returns the
+        posting row count. Reads the live snapshot's immutable files
+        and writes v{n+1} — the live version is never deleted before
+        the pointer flip, so a crash at any instant leaves a complete
+        index. Cost is O(collection postings): right for an explicit
+        ``compact_index`` maintenance call, wrong as the per-append
+        cadence at scale — ``compact_incremental`` below is the
+        pending-list merge the auto trigger uses."""
         rows_per_file = rows_per_file or self.ROWS_PER_FILE
         idx = self.postings(collection_id)
         if idx is None:
@@ -332,6 +333,61 @@ class PostingsStore:
         n = idx.count()
         self._write_snapshot(
             collection_id, idx.coalesce(max(1, -(-n // rows_per_file))))
+        return n
+
+    def compact_incremental(self, collection_id: int, *,
+                            small_bytes: int | None = None) -> int:
+        """Incremental compaction — the true autovacuum / GIN
+        fastupdate PENDING-LIST merge: only the small (per-batch)
+        files are read and merged; every already-full file is
+        HARDLINKED into the new snapshot (parquet files here are
+        immutable — appends add files, never modify them — and prune
+        only unlinks names, so links are safe). Cost is therefore
+        O(pending small-file rows) + O(#full files) metadata, NOT
+        O(collection): at 100 TB a billion-row collection's postings
+        are never rewritten just because 64 fifty-doc API batches
+        landed. Re-merged output that is still under the size
+        threshold gets merged again on a later trigger — the classic
+        LSM geometric amortization, O(log) rewrites per posting row.
+        Returns the number of merged (small-file) rows; 0 = nothing
+        to do. Same crash contract as every snapshot write: v{n+1} is
+        complete before the pointer flips."""
+        import os
+        import shutil
+
+        live = self.live_dir(collection_id)
+        if live is None:
+            return 0
+        small = small_bytes or self.SMALL_FILE_BYTES
+        parts = [f for f in os.listdir(live) if f.endswith(".parquet")]
+        smalls = [f for f in parts
+                  if os.path.getsize(os.path.join(live, f)) < small]
+        if len(smalls) <= 1:
+            return 0
+        bigs = [f for f in parts if f not in set(smalls)]
+        merged = (
+            self.spark.read.schema("document_id string, lexeme string")
+            .parquet(*[os.path.join(live, f) for f in smalls])
+        )
+        n = merged.count()
+        cur = self._current_version(collection_id)
+        nxt = self._next_version(cur)
+        nxt_dir = os.path.join(self._coll_dir(collection_id), nxt)
+        # 1. Spark writes the merged pending rows as v{n+1} (overwrite
+        #    clears any torn leftover from a crashed earlier attempt)
+        merged.coalesce(max(1, -(-n // self.ROWS_PER_FILE))).write.mode(
+            "overwrite").parquet(nxt_dir)
+        # 2. link the untouched full files in (copy if cross-device);
+        #    Spark part-file names embed a per-job UUID, no collisions
+        for f in bigs:
+            src, dst = os.path.join(live, f), os.path.join(nxt_dir, f)
+            try:
+                os.link(src, dst)
+            except OSError:
+                shutil.copy2(src, dst)
+        # 3. atomic flip + grace prune — identical to every other path
+        self._flip(collection_id, nxt)
+        self._prune(collection_id, {nxt} | ({cur} if cur else set()))
         return n
 
     def small_file_count(self, collection_id: int,
@@ -355,15 +411,17 @@ class PostingsStore:
         """Auto-compaction cadence (r11 verdict next-round #4): called
         by ``catalog.add_documents`` after every postings append, so a
         1000-batch mutation history keeps a bounded file count without
-        operator intervention. Compacts when the live snapshot holds
-        ≥ ``max_small_files`` small files; returns the compacted row
+        operator intervention. Merges when the live snapshot holds
+        ≥ ``max_small_files`` small files; returns the merged row
         count (0 = no compaction). Small-file-gated so a large, fully
         compacted snapshot (whose ceil(n/ROWS_PER_FILE) legitimately
         exceeds the threshold in FULL files) never re-compacts on
-        every batch."""
+        every batch — and INCREMENTAL (pending-list merge, full files
+        hardlinked), so the trigger's cost is O(pending rows), never
+        O(collection)."""
         threshold = max_small_files or self.AUTO_COMPACT_SMALL_FILES
         if self.small_file_count(collection_id) >= threshold:
-            return self.compact(collection_id)
+            return self.compact_incremental(collection_id)
         return 0
 
     def postings(self, collection_id: int) -> DataFrame | None:
