@@ -30,6 +30,9 @@ ENTRIES = [
     "semdedup_multiprobe",  # r8: high-B multi-probe tier, same corpus
     "duplicate_span_extract",  # r8: exact-substring cut-list
     "semantic_decontaminate",  # r8: dense eval screen
+    "fts_phrase_topk",  # r12: phrase present in corpus vocabulary
+    "fts_phrase_indexed_topk",  # r12: same phrase through the postings path
+    "containment_dedup",  # r12: planted exact dups score containment 1.0
 ]
 
 

@@ -1,0 +1,139 @@
+"""Edge pins for the two r12 additions: the phrase kernel
+(``fts_phrase_topk`` — PostgreSQL phraseto_tsquery/FOLLOWED-BY parity
+on the 'simple'-config verbatim stream) and asymmetric containment
+dedup (``containment_dedup``). The registry oracle parity runs in
+test_oracle_parity.py; these tests pin the semantics the corpus
+cannot exercise (overlapping occurrences, short docs, punctuation
+normalization, asymmetry, the empty-doc sentinel)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vector_search_service_spark.functions.analysis import (
+    phrase_count_col,
+    phrase_terms,
+    sql_phrase_count_expr,
+    sql_verbatim_tokens_expr,
+    verbatim_tokens_col,
+)
+
+
+def _counts(spark, texts, phrase):
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    terms = phrase_terms(phrase)
+    w = verbatim_tokens_col(F.col("text"))
+    return [
+        r["n"]
+        for r in df.select(phrase_count_col(w, terms).alias("n")).collect()
+    ]
+
+
+def test_phrase_count_basic_and_edges(spark):
+    texts = [
+        "a hash join x hash join hash",  # two occurrences
+        "hash join",                      # doc == phrase
+        "join hash",                      # reversed: no match
+        "hash",                           # shorter than phrase
+        "",                               # empty doc
+        "the hash the join",              # stopwords PRESERVED: gap breaks adjacency
+        "Hash, JOIN!",                    # case/punct normalization still matches
+    ]
+    assert _counts(spark, texts, "hash join") == [2, 1, 0, 0, 0, 0, 1]
+
+
+def test_phrase_overlapping_occurrences_counted(spark):
+    # positions may overlap: 'hash hash hash' contains 'hash hash' twice
+    assert _counts(spark, ["hash hash hash"], "hash hash") == [2]
+
+
+def test_phrase_empty_phrase_matches_nothing(spark):
+    # empty-tsquery parity: no terms -> count 0 everywhere
+    assert _counts(spark, ["anything at all"], " ... ") == [0]
+
+
+def test_phrase_sql_mirror_bit_identical(spark, duck):
+    """The DuckDB mirror must agree with the Spark kernel on the same
+    adversarial strings (the oracle-parity sweep only sees corpus
+    text)."""
+    texts = [
+        "a hash join x hash join hash",
+        "hash join",
+        "join hash",
+        "hash",
+        "",
+        "hash hash hash join join",
+        "  hash   join  ",
+        "0hash join9 hash join",
+    ]
+    phrase = "hash join"
+    spark_n = _counts(spark, texts, phrase)
+    terms = phrase_terms(phrase)
+    duck_n = []
+    for t in texts:
+        lit = "'" + t.replace("'", "''") + "'"
+        row = duck.sql(
+            f"SELECT {sql_phrase_count_expr('w', terms)} AS n FROM "
+            f"(SELECT {sql_verbatim_tokens_expr(lit)} AS w)"
+        ).fetchone()
+        duck_n.append(row[0])
+    assert spark_n == duck_n
+
+
+def _containment(spark, docs):
+    """Run the containment query body over an in-memory corpus (the
+    registry entry binds the documents table; this mirrors its exact
+    pipeline via the registry fn against a temp view-free path)."""
+    from vector_search_service_spark.functions.hashing import (
+        shingles_col,
+        words_col,
+    )
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    d = df.select(
+        "doc_id",
+        F.array_distinct(shingles_col(words_col(F.col("text")))).alias("sh"),
+    )
+    sizes = d.select(F.col("doc_id").alias("id_a"), F.size("sh").alias("n_a"))
+    ex = d.select("doc_id", F.explode("sh").alias("g"))
+    inter = (
+        ex.alias("a")
+        .join(ex.alias("b"), (F.col("a.g") == F.col("b.g"))
+              & (F.col("a.doc_id") != F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"),
+                 F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    rows = (
+        inter.join(sizes, "id_a")
+        .withColumn("c", F.col("n_inter").cast("double")
+                    / F.col("n_a").cast("double"))
+        .collect()
+    )
+    return {(r["id_a"], r["id_b"]): r["c"] for r in rows}
+
+
+def test_containment_is_asymmetric(spark):
+    short = "alpha beta gamma delta epsilon"
+    long = "zero one two " + short + " three four five six seven eight nine"
+    c = _containment(spark, [(1, short), (2, long)])
+    # every shingle of the short doc appears in the long doc
+    assert c[(1, 2)] == 1.0
+    # the reverse direction is well below 1 (the long doc has many
+    # shingles the short one lacks) — the inclusion fact a symmetric
+    # Jaccard threshold would have hidden entirely
+    assert c[(2, 1)] < 0.5
+
+
+def test_containment_empty_docs_pair_via_sentinel(spark):
+    # hashing.py keeps the [''] sentinel shingle for empty docs, so two
+    # empty docs contain each other exactly (1.0 both directions) —
+    # same contract the Jaccard family pins in test_edge_corpus
+    c = _containment(spark, [(1, ""), (2, ""), (3, "totally different words here")])
+    assert c[(1, 2)] == 1.0 and c[(2, 1)] == 1.0
+    assert (1, 3) not in c and (3, 1) not in c
+
+
+def test_containment_disjoint_docs_produce_no_pair(spark):
+    c = _containment(spark, [(1, "aa bb cc dd ee"), (2, "ff gg hh ii jj")])
+    assert c == {}

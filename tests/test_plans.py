@@ -859,3 +859,51 @@ def test_unigram_capped_guaranteed_broadcast_no_corpus_shuffle(spark):
         assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_phrase_topk_take_ordered_pure_codegen(spark):
+    """fts_phrase_topk (r12): the positional sweep is higher-order
+    expressions (sequence+filter+element_at), NEVER Python — and the
+    top-k is TakeOrderedAndProject, not a global sort. One corpus
+    scan; the array_contains AND prefilter evaluates before the
+    per-position sweep in the same codegen stage."""
+    from vector_search_service_spark.registry import all_queries
+
+    df = all_queries()["fts_phrase_topk"].fn(spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert has_top_k(df)
+    assert "Exchange" not in plan              # scan → filter → top-k
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "array_contains" in plan            # prefilter survived
+
+
+def test_containment_shuffles_pairs_not_shingle_arrays(spark):
+    """containment_dedup (r12): |A∩B| comes from the inverted-index
+    co-occurrence count, so the plan must contain NO array_intersect
+    (the full shingle-set arrays are never joined back) and the only
+    wide exchanges are keyed by the shingle (the pair self-join) and
+    the (id_a, id_b) count aggregate."""
+    from vector_search_service_spark.registry import all_queries
+
+    df = all_queries()["containment_dedup"].fn(spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert "array_intersect" not in plan, "set arrays joined back into pairs"
+    assert "count(1)" in plan                  # co-occurrence aggregate
+    # partial (map-side) aggregation before the pair shuffle
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_phrase_indexed_semi_join_aqe_owned_no_python(spark):
+    """fts_phrase_indexed_topk (r12): candidates arrive through a
+    left-semi join whose sizing is AQE-owned (no ResolvedHint — the
+    fts_search_indexed de-hint rule), and the positional recheck stays
+    pure-expression (no Python eval anywhere on the path)."""
+    from vector_search_service_spark.registry import all_queries
+
+    df = all_queries()["fts_phrase_indexed_topk"].fn(spark, SF_SMOKE)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in logical
+    plan = explain_str(df)
+    assert "LeftSemi" in plan or "left_semi" in plan.lower()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert has_top_k(df)

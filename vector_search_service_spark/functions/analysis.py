@@ -212,3 +212,84 @@ def sql_tf_rank_expr(tokens_sql: str, terms: list[str]) -> str:
             f"len(list_filter({tokens_sql}, x -> x = '{t}'))" for t in terms
         )
     return f"(CAST({raw} AS DOUBLE) / (CAST({raw} AS DOUBLE) + 1.0))"
+
+
+# --- phrase query (PostgreSQL phraseto_tsquery parity) ---------------------
+#
+# The reference only issues AND queries (plainto_tsquery,
+# src/core/vector_store.py:209); phrase search is the public PostgreSQL
+# sibling (phraseto_tsquery / the tsquery <-> FOLLOWED-BY operator).
+# Adjacency is defined on the VERBATIM token stream — lowercase split,
+# empties dropped, stopwords PRESERVED — i.e. the 'simple'-config
+# semantics where to_tsvector assigns consecutive positions to every
+# token. (The english-config variant keeps stopword GAPS in positions;
+# pinning that would make the score depend on the stoplist, which this
+# engine deliberately single-sources for the AND path only.)
+
+
+def phrase_terms(phrase: str) -> list[str]:
+    """Driver-side phrase analyzer: the verbatim lowercase token
+    SEQUENCE (duplicates and stopwords preserved — adjacency is
+    positional, unlike the AND-query term set of
+    :func:`analyze_terms`)."""
+    import re
+
+    return [t for t in re.split(TOKEN_SPLIT_RE, phrase.lower()) if t]
+
+
+def verbatim_tokens_col(text: Column) -> Column:
+    """Lowercased non-empty tokens, stopwords preserved — array indices
+    are the 'simple'-config tsvector positions the phrase predicate
+    matches against."""
+    return F.filter(raw_tokens_col(text), lambda t: t != F.lit(""))
+
+
+def phrase_count_col(words: Column, terms: list[str]) -> Column:
+    """Number of positions where ``terms`` occur consecutively in
+    ``words`` (the FOLLOWED-BY predicate, counted). Pure higher-order
+    functions, no Python. Empty phrase matches nothing (empty-tsquery
+    parity).
+
+    Shape matters here: the naive ``filter(sequence(1, n-k+1),
+    i -> words[i]=t0 AND …)`` form re-inlines the WHOLE ``words``
+    expression tree at every ``element_at`` — Catalyst's
+    CollapseProject substitutes the tokenizer into the lambda, so the
+    text is re-split O(len·k) times per row (measured 11× slower at
+    sf1). Instead we mark term j's hits with ONE reference to
+    ``words`` each — ``zip_with`` against the j-shifted slice — so the
+    tokenizer evaluates O(k) times per row, independent of document
+    length. Trailing positions where the shifted slice is exhausted
+    zip as NULL, the AND propagates it, and ``filter`` keeps only
+    strict TRUE — which is exactly the "phrase cannot start within
+    k-1 of the end" guard (short and empty documents count 0 for
+    free)."""
+    if not terms:
+        return F.lit(0)
+    acc = F.transform(words, lambda x: x == F.lit(terms[0]))
+    for j, t in enumerate(terms[1:], start=1):
+        shifted = F.slice(words, j + 1, F.greatest(F.size(words) - j, F.lit(0)))
+        acc = F.zip_with(acc, shifted, lambda a, x: a & (x == F.lit(t)))
+    return F.size(F.filter(acc, lambda b: b))
+
+
+def sql_verbatim_tokens_expr(text_sql: str) -> str:
+    """DuckDB expression mirroring :func:`verbatim_tokens_col`."""
+    return f"list_filter({sql_raw_tokens_expr(text_sql)}, t -> t <> '')"
+
+
+def sql_phrase_count_expr(words_sql: str, terms: list[str]) -> str:
+    """DuckDB expression mirroring :func:`phrase_count_col` (1-based
+    list indexing on both engines; DuckDB's ``range`` is end-exclusive
+    and already empty when the document is shorter than the phrase,
+    but the CASE guard is kept for symmetry with the Spark kernel)."""
+    if not terms:
+        return "0"
+    k = len(terms)
+    pred = " AND ".join(
+        f"{words_sql}[i + {j}] = '{t}'" for j, t in enumerate(terms)
+    )
+    return (
+        f"(CASE WHEN len({words_sql}) >= {k} THEN "
+        f"len(list_filter(range(1, len({words_sql}) - {k - 1} + 1), i -> {pred})) "
+        f"ELSE 0 END)"
+    )

@@ -1218,3 +1218,86 @@ from .registry import _REGISTRY as _REG8  # noqa: E402
 
 _REG8["semdedup_prune"].oracle = _semdedup_oracle()
 _REG8["semdedup_multiprobe"].oracle = _semdedup_multiprobe_oracle()
+
+
+@register(
+    "containment_dedup",
+    survey_ref="extension: asymmetric containment near-dup "
+               "(quote/boilerplate inclusion tier)",
+    tags=("dedup",),
+    oracle=f"""
+WITH d AS MATERIALIZED (
+  -- MATERIALIZED: d is referenced three times (the explode plus one
+  -- join per pair side); DuckDB inlines plain CTEs, so the shingle
+  -- pipeline would re-run per reference (dedup_components precedent)
+  SELECT doc_id, list_distinct({sql_shingles_expr(_WORDS)}) AS sh
+  FROM documents WHERE doc_id < 500
+),
+ex AS (SELECT doc_id, unnest(sh) AS g FROM d),
+cand AS (
+  -- containment >= 0.8 > 0 requires a shared shingle, so scoring only
+  -- co-shingle ORDERED pairs is exactly the all-pairs semantics
+  -- (dedup_components rationale; the sentinel [''] shingle keeps
+  -- empty docs participating, containment 1.0 both directions)
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+),
+sc AS (
+  SELECT id_a, id_b,
+         CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+           / CAST(len(da.sh) AS DOUBLE) AS c
+  FROM cand
+  JOIN d da ON da.doc_id = id_a
+  JOIN d db ON db.doc_id = id_b
+)
+SELECT id_a, id_b, round(c, 6) AS containment_r
+FROM sc WHERE c >= 0.8
+ORDER BY id_a, id_b
+""",
+)
+def q_containment_dedup(spark, sf_dir):
+    """Asymmetric shingle containment |A∩B| / |A| — the inclusion
+    tier of near-dedup: a short document quoted or wrapped inside a
+    longer one scores containment ≈ 1.0 while its symmetric Jaccard
+    (``ngram_jaccard_dedup``) stays low, so a Jaccard-only pass keeps
+    both copies. Published as the "containment" variant of shingle
+    dedup (Broder 1997 resemblance/containment); not in the reference
+    (its dedup story is the deterministic doc-id,
+    ``src/core/document_processor.py``).
+
+    Scale shape: distinct-shingle sets → explode → inverted-index
+    self-join on the shingle (shuffle keyed by shingle, never a cross
+    join). Because the per-doc shingle lists are SETS, the per-pair
+    co-occurrence count from that join IS |A∩B| — so scoring is a
+    (pair → count) aggregate plus one integer size join, and the full
+    shingle arrays never shuffle (the oracle states the same quantity
+    as ``list_intersect`` over the set columns). Every stage is
+    hash-partitioned on shingle or doc pair; candidate count is
+    bounded by co-occurrence, the same envelope the LSH tier
+    (``minhash_lsh_dedup``) samples. The ordered-pair output (A⊂B and
+    B⊂A are different facts) is what the keep-longest policy consumes
+    downstream."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    d = docs.select(
+        "doc_id",
+        F.array_distinct(shingles_col(words_col(F.col("text")))).alias("sh"),
+    )
+    sizes = d.select(F.col("doc_id").alias("id_a"), F.size("sh").alias("n_a"))
+    ex = d.select("doc_id", F.explode("sh").alias("g"))
+    inter = (
+        ex.alias("a")
+        .join(ex.alias("b"), (F.col("a.g") == F.col("b.g"))
+              & (F.col("a.doc_id") != F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"),
+                 F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    cont = F.col("n_inter").cast("double") / F.col("n_a").cast("double")
+    return (
+        inter.join(sizes, "id_a")
+        .withColumn("c", cont)
+        .filter(F.col("c") >= 0.8)
+        .select("id_a", "id_b", F.round("c", 6).alias("containment_r"))
+        .orderBy("id_a", "id_b")
+    )

@@ -550,3 +550,120 @@ def q_rerank_cross_topk(spark, sf_dir):
 
 
 _R2["rerank_cross_topk"].oracle = _rerank_oracle()
+
+
+def _phrase_oracle(phrase: str, limit: int) -> str:
+    from .functions.analysis import (
+        phrase_terms,
+        sql_phrase_count_expr,
+        sql_verbatim_tokens_expr,
+    )
+
+    terms = phrase_terms(phrase)
+    return f"""
+WITH d AS (
+  SELECT doc_id, lang, source, {sql_verbatim_tokens_expr('text')} AS w
+  FROM documents
+),
+h AS (
+  SELECT doc_id, lang, source,
+         {sql_phrase_count_expr('w', terms)} AS n_occ
+  FROM d
+)
+SELECT doc_id, lang, source, CAST(n_occ AS BIGINT) AS n_occ
+FROM h WHERE n_occ > 0
+ORDER BY n_occ DESC, doc_id ASC LIMIT {limit}
+"""
+
+
+_PHRASE = "hash join"
+
+
+@register(
+    "fts_phrase_topk",
+    survey_ref="extension: F1/F3 phrase query (phraseto_tsquery / "
+               "FOLLOWED-BY parity)",
+    tags=("fts",),
+    oracle=_phrase_oracle(_PHRASE, limit=10),
+)
+def q_fts_phrase_topk(spark, sf_dir):
+    """Exact phrase match — the positional predicate the reference's
+    AND-only FTS (plainto_tsquery, ``src/core/vector_store.py:209``)
+    cannot express: all phrase terms at CONSECUTIVE positions of the
+    verbatim token stream, ranked by occurrence count
+    (``functions/analysis.py`` phrase kernel; PostgreSQL
+    ``phraseto_tsquery('simple', …)`` semantics).
+
+    Plan: one corpus scan; an ``array_contains`` AND prefilter per
+    distinct term runs before the positional sweep, so the
+    sequence+filter kernel (the per-row O(len·k) part) evaluates only
+    on AND-matched documents — at 100 TB that candidate set comes from
+    the postings index instead (``fts_indexed_topk`` path: the
+    positional verify is a second projection over the semi-joined
+    candidates), exactly PostgreSQL's GIN recheck for phrase queries.
+    Top-k is TakeOrderedAndProject (no global sort)."""
+    from .functions.analysis import (
+        phrase_count_col,
+        phrase_terms,
+        verbatim_tokens_col,
+    )
+
+    terms = phrase_terms(_PHRASE)
+    docs = load_table(spark, sf_dir, "documents")
+    df = docs.withColumn("w", verbatim_tokens_col(F.col("text")))
+    for t in dict.fromkeys(terms):
+        df = df.filter(F.array_contains("w", F.lit(t)))
+    return (
+        df.withColumn("n_occ", phrase_count_col(F.col("w"), terms).cast("long"))
+        .filter(F.col("n_occ") > 0)
+        .select("doc_id", "lang", "source", "n_occ")
+        .orderBy(F.col("n_occ").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "fts_phrase_indexed_topk",
+    survey_ref="extension: phrase query via postings index + positional "
+               "recheck (GIN recheck parity)",
+    tags=("fts",),
+    oracle=_phrase_oracle(_PHRASE, limit=10),
+)
+def q_fts_phrase_indexed_topk(spark, sf_dir):
+    """The scale path for ``fts_phrase_topk``: the postings index
+    supplies the AND-candidate set (semi-join, AQE-owned sizing — the
+    ``fts_search_indexed`` rationale applies verbatim), then the
+    positional sweep RECHECKS adjacency on just those rows — exactly
+    how PostgreSQL executes phrase tsqueries over GIN (the index
+    stores lexemes without enough positional context, so every
+    index match is rechecked against the recomputed tsvector). Same
+    oracle as ``fts_phrase_topk``: the access path must be invisible
+    in the results. The corpus scan is touched only for candidate
+    ids; the verbatim-token index (``build_inverted_index``) contains
+    stopwords, so every phrase term prunes."""
+    from .functions.analysis import (
+        phrase_count_col,
+        phrase_terms,
+        verbatim_tokens_col,
+    )
+
+    terms = phrase_terms(_PHRASE)
+    docs = load_table(spark, sf_dir, "documents")
+    index = build_inverted_index(docs)
+    lex = list(dict.fromkeys(terms))
+    matched = (
+        index.filter(F.col("lexeme").isin(lex))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("lexeme").alias("_n"))
+        .filter(F.col("_n") == len(lex))
+        .select("doc_id")
+    )
+    w = verbatim_tokens_col(F.col("text"))
+    return (
+        docs.join(matched, "doc_id", "left_semi")
+        .withColumn("n_occ", phrase_count_col(w, terms).cast("long"))
+        .filter(F.col("n_occ") > 0)
+        .select("doc_id", "lang", "source", "n_occ")
+        .orderBy(F.col("n_occ").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
