@@ -60,6 +60,7 @@ NOTES = {
     "temperature_mixture_alloc": "r6 alpha-sampling budget: ONE corpus aggregate behind a lineage cut; all apportionment arithmetic on the |languages|-row table with broadcast totals.",
     "tfidf_pair_topk": "r6 weighted similarity join: md5-keyed TF behind a lineage cut, rare-term self-join for candidates (never all-pairs), numerator join keyed on doc ids; TakeOrdered top-20.",
     "fts_phrase_topk": "r12 phrase query: array_contains AND-prefilter and the shifted-zip_with positional sweep in ONE scan stage (no element_at-over-sequence — that form re-inlines the tokenizer per position, 11x slower at sf1); TakeOrderedAndProject; ZERO shuffles, no Python.",
+    "fts_near_topk": "r12 proximity (slop) query: AND-prefiltered candidates posexplode into (doc_id, pos) rows; equi-join on doc_id with the slop window as a post-join filter (no nested-loop); counting aggregate; top-k. Text never reaches the join.",
     "containment_dedup": "r12 inclusion-tier dedup: inverted-index self-join keyed by shingle; |A∩B| is the map-side-combined co-occurrence COUNT (no array_intersect anywhere — full shingle arrays never shuffle); integer size join + one final division.",
 }
 

@@ -33,6 +33,7 @@ ENTRIES = [
     "fts_phrase_topk",  # r12: phrase present in corpus vocabulary
     "fts_phrase_indexed_topk",  # r12: same phrase through the postings path
     "containment_dedup",  # r12: planted exact dups score containment 1.0
+    "fts_near_topk",  # r12: proximity pairs present (185 docs at sf0.01)
 ]
 
 

@@ -137,3 +137,56 @@ def test_containment_empty_docs_pair_via_sentinel(spark):
 def test_containment_disjoint_docs_produce_no_pair(spark):
     c = _containment(spark, [(1, "aa bb cc dd ee"), (2, "ff gg hh ii jj")])
     assert c == {}
+
+
+def _near_counts(spark, texts, ta, tb, slop):
+    from vector_search_service_spark.functions.analysis import (
+        verbatim_tokens_col,
+    )
+
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    w = verbatim_tokens_col(F.col("text"))
+    px = (
+        docs.select("doc_id", F.posexplode(w).alias("pos0", "tok"))
+        .filter(F.col("tok").isin(ta, tb))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    )
+    a = px.filter(F.col("tok") == ta).select("doc_id", F.col("pos").alias("pa"))
+    b = px.filter(F.col("tok") == tb).select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"))
+    rows = (
+        a.join(b, (F.col("doc_id") == F.col("doc_b"))
+               & (F.abs(F.col("pa") - F.col("pb")) <= slop))
+        .groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    )
+    got = {r["doc_id"]: r["n"] for r in rows}
+    return [got.get(i, 0) for i in range(len(texts))]
+
+
+def test_near_slop_window_semantics(spark):
+    texts = [
+        "hash a b c d join",      # distance 5 == slop -> counts
+        "hash a b c d e join",    # distance 6 > slop -> no pair
+        "join x hash",            # unordered: reversed still counts
+        "hash join hash join",    # 2x2 positions, all within 5 -> 4 pairs
+        "hash only here",         # missing one term
+    ]
+    assert _near_counts(spark, texts, "hash", "join", 5) == [1, 0, 1, 4, 0]
+
+
+def test_near_matches_registry_oracle_shape(duck):
+    """The oracle's positional-postings form must agree with a hand
+    count on an adversarial doc (positions are 1-based on both
+    engines)."""
+    row = duck.sql("""
+WITH d AS (SELECT 1 AS doc_id,
+           list_filter(regexp_split_to_array(lower('join hash x x x x join'), '[^a-z0-9]+'),
+                       t -> t <> '') AS w),
+px AS (SELECT doc_id, i AS pos, w[i] AS tok
+       FROM d, unnest(range(1, len(w) + 1)) AS t(i)
+       WHERE w[i] IN ('hash', 'join'))
+SELECT count(*) FROM px a JOIN px b ON a.doc_id = b.doc_id
+WHERE a.tok = 'hash' AND b.tok = 'join' AND abs(a.pos - b.pos) <= 5
+""").fetchone()
+    # 'hash'@2: 'join'@1 (d=1) and 'join'@7 (d=5) both qualify
+    assert row[0] == 2

@@ -907,3 +907,20 @@ def test_phrase_indexed_semi_join_aqe_owned_no_python(spark):
     assert "LeftSemi" in plan or "left_semi" in plan.lower()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert has_top_k(df)
+
+
+def test_near_topk_explodes_positions_not_text(spark):
+    """fts_near_topk (r12): the array_contains AND prefilter runs
+    before the posexplode (only co-occurrence candidates explode), the
+    proximity join is plain equi-join on doc_id with the slop window
+    as a post-join filter (no BroadcastNestedLoopJoin), and nothing
+    Python touches the path."""
+    from vector_search_service_spark.registry import all_queries
+
+    df = all_queries()["fts_near_topk"].fn(spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert "Generate" in plan and "posexplode" in plan
+    assert "array_contains" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert has_top_k(df)

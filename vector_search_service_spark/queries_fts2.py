@@ -622,6 +622,90 @@ def q_fts_phrase_topk(spark, sf_dir):
     )
 
 
+_NEAR_A, _NEAR_B, _NEAR_SLOP = "hash", "join", 5
+
+
+@register(
+    "fts_near_topk",
+    survey_ref="extension: proximity query (unordered slop window — "
+               "Lucene SpanNear / match_phrase slop parity)",
+    tags=("fts",),
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, lang, source,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS w
+  FROM documents
+),
+px AS (
+  SELECT doc_id, i AS pos, w[i] AS tok
+  FROM d, unnest(range(1, len(w) + 1)) AS t(i)
+  WHERE w[i] IN ('{_NEAR_A}', '{_NEAR_B}')
+),
+pairs AS (
+  SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_pairs
+  FROM px a JOIN px b ON a.doc_id = b.doc_id
+  WHERE a.tok = '{_NEAR_A}' AND b.tok = '{_NEAR_B}'
+    AND abs(a.pos - b.pos) <= {_NEAR_SLOP}
+  GROUP BY a.doc_id
+)
+SELECT d.doc_id, lang, source, n_pairs
+FROM pairs JOIN d ON d.doc_id = pairs.doc_id
+ORDER BY n_pairs DESC, d.doc_id ASC LIMIT 10
+""",
+)
+def q_fts_near_topk(spark, sf_dir):
+    """Proximity search — the slop tier between AND (any distance) and
+    phrase (distance exactly 1, ordered): both terms within
+    ``_NEAR_SLOP`` verbatim positions, any order, ranked by the number
+    of qualifying position pairs. This is Lucene's unordered SpanNear
+    / Elasticsearch ``match_phrase`` slop semantics (PostgreSQL's
+    ``<N>`` tsquery operator is the ordered-exact-distance cousin);
+    the reference's AND-only FTS has no proximity tier.
+
+    Plan shape — deliberately DIFFERENT from the phrase sweep:
+    positions become ROWS (posexplode), which is the positional-
+    postings representation a proximity index serves at scale. An
+    ``array_contains`` AND prefilter cuts the corpus to co-occurrence
+    candidates BEFORE the explode, so only matched docs' two terms'
+    positions (a handful of (doc_id, pos) int pairs per doc — never
+    the text) reach the self-join; the join is keyed by doc_id with
+    the |Δpos| ≤ slop window as a post-join filter, then one counting
+    aggregate. At 100 TB the explode side comes straight from a
+    (lexeme, doc_id, pos) postings table pruned to the two terms —
+    the same probe contract as ``fts_probe_topk``, plus the position
+    column."""
+    from .functions.analysis import verbatim_tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = verbatim_tokens_col(F.col("text"))
+    cand = (
+        docs.withColumn("w", w)
+        .filter(F.array_contains("w", F.lit(_NEAR_A))
+                & F.array_contains("w", F.lit(_NEAR_B)))
+    )
+    px = (
+        cand.select("doc_id", F.posexplode("w").alias("pos0", "tok"))
+        .filter(F.col("tok").isin(_NEAR_A, _NEAR_B))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    )
+    a = px.filter(F.col("tok") == _NEAR_A).select("doc_id", F.col("pos").alias("pa"))
+    b = px.filter(F.col("tok") == _NEAR_B).select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"))
+    pairs = (
+        a.join(b, (F.col("doc_id") == F.col("doc_b"))
+               & (F.abs(F.col("pa") - F.col("pb")) <= _NEAR_SLOP))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+    return (
+        pairs.join(docs.select("doc_id", "lang", "source"), "doc_id")
+        .select("doc_id", "lang", "source", "n_pairs")
+        .orderBy(F.col("n_pairs").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
 @register(
     "fts_phrase_indexed_topk",
     survey_ref="extension: phrase query via postings index + positional "
