@@ -583,7 +583,7 @@ _PHRASE = "hash join"
     "fts_phrase_topk",
     survey_ref="extension: F1/F3 phrase query (phraseto_tsquery / "
                "FOLLOWED-BY parity)",
-    tags=("fts",),
+    tags=("fts", "headline"),  # headline: bench-tracked from r12
     oracle=_phrase_oracle(_PHRASE, limit=10),
 )
 def q_fts_phrase_topk(spark, sf_dir):
