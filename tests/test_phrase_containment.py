@@ -190,3 +190,83 @@ WHERE a.tok = 'hash' AND b.tok = 'join' AND abs(a.pos - b.pos) <= 5
 """).fetchone()
     # 'hash'@2: 'join'@1 (d=1) and 'join'@7 (d=5) both qualify
     assert row[0] == 2
+
+
+def test_positional_postings_probe_matches_near_topk(spark, tmp_path):
+    """The at-scale proximity path made real: write the positional
+    posting table in the lex_bucket layout, probe ONLY the two query
+    terms' buckets (partition pruning asserted), run the slop join
+    over probe rows — and the top-k must equal the registry entry's
+    scan-path answer exactly."""
+    import re
+
+    from vector_search_service_spark.operators.fts_index import (
+        build_positional_index,
+        read_posting_lists,
+        write_inverted_index,
+    )
+    from vector_search_service_spark.plans import explain_str
+    from vector_search_service_spark.registry import all_queries
+    from vector_search_service_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    path = str(tmp_path / "pos_postings")
+    write_inverted_index(build_positional_index(docs), path)
+
+    probe = read_posting_lists(spark, path, ["hash", "join"])
+    plan = explain_str(probe)
+    m = re.search(r"PartitionFilters: \[[^\]]*lex_bucket[^\]]*", plan)
+    assert m, "positional probe did not partition-prune to term buckets"
+
+    a = probe.filter(F.col("lexeme") == "hash").select("doc_id", F.col("pos").alias("pa"))
+    b = probe.filter(F.col("lexeme") == "join").select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"))
+    pairs = (
+        a.join(b, (F.col("doc_id") == F.col("doc_b"))
+               & (F.abs(F.col("pa") - F.col("pb")) <= 5))
+        .groupBy("doc_id").agg(F.count("*").alias("n_pairs"))
+    )
+    got = (
+        pairs.join(docs.select("doc_id", "lang", "source"), "doc_id")
+        .select("doc_id", "lang", "source", "n_pairs")
+        .orderBy(F.col("n_pairs").desc(), F.col("doc_id").asc())
+        .limit(10).collect()
+    )
+    want = all_queries()["fts_near_topk"].fn(spark, sf).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_positional_postings_replay_phrase_counts(spark, tmp_path):
+    """Phrase adjacency (distance exactly +1, ordered) over the SAME
+    stored positions must reproduce the expression kernel's counts —
+    i.e. the stored pos column is bit-for-bit the kernel's coordinate
+    system (1-based verbatim stream)."""
+    from vector_search_service_spark.functions.analysis import (
+        phrase_count_col,
+        verbatim_tokens_col,
+    )
+    from vector_search_service_spark.operators.fts_index import (
+        build_positional_index,
+    )
+
+    texts = ["a hash join x hash join hash", "join hash", "hash join", ""]
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    px = build_positional_index(docs)
+    a = px.filter(F.col("lexeme") == "hash").select("doc_id", F.col("pos").alias("pa"))
+    b = px.filter(F.col("lexeme") == "join").select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"))
+    stored = {
+        r["doc_id"]: r["n"]
+        for r in a.join(b, (F.col("doc_id") == F.col("doc_b"))
+                        & (F.col("pb") - F.col("pa") == 1))
+        .groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    w = verbatim_tokens_col(F.col("text"))
+    kernel = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", phrase_count_col(w, ["hash", "join"]).alias("n")).collect()
+    }
+    for i in range(len(texts)):
+        assert stored.get(i, 0) == kernel[i]

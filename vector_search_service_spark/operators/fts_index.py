@@ -45,6 +45,39 @@ def build_inverted_index(documents: DataFrame, *, text_col: str = "text",
     )
 
 
+def build_positional_index(documents: DataFrame, *, text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Positional posting table: one ``(id, pos, lexeme)`` row per
+    token OCCURRENCE — the Lucene-style upgrade of
+    :func:`build_inverted_index` (which keeps one row per DISTINCT
+    token) that phrase and proximity queries probe directly: prune to
+    the query terms' buckets, join positions on ``id`` with the
+    adjacency/slop predicate, and the corpus text is never touched
+    except for ranking the final candidates. Positions are 1-based
+    over the verbatim stream (``analysis.verbatim_tokens_col`` —
+    lowercase, empties dropped, stopwords preserved), matching the
+    ``fts_phrase_topk`` / ``fts_near_topk`` kernels exactly.
+
+    Size: rows = corpus token count, ~3-6× the distinct-token table
+    (Zipf); same write layout (``write_inverted_index`` — the extra
+    ``pos`` column rides the lex_bucket partitioning unchanged), so a
+    probe still reads |terms| buckets. PostgreSQL ships positions
+    inside its tsvector but its GIN index drops them (hence phrase
+    RECHECK, the ``fts_phrase_indexed_topk`` path); storing them is
+    the standard positional-postings trade: ~4 extra bytes/posting
+    buys proximity queries that never rescan documents."""
+    from ..functions.analysis import verbatim_tokens_col
+
+    return (
+        documents
+        .select(F.col(id_col),
+                F.posexplode(verbatim_tokens_col(F.col(text_col)))
+                 .alias("pos0", "lexeme"))
+        .filter(F.col("lexeme") != "")
+        .select(F.col(id_col), (F.col("pos0") + 1).alias("pos"), "lexeme")
+    )
+
+
 DEFAULT_LEXEME_BUCKETS = 64
 
 
