@@ -74,6 +74,29 @@ def test_training_deterministic(spark):
     assert learn_bpe(spark, docs, n_merges=12) == learn_bpe(spark, docs, n_merges=12)
 
 
+def test_token_count_col_equals_size_of_tokens_col(spark):
+    """r12 optimization pin: the count-only encode path
+    (bpe_token_count_col — what bpe_token_stats aggregates) must equal
+    size(bpe_tokens_col) row for row, including empty/None texts."""
+    from vector_search_service_spark.functions.bpe import bpe_token_count_col
+
+    docs = load_table(spark, SF, "documents").limit(80).select("doc_id", "text")
+    docs = docs.unionByName(spark.createDataFrame(
+        [(10_001, ""), (10_002, None), (10_003, "a a a aa ab ba")],
+        "doc_id long, text string",
+    ))
+    merges = learn_bpe(spark, docs, n_merges=12)
+    full = {
+        r["doc_id"]: len(r["toks"])
+        for r in bpe_tokens_col(docs, "text", merges, "toks").collect()
+    }
+    counted = {
+        r["doc_id"]: r["n"]
+        for r in bpe_token_count_col(docs, "text", merges, "n").collect()
+    }
+    assert counted == full
+
+
 def test_sql_oracle_mirrors_training_on_adversarial_corpus(spark):
     """The recursive-CTE training oracle must match learn_bpe on a
     corpus crafted for the hard cases: count ties (lexicographic

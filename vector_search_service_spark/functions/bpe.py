@@ -10,12 +10,13 @@ way BPE training actually scales:
   is millions at worst, and every merge iteration thereafter touches
   only the vocab table. Pair counts are weighted by word frequency, so
   the result is identical to counting over the raw corpus.
-- **One Spark job per merge** (like MLlib's iterative fitters): count
-  adjacent symbol pairs (explode + sum agg), pick the global argmax
-  (deterministic lexicographic tie-break), rewrite symbol arrays with
-  a left-to-right non-overlapping fold (`F.aggregate` — JVM-side, no
-  UDF in the loop). Lineage is truncated with `localCheckpoint` every
-  few iterations so plan depth stays bounded.
+- **One Spark job for ALL merges** (r12 optimization): the vocab table
+  is funneled into a single `mapInPandas` task that runs the greedy
+  loop in-process with incrementally-maintained pair counts (the
+  subword-nmt algorithm) — deterministic lexicographic tie-break,
+  identical merges to the r11 one-job-per-merge loop, whose n_merges
+  KB-sized jobs were pure scheduler latency (the sf0.1 bench's
+  biggest row, 8.5 s, ~0.28 s/job × 30).
 - **Encode with an Arrow-batched pandas UDF** carrying the (tiny)
   learned merge ranks in its closure — the standard priority-merge
   encode, vectorized per batch, embarrassingly parallel over the
@@ -28,7 +29,7 @@ of the driver-mandated LLM-pipeline extension surface.
 
 from __future__ import annotations
 
-from typing import Iterable
+from typing import Iterable, Iterator
 
 import pandas as pd
 
@@ -56,30 +57,64 @@ def word_freq_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _symbols_col():
-    # "cat" -> ["c", "a", "t", "</w>"]
-    return F.concat(
-        F.split(F.col("word"), ""),  # Spark: split by empty pattern = chars
-        F.array(F.lit(EOW)),
-    ).alias("syms")
+def _train_merges_local(words: list[str], freqs: list[int],
+                        n_merges: int) -> list[tuple[str, str]]:
+    """The greedy merge loop over an in-memory (word, freq) vocab —
+    semantics identical to the r11 distributed fold loop (pinned by
+    tests/test_bpe.py and the recursive-CTE oracle): OVERLAPPING
+    adjacent-pair counts weighted by word freq, global argmax with the
+    (cnt DESC, left ASC, right ASC) tie-break, stop when the best
+    count is < 2, merges applied left-to-right non-overlapping.
 
+    Pair counts are maintained incrementally (the classic subword-nmt
+    trick): a merge touches only the words that contain its pair, so
+    each iteration costs O(rows containing the winning pair), not
+    O(vocab). Words are ASCII ``[a-z0-9]+`` by the analyzer contract
+    (TOKEN_SPLIT_RE), so Python ``list(word)`` is exactly the engine's
+    split-by-empty-pattern char split."""
+    from collections import defaultdict
 
-def _merge_fold(left: str, right: str):
-    """Rewrite a symbol array applying ONE merge left-to-right,
-    non-overlapping, as a JVM-side fold: push each symbol; when the
-    top of the accumulator is `left` and the incoming symbol is
-    `right`, replace the top with the merged token."""
-    merged = left + right
-    return F.aggregate(
-        F.col("syms"),
-        F.array().cast("array<string>"),
-        lambda acc, x: F.when(
-            (F.size(acc) > 0)
-            & (F.element_at(acc, -1) == F.lit(left))
-            & (x == F.lit(right)),
-            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))),
-        ).otherwise(F.concat(acc, F.array(x))),
-    )
+    syms_tab = [list(w) + [EOW] for w in words]
+    pair_counts: dict[tuple[str, str], int] = defaultdict(int)
+    where: dict[tuple[str, str], set[int]] = defaultdict(set)
+    for i, syms in enumerate(syms_tab):
+        f = freqs[i]
+        for p in zip(syms, syms[1:]):
+            pair_counts[p] += f
+            where[p].add(i)
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        if not pair_counts:
+            break
+        (left, right), cnt = min(pair_counts.items(),
+                                 key=lambda kv: (-kv[1], kv[0]))
+        if cnt < 2:
+            break
+        merges.append((left, right))
+        merged = left + right
+        for i in sorted(where[(left, right)]):
+            syms, f = syms_tab[i], freqs[i]
+            for p in zip(syms, syms[1:]):
+                pair_counts[p] -= f
+                if pair_counts[p] <= 0:
+                    del pair_counts[p]
+                where[p].discard(i)
+            new: list[str] = []
+            j = 0
+            while j < len(syms):
+                if (j + 1 < len(syms) and syms[j] == left
+                        and syms[j + 1] == right):
+                    new.append(merged)
+                    j += 2
+                else:
+                    new.append(syms[j])
+                    j += 1
+            syms_tab[i] = new
+            for p in zip(new, new[1:]):
+                pair_counts[p] += f
+                where[p].add(i)
+    return merges
 
 
 def learn_bpe(
@@ -89,56 +124,55 @@ def learn_bpe(
     text_col: str = "text",
     n_merges: int = 40,
     min_word_freq: int = 1,
-    checkpoint_every: int = 8,
 ) -> list[tuple[str, str]]:
     """Learn `n_merges` BPE merges. Deterministic: ties on pair count
     break lexicographically on (left, right). Returns the ordered
-    merge list (rank = position)."""
-    # compact the iterative state: after the corpus reduction the vocab
-    # is small (≤ millions of rows even at 100 TB — Heaps law), but it
-    # inherits the corpus shuffle's partition count, so each of the
-    # n_merges jobs pays 32+ task launches for KB-sized work. Order
-    # matters: localCheckpoint FIRST so the one corpus-wide reduce
-    # runs at full shuffle parallelism (a pre-checkpoint coalesce
-    # would merge into the parent stage and pin the reduce side of
-    # num_map_tasks × per-task vocab to 8 tasks), THEN coalesce(8)
-    # the materialized vocab for the KB-sized per-merge iteration jobs
-    # (measured: 20.3 -> 10.5 s engine-only at sf1, identical merges).
-    vocab = (
-        word_freq_table(docs, text_col)
-        .filter(F.col("freq") >= min_word_freq)
-        .select(_symbols_col(), "freq")
-        .localCheckpoint()
-        .coalesce(8)
+    merge list (rank = position).
+
+    Shape (r12 optimization): the corpus-wide ``word_freq_table``
+    reduce runs at full shuffle parallelism; the vocab table — small by
+    Heaps law (≤ millions of rows at 100 TB, two short columns) — is
+    then funneled into ONE ``mapInPandas`` task that runs the whole
+    greedy loop in-process. The r11 design ran one Spark job per merge
+    over an 8-partition vocab; every one of those jobs was KB-sized
+    work behind a full job launch, so ``n_merges=30`` training was
+    job-LATENCY-bound (measured 8.5-8.8 s of the sf0.1 bench, and its
+    cost scaled with scheduler latency, not data). One task training
+    is the shape every production BPE trainer uses (the vocab table
+    is a single-node problem once the corpus collapses to word
+    frequencies); measured 8.55 -> 1.32 s end-to-end for
+    ``bpe_token_stats`` at sf0.1 (with the count-only encode; training
+    alone ~0.7 s) with bit-identical merges at every SF (the mimic
+    re-grades both BPE entries against the recursive-CTE oracle). The
+    training still runs on an executor — the vocab never collects to
+    the driver; only the ≤ n_merges merge rows do."""
+    vocab = word_freq_table(docs, text_col).filter(
+        F.col("freq") >= min_word_freq
     )
 
-    merges: list[tuple[str, str]] = []
-    for i in range(n_merges):
-        pairs = (
-            vocab.select(
-                F.explode(
-                    F.zip_with(
-                        F.slice(F.col("syms"), 1, F.size("syms") - 1),
-                        F.slice(F.col("syms"), 2, F.size("syms") - 1),
-                        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
-                    )
-                ).alias("p"),
-                "freq",
-            )
-            .groupBy("p.l", "p.r")
-            .agg(F.sum("freq").alias("cnt"))
-            .orderBy(F.col("cnt").desc(), F.col("l").asc(), F.col("r").asc())
-            .limit(1)
-            .collect()
-        )
-        if not pairs or pairs[0]["cnt"] < 2:
-            break
-        left, right = pairs[0]["l"], pairs[0]["r"]
-        merges.append((left, right))
-        vocab = vocab.select(_merge_fold(left, right).alias("syms"), "freq")
-        if (i + 1) % checkpoint_every == 0:
-            vocab = vocab.localCheckpoint()  # truncate the fold lineage
-    return merges
+    def _train(batches):
+        words: list[str] = []
+        freqs: list[int] = []
+        for pdf in batches:
+            words.extend(pdf["word"].tolist())
+            freqs.extend(pdf["freq"].tolist())
+        ms = _train_merges_local(words, freqs, n_merges)
+        yield pd.DataFrame({
+            "rank": pd.array(range(len(ms)), dtype="int32"),
+            "left": [l for l, _ in ms],
+            "right": [r for _, r in ms],
+        })
+
+    # repartition(1) AFTER the aggregate: the reduce keeps full
+    # parallelism; one round-robin exchange then lands the whole vocab
+    # in a single training task.
+    rows = (
+        vocab.repartition(1)
+        .mapInPandas(_train, "rank int, left string, right string")
+        .collect()
+    )
+    rows.sort(key=lambda r: r["rank"])
+    return [(r["left"], r["right"]) for r in rows]
 
 
 def encode_words(words: Iterable[str], ranks: dict[tuple[str, str], int]) -> list[str]:
@@ -394,16 +428,68 @@ def bpe_tokens_col(df: DataFrame, text_col: str, merges: list[tuple[str, str]],
     """Arrow-batched encode: tokens per document under the learned
     merges. The merge table rides the UDF closure (a few KB — at a
     real 50k-merge vocab, ~1 MB, still closure-shippable; use
-    ``SparkContext.broadcast`` beyond that)."""
+    ``SparkContext.broadcast`` beyond that).
+
+    The encode is per-word independent, so each task memoizes
+    word → tokens across its whole partition (iterator-form UDF,
+    guide-§4.5 once-per-task state): the priority-merge loop runs once
+    per DISTINCT word per task — Zipf makes that a tiny fraction of
+    the occurrence stream (the r11 form re-encoded every occurrence
+    of 'the')."""
     import re
 
     ranks = {pair: i for i, pair in enumerate(merges)}
     word_re = re.compile(r"[a-z0-9]+")
 
     @F.pandas_udf("array<string>")
-    def _encode(texts: pd.Series) -> pd.Series:
-        return texts.map(
-            lambda t: encode_words(word_re.findall((t or "").lower()), ranks)
-        )
+    def _encode(texts_iter: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        cache: dict[str, list[str]] = {}
+
+        def enc(t: str) -> list[str]:
+            out: list[str] = []
+            for w in word_re.findall((t or "").lower()):
+                toks = cache.get(w)
+                if toks is None:
+                    toks = encode_words([w], ranks)
+                    cache[w] = toks
+                out.extend(toks)
+            return out
+
+        for texts in texts_iter:
+            yield texts.map(enc)
 
     return df.withColumn(out_col, _encode(F.col(text_col)))
+
+
+def bpe_token_count_col(df: DataFrame, text_col: str,
+                        merges: list[tuple[str, str]],
+                        out_col: str = "n_bpe_tokens") -> DataFrame:
+    """Per-document BPE token COUNT — ``size(bpe_tokens)`` without
+    materializing or Arrow-shipping the token arrays (the stats query
+    only ever sums sizes). Same per-task word → count memo as
+    :func:`bpe_tokens_col`; exact because the encode is per-word
+    independent, so ``len(concat(enc(w) for w)) == Σ len(enc(w))``
+    (pinned against bpe_tokens_col in tests/test_bpe.py)."""
+    import re
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    word_re = re.compile(r"[a-z0-9]+")
+
+    @F.pandas_udf("long")
+    def _count(texts_iter: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        cache: dict[str, int] = {}
+
+        def n_toks(t: str) -> int:
+            total = 0
+            for w in word_re.findall((t or "").lower()):
+                n = cache.get(w)
+                if n is None:
+                    n = len(encode_words([w], ranks))
+                    cache[w] = n
+                total += n
+            return total
+
+        for texts in texts_iter:
+            yield texts.map(n_toks)
+
+    return df.withColumn(out_col, _count(F.col(text_col)))

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .functions.bpe import (
-    bpe_tokens_col,
+    bpe_token_count_col,
     learn_bpe,
     sql_bpe_stats_oracle,
     sql_bpe_train_oracle,
@@ -63,13 +63,17 @@ def q_bpe_token_stats(spark, sf_dir):
     join-back for the per-language totals."""
     docs = load_table(spark, sf_dir, "documents")
     merges = learn_bpe(spark, docs, n_merges=_N_MERGES)
-    toks = bpe_tokens_col(docs, "text", merges)
+    # count-only encode (r12 optimization): the aggregate needs sizes,
+    # not token arrays — bpe_token_count_col skips materializing and
+    # Arrow-shipping ~dl strings per document (exact by per-word
+    # independence; parity pinned in tests/test_bpe.py)
+    toks = bpe_token_count_col(docs, "text", merges)
     return (
         toks.groupBy("lang")
         .agg(
             F.count("*").alias("n_docs"),
-            F.sum(F.size("bpe_tokens")).alias("total_bpe_tokens"),
-            (F.sum(F.size("bpe_tokens")) / F.count("*")).alias("avg_tokens_per_doc"),
+            F.sum("n_bpe_tokens").alias("total_bpe_tokens"),
+            (F.sum("n_bpe_tokens") / F.count("*")).alias("avg_tokens_per_doc"),
         )
         .orderBy("lang")
     )
