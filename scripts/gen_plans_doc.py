@@ -27,7 +27,7 @@ NOTES = {
     "exists_semi_join": "EXISTS decorrelated to a LeftSemi join; only l_orderkey crosses the wire.",
     "tpch_q1_full": "one scan, partial_ aggregates before a single 6-group Exchange; date filter pushed to the scan.",
     "bucketed_join_agg": "SortMergeJoin with NO Exchange on either side — both scans are co-bucketed on the order key; the only shuffle is the 5-group priority rollup. (Rendered with broadcast disabled: at sf0.001 Catalyst rightly broadcasts the tiny side instead; at 100 TB neither side broadcasts and THIS is the plan.)",
-    "sole_fault_supplier": "Q21 decorrelation: LeftSemi + LeftAnti on the same orderkey shuffle family; supplier join AQE-owned (r10 audit — supplier scales with SF); 10-row top-k.",
+    "sole_fault_supplier": "Q21 as ONE fact scan (r12): per-(order,supplier) then per-order aggregates replace the LeftSemi/LeftAnti pair — the two correlated predicates are per-order set facts (≥2 distinct suppliers; R-supplier set = {s}); supplier/orders joins AQE-owned; 10-row top-k. The r11 3-scan decorrelation shape is the A/B loser at 100 TB (3 fact scans + ~1.5× rows shuffled with sorts).",
     "decontaminate_overlap": "eval-set shingles broadcast into a LeftSemi against the exploded corpus — the corpus never shuffles; only flagged (doc_id, lang) pairs reach the exchange.",
     "timeseries_gapfill": "hourly partials, generated per-key grid (sequence+explode, no calendar join), gap left-join and LOCF window all on the user_id partitioning family.",
     "volume_by_nation_pair": "Q7: both nation-filtered chains are AQE-owned (r10 audit — 2/25 slices still scale with SF; broadcast here by runtime size); lineitem⋈orders is the only fact shuffle before a tiny grouped rollup.",

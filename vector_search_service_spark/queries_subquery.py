@@ -296,39 +296,67 @@ def q_sole_fault_supplier(spark, sf_dir):
     """Q21 shape (the hardest TPC-H decorrelation; 'late' adapted to
     ``l_returnflag = 'R'`` — this corpus has no receipt/commit dates):
     suppliers who were the SOLE returned-flag supplier in a
-    multi-supplier finished order. Both correlated subqueries become
-    joins on the SAME key (l_orderkey) with the ``<>`` correlation as
-    a join residual: left_semi against all-lineitems, left_anti
-    against returned-lineitems — so the whole query is one shuffle
-    family on orderkey (the semi, the anti, and the base all co-
-    partition; AQE reuses the exchange), then the supplier join (no
-    forced hint — supplier scales with SF, ~10⁹ rows at the 100 TB
-    design point; AQE broadcasts it whenever it actually fits), a
-    count, and a 10-row top-k."""
+    multi-supplier finished order.
+
+    r12 optimization — one lineitem scan instead of three. The r11
+    decorrelation ran l1 (R-rows) LeftSemi all-lineitems LeftAnti
+    R-lineitems: three scans + three joins of the biggest table. But
+    both correlated predicates are per-ORDER set facts: EXISTS(other
+    supplier) ⟺ the order has ≥ 2 distinct suppliers; NOT EXISTS(other
+    R supplier) ⟺ the order's distinct R-supplier set is exactly
+    {this supplier} — and when it is, every R row of the order belongs
+    to that one supplier, so the Q21 per-row count collapses to the
+    order's R-row count attributed to its lone R supplier. Equivalent
+    aggregate form (oracle-verified hash-identical): group lineitem by
+    (orderkey, suppkey), then by orderkey, filter n_supp ≥ 2 ∧
+    n_rsupp = 1, semi-join finished orders, join supplier, sum.
+    Lineitem is scanned ONCE and shuffled once at (orderkey, suppkey)
+    grain with map-side partial aggregation (the r11 shape shuffled or
+    broadcast-built it three times); the second aggregate runs on the
+    already-shrunk per-order table. Supplier/orders joins stay
+    AQE-owned (both scale with SF).
+
+    Measured honestly (interleaved 8× A/B at sf0.1, warm, GC-drained):
+    the r11 3-scan shape is ~0.3 s FASTER here (min 0.99/med 1.20 s vs
+    min 1.31/med 1.53 s) because at bench scale every join side fits
+    the 64 MB broadcast threshold, so the old plan never exchanges
+    lineitem at all while this one pays a real 540k-row exchange. That
+    trade inverts at the 100 TB design point, where nothing broadcasts:
+    old = 3 fact scans + 3 sort-merge shuffles of ~1.5× lineitem rows
+    (R + 0.25R + 0.25R) with sorts; new = 1 fact scan + 1 hash-agg
+    shuffle of ≤ 1.0× rows + a second at per-order grain (~R/4) — ~3×
+    less fact I/O and ~40% fewer shuffled rows, no sorts. A
+    collect_set single-aggregate variant measured worse than this
+    two-level form (min 1.41 s), so the shape kept is the best of the
+    one-scan family. (docs/OPTIMIZATION_r12.md §sole_fault_supplier.)"""
     li = load_table(spark, sf_dir, "lineitem")
     sup = load_table(spark, sf_dir, "supplier")
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
     ).select("o_orderkey")
 
-    l1 = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
-    l2 = li.select(
-        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    is_r = (F.col("l_returnflag") == "R").cast("int")
+    per_os = (
+        li.groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(is_r).alias("has_r"),
+             F.sum(is_r).alias("n_rrows"))
     )
-    l3 = li.filter(F.col("l_returnflag") == "R").select(
-        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
+    per_o = (
+        per_os.groupBy("l_orderkey")
+        .agg(
+            F.count("*").alias("n_supp"),
+            F.sum("has_r").alias("n_rsupp"),
+            F.max(F.when(F.col("has_r") == 1, F.col("l_suppkey"))).alias("r_supp"),
+            F.sum(F.when(F.col("has_r") == 1, F.col("n_rrows"))
+                  .otherwise(F.lit(0))).alias("n_rrows"),
+        )
+        .filter((F.col("n_supp") >= 2) & (F.col("n_rsupp") == 1))
     )
-    base = (
-        l1.join(orders, l1.l_orderkey == orders.o_orderkey, "left_semi")
-        .join(l2, (F.col("l_orderkey") == F.col("k2"))
-              & (F.col("l_suppkey") != F.col("s2")), "left_semi")
-        .join(l3, (F.col("l_orderkey") == F.col("k3"))
-              & (F.col("l_suppkey") != F.col("s3")), "left_anti")
-    )
+    base = per_o.join(orders, per_o.l_orderkey == orders.o_orderkey, "left_semi")
     return (
-        base.join(sup, base.l_suppkey == sup.s_suppkey)
+        base.join(sup, base.r_supp == sup.s_suppkey)
         .groupBy("s_name")
-        .agg(F.count("*").alias("numwait"))
+        .agg(F.sum("n_rrows").alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name"))
         .limit(10)
     )
