@@ -247,6 +247,43 @@ def test_inverted_index_partitioned_write_prunes(spark, tmp_path):
     assert [r.asDict() for r in on_disk.collect()] == [r.asDict() for r in in_mem.collect()]
 
 
+def test_xxhash64_py_matches_spark(spark):
+    """The driver-side term→bucket mapping (read_posting_lists, r12:
+    no more one-Spark-job-per-probe) relies on the pure-Python XXH64
+    being BIT-identical to F.xxhash64 — pin it over the real corpus
+    vocabulary plus adversarial lengths/encodings, and pin the bucket
+    arithmetic (Python % == Spark pmod on the signed hash)."""
+    from vector_search_service_spark.functions.analysis import raw_tokens_col
+    from vector_search_service_spark.functions.hashing import xxhash64_py
+    from vector_search_service_spark.operators.fts_index import (
+        DEFAULT_LEXEME_BUCKETS,
+    )
+
+    vocab = (
+        load_table(spark, SF_SMOKE, "documents")
+        .select(F.explode(raw_tokens_col(F.col("text"))).alias("lexeme"))
+        .filter(F.col("lexeme") != "").distinct()
+    )
+    edge = spark.createDataFrame(
+        [("",), ("a",), ("abcd",), ("abcdefg",), ("abcdefgh",),
+         ("x" * 31,), ("y" * 32,), ("z" * 33,), ("w" * 100,),
+         ("ünïcode-émoji☃",), ("\x00\x01\x7f",)],
+        "lexeme string",
+    )
+    rows = (
+        vocab.unionByName(edge)
+        .withColumn("h", F.xxhash64("lexeme"))
+        .withColumn("b", F.pmod(F.xxhash64("lexeme"),
+                                F.lit(DEFAULT_LEXEME_BUCKETS)))
+        .collect()
+    )
+    assert rows, "vocabulary must be non-empty"
+    for r in rows:
+        assert xxhash64_py(r["lexeme"].encode()) == r["h"], r["lexeme"]
+        assert (xxhash64_py(r["lexeme"].encode())
+                % DEFAULT_LEXEME_BUCKETS) == r["b"], r["lexeme"]
+
+
 def test_quantized_candidate_stage_is_take_ordered(spark):
     """The int8 probe's candidate selection must plan as
     TakeOrderedAndProject (k×partitions rows move); consumed mid-plan

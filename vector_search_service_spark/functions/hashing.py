@@ -225,3 +225,66 @@ def sql_jaccard_expr(a: str, b: str) -> str:
         f"(CAST(len(list_intersect({a}, {b})) AS DOUBLE) "
         f"/ CAST(len(list_distinct(list_concat({a}, {b}))) AS DOUBLE))"
     )
+
+
+# -- pure-Python XXH64 (Spark's xxhash64 twin) --------------------------------
+
+_XX_P1 = 0x9E3779B185EBCA87
+_XX_P2 = 0xC2B2AE3D27D4EB4F
+_XX_P3 = 0x165667B19E3779F9
+_XX_P4 = 0x85EBCA77C2B2AE63
+_XX_P5 = 0x27D4EB2F165667C5
+_XX_M = (1 << 64) - 1
+
+
+def _xx_rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _XX_M
+
+
+def xxhash64_py(data: bytes, seed: int = 42) -> int:
+    """XXH64 of ``data``, bit-identical to Spark's ``F.xxhash64`` on a
+    string column (Spark hashes the UTF-8 bytes with seed 42 and
+    returns the SIGNED 64-bit value — so does this). Lets driver-side
+    plumbing (the query-term → lex_bucket mapping in
+    ``operators.fts_index.read_posting_lists``) compute the engine's
+    partition key without launching a Spark job per probe. Equality
+    with ``F.xxhash64`` is pinned over the corpus vocabulary plus edge
+    cases in tests/test_plans.py::test_xxhash64_py_matches_spark."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _XX_P1 + _XX_P2) & _XX_M
+        v2 = (seed + _XX_P2) & _XX_M
+        v3 = seed & _XX_M
+        v4 = (seed - _XX_P1) & _XX_M
+        while i <= n - 32:
+            v1 = (_xx_rotl((v1 + int.from_bytes(data[i:i + 8], "little") * _XX_P2) & _XX_M, 31) * _XX_P1) & _XX_M
+            v2 = (_xx_rotl((v2 + int.from_bytes(data[i + 8:i + 16], "little") * _XX_P2) & _XX_M, 31) * _XX_P1) & _XX_M
+            v3 = (_xx_rotl((v3 + int.from_bytes(data[i + 16:i + 24], "little") * _XX_P2) & _XX_M, 31) * _XX_P1) & _XX_M
+            v4 = (_xx_rotl((v4 + int.from_bytes(data[i + 24:i + 32], "little") * _XX_P2) & _XX_M, 31) * _XX_P1) & _XX_M
+            i += 32
+        h = (_xx_rotl(v1, 1) + _xx_rotl(v2, 7) + _xx_rotl(v3, 12) + _xx_rotl(v4, 18)) & _XX_M
+        for v in (v1, v2, v3, v4):
+            h = ((h ^ (_xx_rotl((v * _XX_P2) & _XX_M, 31) * _XX_P1) & _XX_M) * _XX_P1 + _XX_P4) & _XX_M
+    else:
+        h = (seed + _XX_P5) & _XX_M
+    h = (h + n) & _XX_M
+    while i + 8 <= n:
+        k = (int.from_bytes(data[i:i + 8], "little") * _XX_P2) & _XX_M
+        h = (h ^ (_xx_rotl(k, 31) * _XX_P1) & _XX_M)
+        h = (_xx_rotl(h, 27) * _XX_P1 + _XX_P4) & _XX_M
+        i += 8
+    if i + 4 <= n:
+        h = h ^ ((int.from_bytes(data[i:i + 4], "little") * _XX_P1) & _XX_M)
+        h = (_xx_rotl(h, 23) * _XX_P2 + _XX_P3) & _XX_M
+        i += 4
+    while i < n:
+        h = h ^ ((data[i] * _XX_P5) & _XX_M)
+        h = (_xx_rotl(h, 11) * _XX_P1) & _XX_M
+        i += 1
+    h ^= h >> 33
+    h = (h * _XX_P2) & _XX_M
+    h ^= h >> 29
+    h = (h * _XX_P3) & _XX_M
+    h ^= h >> 32
+    return h - (1 << 64) if h >= (1 << 63) else h

@@ -102,15 +102,19 @@ def read_posting_lists(spark, path: str, terms: list[str], *,
     """Load ONLY the posting lists for ``terms``: literal IN-filter on
     the partition key (partition pruning reads |buckets(terms)| of
     ``n_buckets`` directories) plus the lexeme filter pushed to the
-    remaining files' row groups."""
+    remaining files' row groups.
+
+    The term → bucket mapping is computed driver-side with the
+    pure-Python XXH64 twin of ``F.xxhash64`` (bit-equality pinned in
+    tests/test_plans.py) — the r11 shape launched a
+    createDataFrame+collect Spark job per probe just to hash a handful
+    of query terms (r12 optimization: one fewer job on every indexed
+    query)."""
     if not terms:
         return spark.createDataFrame([], "doc_id long, lexeme string")
-    term_rows = spark.createDataFrame([(t,) for t in terms], "lexeme string")
-    buckets = sorted({
-        r["b"] for r in term_rows.withColumn(
-            "b", F.pmod(F.xxhash64("lexeme"), F.lit(n_buckets))
-        ).collect()
-    })
+    from ..functions.hashing import xxhash64_py
+
+    buckets = sorted({xxhash64_py(t.encode()) % n_buckets for t in terms})
     return (
         spark.read.parquet(path)
              .filter(F.col("lex_bucket").isin(buckets) & F.col("lexeme").isin(terms))

@@ -111,8 +111,11 @@ def q_bm25_topk(spark, sf_dir):
     per-row expression tree (integer tf/df/dl → doubles, summed in
     declared term order) — bit-reproducible across engines, no float
     aggregation anywhere."""
+    from .sources.tables import parallelize_scan
+
     docs = load_table(spark, sf_dir, "documents")
-    toked = docs.select(
+    toked = parallelize_scan(docs.select("doc_id", "lang", "source", "text"),
+                             spark).select(
         "doc_id", "lang", "source", tokens_col(F.col("text")).alias("tokens")
     )
     d = toked.select(
@@ -121,6 +124,17 @@ def q_bm25_topk(spark, sf_dir):
         *[_tf(F.col("tokens"), t).cast("double").alias(f"tf_{i}")
           for i, t in enumerate(BM25_TERMS)],
     )
+    # r12 optimization: tokenize ONCE. The stats aggregate and the
+    # scoring projection both consume `d`; without a lineage cut
+    # Catalyst plans two full scan+tokenize subtrees (the regex split
+    # is the whole per-row cost). localCheckpoint materializes the
+    # NARROW (dl, tf_i) table — tens of bytes/doc, spillable — so the
+    # corpus TEXT is read and tokenized exactly once (the r6
+    # tfidf/temperature_mixture lineage-cut precedent). Measured at
+    # sf0.1 (interleaved 6×): med 1.60 -> 0.99 s, min 1.28 -> 0.90 s;
+    # with parallelize_scan spreading the tokenize (single-file local
+    # corpus = 1-task scan; no-op at real scale).
+    d = d.localCheckpoint()
     stats = d.agg(
         F.count("*").cast("double").alias("n"),
         (F.sum(F.col("dl").cast("long")).cast("double") / F.count("*")).alias("avgdl"),
