@@ -247,6 +247,24 @@ def test_inverted_index_partitioned_write_prunes(spark, tmp_path):
     assert [r.asDict() for r in on_disk.collect()] == [r.asDict() for r in in_mem.collect()]
 
 
+def test_chunk_and_shingle_udfs_evaluate_once(spark):
+    """r12 §4.4 fix pin: exploding an array-returning pandas UDF made
+    the optimizer push a size/null filter below the Generate whose
+    copy RE-EVALUATED the UDF (two ArrowEvalPython nodes over the same
+    attribute — every document chunked/shingled twice). Both UDFs are
+    marked non-deterministic; the single-eval plan must survive."""
+    import re
+
+    from vector_search_service_spark.registry import all_queries
+
+    q = all_queries()
+    for name in ("chunker_windows", "duplicate_ngram_spans"):
+        plan = explain_str(q[name].fn(spark, SF_SMOKE))
+        nodes = [l for l in plan.splitlines()
+                 if re.match(r"^\(\d+\) (Arrow|Batch)EvalPython", l)]
+        assert len(nodes) == 1, (name, nodes)
+
+
 def test_xxhash64_py_matches_spark(spark):
     """The driver-side term→bucket mapping (read_posting_lists, r12:
     no more one-Spark-job-per-probe) relies on the pure-Python XXH64

@@ -107,7 +107,14 @@ def chunks_udf(chunk_size: int = DEFAULT_CHUNK_SIZE,
     @F.pandas_udf(T.ArrayType(CHUNK_STRUCT))
     def _chunks(texts: pd.Series) -> pd.Series:
         return texts.map(lambda t: chunk_text(t or "", chunk_size, overlap))
-    return _chunks
+    # asNondeterministic: the explode over the UDF column makes the
+    # optimizer push a `size(...) > 0` filter BELOW the Generate, and
+    # that copy re-evaluates the UDF — two ArrowEvalPython nodes, every
+    # document chunked twice (optimization-guide §4.4; measured ~2× the
+    # Python-stage cost of chunker_windows at sf0.1). Chunking is pure;
+    # the marker only forbids the optimizer from duplicating/reordering
+    # the call. Plan pinned single-ArrowEvalPython in tests/test_plans.py.
+    return _chunks.asNondeterministic()
 
 
 def chunks_udf_per_row():
@@ -120,6 +127,7 @@ def chunks_udf_per_row():
             chunk_text(t or "", int(s), int(o))
             for t, s, o in zip(texts, sizes, overlaps)
         ], index=texts.index)
+    _chunks = _chunks.asNondeterministic()  # same §4.4 fix as chunks_udf
     return _chunks
 
 

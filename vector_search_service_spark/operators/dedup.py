@@ -222,7 +222,13 @@ def shingle_hashes64_udf(k: int = 3):
 
         return texts.map(one)
 
-    return sh
+    # asNondeterministic: consumers explode/posexplode this column, and
+    # the optimizer's pushed-down null/size filter otherwise re-plans a
+    # SECOND ArrowEvalPython of the same call below the exchange —
+    # every document tokenized+hashed twice (guide §4.4; observed in
+    # the duplicate_ngram_spans sf0.1 plan, plans/r12/). Values are
+    # pure; the marker only forbids duplicating the call.
+    return sh.asNondeterministic()
 
 
 def minhash_band_keys(df: DataFrame, *, text_col: str = "text",
