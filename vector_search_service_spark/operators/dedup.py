@@ -357,7 +357,9 @@ def simhash16_udf():
 
         return texts.map(one)
 
-    return sim
+    # §4.4 duplication guard (r12 sweep: the equality-join/filter over
+    # the fingerprint column re-evaluated the UDF per side)
+    return sim.asNondeterministic()
 
 
 def simhash_fingerprints(df: DataFrame, *, text_col: str = "text") -> DataFrame:

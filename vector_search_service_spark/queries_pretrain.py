@@ -71,6 +71,12 @@ def _repetition_stats(texts: pd.Series) -> pd.DataFrame:
     )
 
 
+# the n_tokens > 0 filter over the struct otherwise re-plans a second
+# ArrowEvalPython of the same call below it (guide §4.4; r12 sweep) —
+# pure values, the marker only stops the optimizer duplicating the call
+_repetition_stats = _repetition_stats.asNondeterministic()
+
+
 @register(
     "repetition_signals",
     survey_ref="extension: Gopher/RefinedWeb repetition quality signals",
