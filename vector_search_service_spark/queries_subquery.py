@@ -325,7 +325,10 @@ def q_sole_fault_supplier(spark, sf_dir):
     old = 3 fact scans + 3 sort-merge shuffles of ~1.5× lineitem rows
     (R + 0.25R + 0.25R) with sorts; new = 1 fact scan + 1 hash-agg
     shuffle of ≤ 1.0× rows + a second at per-order grain (~R/4) — ~3×
-    less fact I/O and ~40% fewer shuffled rows, no sorts. A
+    less fact I/O and ~40% fewer shuffled rows, no sorts. Measured one
+    decade up (sf1, 6M lineitem rows, interleaved 5×, identical
+    results): old med 4.62 s vs new med 2.60 s — the trade already
+    inverts 1.8× at sf1. A
     collect_set single-aggregate variant measured worse than this
     two-level form (min 1.41 s), so the shape kept is the best of the
     one-scan family. (docs/OPTIMIZATION_r12.md §sole_fault_supplier.)"""
