@@ -4,7 +4,11 @@ Usage: python scripts/capture_plans.py <tag> <suffix> [entry ...]
 
 With no entries, captures every bench-headline query (the static
 bench.py list plus headline-tagged registry entries). Writes
-plans/<tag>/<entry>_<suffix>.txt. Analysis-only: no query executes.
+plans/<tag>/<entry>_<suffix>.txt. The captured query itself does not
+execute, but plan-BUILD-time jobs do run (ADVICE r12 #2): bpe_*
+entries train (learn_bpe collects merges) and bm25_topk's eager
+localCheckpoint materializes its tokenized table while the DataFrame
+is being constructed.
 """
 
 from __future__ import annotations

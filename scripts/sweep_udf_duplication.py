@@ -13,6 +13,14 @@ r12 findings (all fixed with .asNondeterministic() on the UDF, the
 documented §4.4 remedy): chunker_windows, duplicate_ngram_spans,
 simhash_dedup, repetition_signals. Expected output today: zero flags.
 
+r13 (ADVICE r12 #1): the original extraction only matched eval nodes
+whose Arguments list was exactly one single-argument UDF, so
+multi-argument UDFs (chunks_udf_per_row takes 3 columns) and nodes
+evaluating several UDFs could duplicate without a flag. Extraction now
+walks every (Arrow|Batch)EvalPython node's full Arguments list with
+bracket/paren-aware splitting and compares normalized ``udf(args)``
+call strings (result ids stripped) ACROSS nodes.
+
 Usage: python scripts/sweep_udf_duplication.py [sf_dir]
 Exit: 0 clean, 1 flags found.
 """
@@ -24,6 +32,58 @@ import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _split_call_list(args_line: str) -> list[str]:
+    """The udf-call strings of one eval node's ``Arguments: [...]``
+    line: the FIRST top-level bracketed list, split at depth-0 commas,
+    each entry's trailing result id (``#N``) stripped. Paren/bracket
+    aware, so ``udf(a#1, lower(b#2))#7, udf2(c#3)#8`` yields two
+    normalized calls."""
+    body = args_line.split("Arguments: [", 1)[1]
+    calls: list[str] = []
+    depth = 0
+    cur: list[str] = []
+    for ch in body:
+        if ch == "]" and depth == 0:
+            break
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            calls.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        calls.append("".join(cur))
+    return [re.sub(r"#\d+$", "", c.strip()) for c in calls if c.strip()]
+
+
+def eval_node_calls(plan: str) -> list[list[str]]:
+    """Per Python-eval node (ArrowEvalPython / BatchEvalPython), the
+    normalized udf-call strings of its Arguments list."""
+    lines = plan.splitlines()
+    nodes: list[list[str]] = []
+    for i, line in enumerate(lines):
+        if re.match(r"^\(\d+\) (Arrow|Batch)EvalPython", line):
+            for j in range(i + 1, min(i + 8, len(lines))):
+                if lines[j].startswith("Arguments: ["):
+                    nodes.append(_split_call_list(lines[j]))
+                    break
+    return nodes
+
+
+def duplicated_calls(plan: str) -> list[str]:
+    """Normalized udf-call strings evaluated by MORE than one
+    Python-eval node of the plan (the §4.4 pathology)."""
+    nodes = eval_node_calls(plan)
+    seen: dict[str, int] = {}
+    for calls in nodes:
+        for c in set(calls):  # per-node dedup: across-node only
+            seen[c] = seen.get(c, 0) + 1
+    return sorted(c for c, n in seen.items() if n > 1)
 
 
 def main() -> int:
@@ -41,8 +101,7 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001 — report, keep sweeping
             print(f"{name}: EXPLAIN ERROR {type(e).__name__}: {e}")
             continue
-        args = re.findall(r"Arguments: \[(\w+\(\w+#\d+\))#\d+\]", plan)
-        dups = sorted({a for a in args if args.count(a) > 1})
+        dups = duplicated_calls(plan)
         if dups:
             flagged.append((name, dups))
             print(f"FLAG {name}: {dups}")

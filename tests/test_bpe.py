@@ -225,3 +225,26 @@ def test_min_word_freq_threads_into_both_oracles(spark):
         for lang, *rest in con.sql(sql_bpe_stats_oracle(10, min_word_freq=2)).fetchall()
     }
     assert got_stats == {k: list(v) for k, v in expected_stats.items()}
+
+
+def test_vocab_funnel_guard_fails_loud_on_pathological_corpus(spark):
+    """VERDICT r12 #3: a corpus of unbounded unique tokens (hashes,
+    IDs) must fail LOUD before the one-task training funnel
+    materializes the vocab, not OOM the task. The guard is checked
+    per-batch inside the funnel task, so it costs no extra Spark job
+    on the healthy path."""
+    import pytest
+
+    # 200 unique words, guard set to 100: must raise, and the message
+    # must point at the remedy (min_word_freq).
+    docs = spark.createDataFrame(
+        [(" ".join(f"id{i:04d}" for i in range(200)),)], ["text"]
+    )
+    with pytest.raises(Exception, match="max_vocab_rows"):
+        learn_bpe(spark, docs, n_merges=3, max_vocab_rows=100)
+
+    # The same corpus trains fine when min_word_freq drops the hapaxes
+    # (every word appears once, so freq>=2 empties the vocab: zero
+    # merges, no error) — the documented remedy works.
+    assert learn_bpe(spark, docs, n_merges=3, max_vocab_rows=100,
+                     min_word_freq=2) == []

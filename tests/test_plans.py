@@ -247,6 +247,57 @@ def test_inverted_index_partitioned_write_prunes(spark, tmp_path):
     assert [r.asDict() for r in on_disk.collect()] == [r.asDict() for r in in_mem.collect()]
 
 
+def test_index_manifest_validates_buckets_and_hash(spark, tmp_path):
+    """ADVICE r12 #4: the index manifest makes silent wrong-bucket
+    pruning impossible — a caller passing a different n_buckets than
+    the writer used raises, a diverged hash sentinel raises, and the
+    manifest's n_buckets is authoritative when the caller passes
+    none (an index written at 32 buckets probes correctly through the
+    default-expecting reader)."""
+    import json
+    import os
+
+    import pytest
+
+    from vector_search_service_spark.operators.fts_index import (
+        INDEX_MANIFEST,
+        build_inverted_index,
+        read_posting_lists,
+        write_inverted_index,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    path = str(tmp_path / "postings32")
+    write_inverted_index(build_inverted_index(docs), path, n_buckets=32)
+
+    # manifest exists and records the writer's layout
+    mpath = os.path.join(path, INDEX_MANIFEST)
+    with open(mpath) as f:
+        manifest = json.load(f)
+    assert manifest["n_buckets"] == 32
+
+    # caller passes nothing: manifest wins, postings come back
+    lists = read_posting_lists(spark, path, ["hash"])
+    assert lists.count() > 0
+
+    # caller passes the WRONG modulus: loud, not empty
+    with pytest.raises(ValueError, match="n_buckets"):
+        read_posting_lists(spark, path, ["hash"], n_buckets=64)
+
+    # diverged hash sentinel: loud, not wrong buckets
+    manifest["sentinel_hash"] += 1
+    with open(mpath, "w") as f:
+        json.dump(manifest, f)
+    with pytest.raises(ValueError, match="xxhash64_py diverges"):
+        read_posting_lists(spark, path, ["hash"])
+
+    # pre-manifest index (legacy layout): caller/default pairing still
+    # works — no manifest, no validation, same behavior as r12
+    os.remove(mpath)
+    assert read_posting_lists(
+        spark, path, ["hash"], n_buckets=32).count() == lists.count()
+
+
 def test_chunk_and_shingle_udfs_evaluate_once(spark):
     """r12 §4.4 fix pin: exploding an array-returning pandas UDF made
     the optimizer push a size/null filter below the Generate whose
@@ -263,6 +314,20 @@ def test_chunk_and_shingle_udfs_evaluate_once(spark):
         nodes = [l for l in plan.splitlines()
                  if re.match(r"^\(\d+\) (Arrow|Batch)EvalPython", l)]
         assert len(nodes) == 1, (name, nodes)
+
+
+def test_filter_below_chunk_udf_reaches_scan(spark):
+    """ADVICE r12 #3: asNondeterministic on the chunk UDF blocks the
+    optimizer from pushing filters PAST its projection, so the repo
+    convention is to apply selective source filters BEFORE the UDF
+    (every registry consumer does). Pin the convention's effect: a
+    lang filter applied before chunking reaches the parquet scan as a
+    pushed filter even though the UDF projection sits above it."""
+    from vector_search_service_spark.operators.chunker import chunk_documents
+
+    docs = load_table(spark, SF_SMOKE, "documents").filter(F.col("lang") == "en")
+    chunked = chunk_documents(docs)
+    assert has_pushed_filters(chunked, "lang")
 
 
 def test_xxhash64_py_matches_spark(spark):

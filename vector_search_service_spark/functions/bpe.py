@@ -40,6 +40,19 @@ from pyspark.sql import functions as F
 # word-final units ("ing</w>") without crossing word boundaries.
 EOW = "</w>"
 
+#: Fail-loud ceiling on vocab rows entering the one-task training
+#: funnel (VERDICT r12 #3). The repartition(1) design is sound for
+#: natural-language vocabularies (Heaps law: ≤ a few million distinct
+#: words even at 100 TB), but an adversarial corpus of unbounded
+#: unique tokens (hashes, IDs) would OOM the single Python task. The
+#: trainer counts rows as batches stream in and raises BEFORE
+#: accumulating past this bound — the remedy is raising
+#: ``min_word_freq`` (junk tokens are overwhelmingly hapaxes), not a
+#: bigger task heap. 5M rows ≈ several hundred MB of symbol/pair-index
+#: state in the training task — comfortably inside a worker, far
+#: outside anything a real vocabulary produces.
+MAX_VOCAB_ROWS = 5_000_000
+
 
 def word_freq_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus → (word, freq): THE scale reduction. Lowercased
@@ -124,6 +137,7 @@ def learn_bpe(
     text_col: str = "text",
     n_merges: int = 40,
     min_word_freq: int = 1,
+    max_vocab_rows: int = MAX_VOCAB_ROWS,
 ) -> list[tuple[str, str]]:
     """Learn `n_merges` BPE merges. Deterministic: ties on pair count
     break lexicographically on (left, right). Returns the ordered
@@ -154,6 +168,18 @@ def learn_bpe(
         words: list[str] = []
         freqs: list[int] = []
         for pdf in batches:
+            # Funnel guard (VERDICT r12 #3): checked per batch BEFORE
+            # extending, so a pathological vocab fails loud without
+            # ever materializing past the bound.
+            if len(words) + len(pdf) > max_vocab_rows:
+                raise ValueError(
+                    f"BPE vocab exceeds max_vocab_rows={max_vocab_rows}: "
+                    f"the one-task training funnel is sized for natural-"
+                    f"language vocabularies (Heaps law). Raise "
+                    f"min_word_freq (currently {min_word_freq}) to drop "
+                    f"hapax junk tokens, or raise max_vocab_rows if the "
+                    f"task memory budget genuinely allows it."
+                )
             words.extend(pdf["word"].tolist())
             freqs.extend(pdf["freq"].tolist())
         ms = _train_merges_local(words, freqs, n_merges)

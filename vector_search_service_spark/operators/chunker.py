@@ -114,6 +114,13 @@ def chunks_udf(chunk_size: int = DEFAULT_CHUNK_SIZE,
     # Python-stage cost of chunker_windows at sf0.1). Chunking is pure;
     # the marker only forbids the optimizer from duplicating/reordering
     # the call. Plan pinned single-ArrowEvalPython in tests/test_plans.py.
+    # SIDE-EFFECT (ADVICE r12 #3): the marker also blocks pushing any
+    # OTHER filter past a projection containing this UDF — a selective
+    # source filter (lang, partition column) written DOWNSTREAM of the
+    # UDF projection no longer reaches the scan. Convention: apply
+    # selective source filters BEFORE the UDF projection (every
+    # registry consumer does; pinned by
+    # tests/test_plans.py::test_filter_below_chunk_udf_reaches_scan).
     return _chunks.asNondeterministic()
 
 

@@ -80,6 +80,17 @@ def build_positional_index(documents: DataFrame, *, text_col: str = "text",
 
 DEFAULT_LEXEME_BUCKETS = 64
 
+#: Manifest written next to every bucketed index (ADVICE r12 #4). The
+#: underscore prefix makes Spark's parquet reader skip it (the
+#: _SUCCESS convention). It records the bucket count the WRITER used
+#: and a hash sentinel computed by the WRITER's Spark xxhash64, so a
+#: reader whose driver-side hash (functions/hashing.xxhash64_py) ever
+#: diverges — a different Spark hash semantics, a caller passing the
+#: wrong n_buckets — fails LOUD at read time instead of silently
+#: pruning to the wrong buckets and returning empty postings.
+INDEX_MANIFEST = "_index_manifest.json"
+_SENTINEL_LEXEME = "xxh64-manifest-sentinel"
+
 
 def write_inverted_index(index: DataFrame, path: str, *,
                          n_buckets: int = DEFAULT_LEXEME_BUCKETS) -> None:
@@ -88,17 +99,27 @@ def write_inverted_index(index: DataFrame, path: str, *,
     millions of distinct lexemes — hash buckets keep the directory
     count fixed while still letting a query prune to |terms| buckets),
     sorted by lexeme within each file so min/max stats prune inside a
-    bucket too."""
+    bucket too. Writes :data:`INDEX_MANIFEST` alongside (local paths —
+    a manifest table/commit log is the object-store upgrade)."""
+    import json
+    import os
+
     (
         index.withColumn("lex_bucket", F.pmod(F.xxhash64("lexeme"), F.lit(n_buckets)))
              .repartition("lex_bucket")
              .sortWithinPartitions("lexeme")
              .write.mode("overwrite").partitionBy("lex_bucket").parquet(path)
     )
+    sentinel = index.sparkSession.range(1).select(
+        F.xxhash64(F.lit(_SENTINEL_LEXEME)).alias("h")).head()["h"]
+    with open(os.path.join(path, INDEX_MANIFEST), "w") as f:
+        json.dump({"n_buckets": int(n_buckets), "hash": "xxhash64",
+                   "seed": 42, "sentinel_lexeme": _SENTINEL_LEXEME,
+                   "sentinel_hash": int(sentinel)}, f)
 
 
 def read_posting_lists(spark, path: str, terms: list[str], *,
-                       n_buckets: int = DEFAULT_LEXEME_BUCKETS) -> DataFrame:
+                       n_buckets: int | None = None) -> DataFrame:
     """Load ONLY the posting lists for ``terms``: literal IN-filter on
     the partition key (partition pruning reads |buckets(terms)| of
     ``n_buckets`` directories) plus the lexeme filter pushed to the
@@ -109,11 +130,42 @@ def read_posting_lists(spark, path: str, terms: list[str], *,
     tests/test_plans.py) — the r11 shape launched a
     createDataFrame+collect Spark job per probe just to hash a handful
     of query terms (r12 optimization: one fewer job on every indexed
-    query)."""
+    query).
+
+    Bucket-count and hash validation (ADVICE r12 #4): when the index
+    carries :data:`INDEX_MANIFEST`, the writer's recorded ``n_buckets``
+    is authoritative (a caller value that disagrees raises), and the
+    reader's Python hash is checked against the writer's Spark-computed
+    sentinel — silent wrong-bucket pruning is impossible on a
+    manifested index. Pre-manifest indexes fall back to the caller /
+    default pairing (the r12 trust model)."""
+    import json
+    import os
+
     if not terms:
         return spark.createDataFrame([], "doc_id long, lexeme string")
     from ..functions.hashing import xxhash64_py
 
+    manifest_path = os.path.join(path, INDEX_MANIFEST)
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            manifest = json.load(f)
+        if n_buckets is not None and n_buckets != manifest["n_buckets"]:
+            raise ValueError(
+                f"posting index at {path} was written with "
+                f"n_buckets={manifest['n_buckets']}, caller passed "
+                f"{n_buckets} — pruning with the wrong modulus would "
+                f"silently return empty posting lists")
+        n_buckets = manifest["n_buckets"]
+        got = xxhash64_py(manifest["sentinel_lexeme"].encode())
+        if got != manifest["sentinel_hash"]:
+            raise ValueError(
+                f"driver-side xxhash64_py diverges from the hash that "
+                f"wrote the index at {path} (sentinel {got} != "
+                f"{manifest['sentinel_hash']}) — refusing to prune "
+                f"buckets with a mismatched hash")
+    elif n_buckets is None:
+        n_buckets = DEFAULT_LEXEME_BUCKETS
     buckets = sorted({xxhash64_py(t.encode()) % n_buckets for t in terms})
     return (
         spark.read.parquet(path)

@@ -42,76 +42,72 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # (registry − ∪ CORRECTNESS_r*.json keys), oracled entries first.
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # ---- round-12 window (exactly 50), re-derived per VERDICT r11
-    # next-round #2 (pure rotation — the grade debt closed in r11:
-    # every oracled entry green at its latest grade, histogram
-    # r8:31, r9:36, r10:49, r11:50 over the 166 oracled + 1 new).
-    # Derivation (docs/DRIVER_COVERAGE.md): first the NEW bounded
-    # sibling, then the two indexed-FTS entries the judge wants
-    # re-graded after the r12 postings-store atomicity rework
-    # (VERDICT r11 item 1c), then the 31 r8-era survivors name order,
-    # then r9-era oldest-first backfill in name order. All 50 oracled.
-    # After this round: oldest surviving grade r9.
-    # position 1: new entry (never graded) — the bounded-output
-    # grading tier for sessionization (VERDICT r11 next-round #5)
-    "events_sessions_topk",
-    # positions 2-3: re-grade after the r12 postings rework (the
-    # PostingsStore versioned-snapshot atomicity fix; these two pin
-    # the indexed-FTS query path end-to-end — VERDICT r11 item 1c)
-    "fts_indexed_topk",
-    "fts_probe_topk",
-    # positions 4-35: the 32 r8-era survivors (oldest grades
-    # anywhere), name order; several are tier=extra and rotate via
-    # spare slots per the r6 precedent
-    "bucketed_join_agg",
-    "cep_sequence_stream",
-    "chunker_windows",
-    "content_stats",
-    "count_per_group",
-    "decimal_exact_revenue",
-    "decontaminate_overlap",
-    "duplicate_ngram_spans",
-    "embed_documents",
-    "embedding_near_dup",
-    "exact_dedup_groups",
-    "exists_semi_join",
-    "fts_match_count_by_lang",
-    "fts_multiquery_topk",
-    "fts_topk",
-    "funnel_user_times",
-    "fuzzy_blocked_pairs",
-    "hash_split_train_test",
-    "idle_customer_balance",
-    "importance_ratio_topk",
-    "in_list_filter",
-    "media_frame_sample",
-    "not_exists_anti",
-    "pagination_offset",
-    "recency_topk",
-    "rerank_cross_topk",
-    "semantic_decontaminate",
-    "tfidf_pair_topk",
-    "tfidf_prefix_pair_topk",
-    "vector_threshold",
-    "vector_topk",
-    "zorder_values",
-    # positions 36-50: r9-era oldest-first backfill, name order (the
-    # remaining 21 r9-era rows roll to the r13 window)
-    "anti_join_delete",
-    "asof_join_events",
-    "bigram_kn_logprob",
-    "content_type_detect",
-    "date_range_agg",
-    "dedup_span_clean",
-    "doc_fingerprint",
-    "doc_preprocess",
-    "duplicate_span_extract",
-    "events_tumbling_hourly",
-    "expsmooth_forecast",
-    "fts_metadata_filter",
-    "fts_snippet",
-    "full_scan_list",
-    "funnel_conversion",
+    # ---- round-13 window (exactly 50), re-derived per VERDICT r12
+    # next-round #1: convert the r12 builder-side evidence for the
+    # round's semantic rewrites into driver ground truth.
+    # Derivation (docs/DRIVER_COVERAGE.md): first the 8 entries whose
+    # semantics the r12 optimizer (or the inherited build session)
+    # touched, in the verdict's order; then the two never-graded
+    # late-r12 additions; then the 20 remaining r9-era roll-overs
+    # (name order; simhash_dedup already fronted); then r10-era
+    # oldest-first backfill in name order. All 50 oracled; verified
+    # `list(queries())[:50] == _DRIVER_PRIORITY`.
+    # After this round: oldest surviving grade r10.
+    # positions 1-8: the r12 rewrites/touched entries (VERDICT r12 #1)
+    "bpe_token_stats",
+    "bpe_train_merges",
+    "sole_fault_supplier",
+    "bm25_topk",
+    "simhash_dedup",
+    "repetition_signals",
+    "fts_phrase_topk",
+    "fts_phrase_indexed_topk",
+    # positions 9-10: never-graded late-r12 additions
+    "fts_near_topk",
+    "containment_dedup",
+    # positions 11-30: the 20 remaining r9-era roll-overs, name order
+    "gopher_quality_flags",
+    "hourly_rollup_finalized",
+    "json_key_filter",
+    "kneser_ney_bigram_topk",
+    "lang_id",
+    "linestatus_priority_counts",
+    "media_audio_features",
+    "media_image_decode",
+    "mixture_interleave",
+    "multilang_token_stats",
+    "ngram_jaccard_dedup",
+    "per_stratum_sample",
+    "pii_scrub",
+    "point_lookup",
+    "projection_rename_iso",
+    "quality_model_calibration",
+    "quality_score",
+    "range_join_pairs",
+    "timeseries_gapfill",
+    "weighted_sample_topk",
+    # positions 31-50: r10-era oldest-first backfill, name order (the
+    # remaining r10-era rows roll to the next window)
+    "ann_bucket_histogram",
+    "ann_lsh_topk",
+    "correlated_min_joinback",
+    "curate_corpus",
+    "disjunctive_pushdown",
+    "dominant_part_suppliers",
+    "having_join_topk",
+    "having_semi_topk",
+    "hybrid_rrf_topk",
+    "important_part_value",
+    "jl_ann_topk",
+    "join_agg_topk",
+    "market_share_by_year",
+    "maxsim_topk",
+    "minhash_lsh_dedup",
+    "profit_by_nation_year",
+    "promo_revenue_ratio",
+    "quantile_stats",
+    "quantized_vector_topk",
+    "reservoir_stratum_sample",
     # ---- end of the 50-entry window ----
     # Rows-only canonical entries stay OUT of the window: the driver
     # has twice demonstrated (r1/r2 `no_oracle` rows) that it errors
