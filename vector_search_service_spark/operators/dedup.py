@@ -317,21 +317,33 @@ def minhash_lsh_pairs(df: DataFrame, *, text_col: str = "text",
     # broadcasts the id set when it fits — never forced, see docstring),
     # THEN compute shingles — the UDF touches only candidate rows, not
     # the corpus; the hashed-set representation (8-byte ints) keeps the
-    # Jaccard intersect off strings entirely
-    def _sh_side(alias: str) -> DataFrame:
-        ids = pairs.select(F.col(alias).alias(id_col)).distinct()
-        return (
-            df.join(ids, id_col, "left_semi")
-              .select(
-                  F.col(id_col).alias(alias),
-                  hashed_shingle_set_udf()(F.col(text_col)).alias(f"sh_{alias[-1]}"),
-              )
-        )
-
+    # Jaccard intersect off strings entirely.
+    # r13 (guide §2.4 shared subtree, the bm25 precedent): the two pair
+    # sides used to shingle independently — TWO corpus scans and TWO
+    # ArrowEvalPython passes, with any doc appearing on both sides
+    # shingled twice. One pass over the UNION of candidate ids,
+    # localCheckpointed (per-run, like ``keyed``/``pairs`` above —
+    # never cross-run state), now feeds both joins: 1 corpus scan,
+    # 1 UDF pass, strictly ≤ the old row count. Plan diff committed
+    # (plans/r13/{curate_corpus,minhash_lsh_dedup}_{before,after}.txt:
+    # 2 ArrowEvalPython → 1, 3 parquet scans → 2).
+    cand_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .union(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    shingled = (
+        df.join(cand_ids, id_col, "left_semi")
+          .select(F.col(id_col),
+                  hashed_shingle_set_udf()(F.col(text_col)).alias("sh"))
+          .localCheckpoint(eager=False)
+    )
     return (
         pairs
-        .join(_sh_side("id_a"), "id_a")
-        .join(_sh_side("id_b"), "id_b")
+        .join(shingled.select(F.col(id_col).alias("id_a"),
+                              F.col("sh").alias("sh_a")), "id_a")
+        .join(shingled.select(F.col(id_col).alias("id_b"),
+                              F.col("sh").alias("sh_b")), "id_b")
         .withColumn("jaccard", jaccard_col(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jaccard") >= F.lit(jaccard_threshold))
         .select("id_a", "id_b", "jaccard")

@@ -940,6 +940,12 @@ def _semdedup_plan(spark, sf_dir, n_planes=None, threshold=None,
     # the interpreted fold it replaces. Scan-stage kernels (JL,
     # quantized probe) win precisely because they move one array per
     # ROW; pair stages keep the JVM fold (record-either-way).
+    # RE-MEASURED r13 (VERDICT r12 #4 asked for an on-record
+    # interleaved A/B): same-session alternating warm runs, both
+    # orders, calib x1.03/x1.02 — JVM fold min 2.360/med 2.413 s vs
+    # kernel min 2.530/med 2.626 s at sf0.1, outputs bit-identical
+    # (1151 rows). The kernel loses ~7-9% reproducibly; negative
+    # result stands, JVM fold kept (OPTIMIZATION_r13.md).
     pairs = (
         a.join(b, "bucket")
         .filter(F.col("ia") < F.col("ib"))
