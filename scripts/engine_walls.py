@@ -4,6 +4,9 @@ include the DuckDB oracle replay, which DOMINATES at sf10; this times
 only the Spark plan, warm min-of-2, fresh lineage per run).
 
 Usage: python scripts/engine_walls.py sf_dir entry [entry ...]
+``ENGINE_CORES`` (default 32) sets master local[N] and the shuffle
+partition count — the r13 core-scaling table (VERDICT r12 #7) runs the
+same harness at 8 and 32.
 """
 
 from __future__ import annotations
@@ -21,9 +24,10 @@ def main() -> int:
 
     from pyspark.sql import SparkSession
 
+    cores = os.environ.get("ENGINE_CORES", "32")
     spark = (
-        SparkSession.builder.master("local[32]")
-        .config("spark.sql.shuffle.partitions", "32")
+        SparkSession.builder.master(f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", cores)
         .config("spark.driver.memory", os.environ.get("MIMIC_DRIVER_MEM", "16g"))
         .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()

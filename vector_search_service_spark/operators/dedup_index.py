@@ -117,18 +117,28 @@ class MinHashIndexStore:
         AQE-owned."""
         pairs = pairs.localCheckpoint(eager=False)
 
-        def side(alias: str) -> DataFrame:
-            ids = pairs.select(F.col(alias).alias(id_col)).distinct()
-            return (
-                corpus.join(F.broadcast(ids), id_col, "left_semi")
-                      .select(F.col(id_col).alias(alias),
-                              hashed_shingle_set_udf()(F.col(text_col)).alias(f"sh_{alias[-1]}"))
-            )
-
+        # r13 (guide §2.4, the minhash_lsh_pairs precedent): both pair
+        # sides resolve against the SAME corpus store, so one broadcast
+        # semi-join over the UNION of candidate ids shingles every
+        # candidate once — the store is scanned once per verify instead
+        # of once per side, and a doc on both sides is shingled once.
+        ids = (
+            pairs.select(F.col("id_a").alias(id_col))
+            .union(pairs.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        shingled = (
+            corpus.join(F.broadcast(ids), id_col, "left_semi")
+                  .select(F.col(id_col),
+                          hashed_shingle_set_udf()(F.col(text_col)).alias("sh"))
+                  .localCheckpoint(eager=False)
+        )
         return (
             F.broadcast(pairs)
-            .join(side("id_a"), "id_a")
-            .join(side("id_b"), "id_b")
+            .join(shingled.select(F.col(id_col).alias("id_a"),
+                                  F.col("sh").alias("sh_a")), "id_a")
+            .join(shingled.select(F.col(id_col).alias("id_b"),
+                                  F.col("sh").alias("sh_b")), "id_b")
             .withColumn("jaccard", jaccard_col(F.col("sh_a"), F.col("sh_b")))
             .filter(F.col("jaccard") >= F.lit(jaccard_threshold))
             .select("id_a", "id_b", "jaccard")
