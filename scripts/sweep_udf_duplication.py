@@ -21,8 +21,19 @@ walks every (Arrow|Batch)EvalPython node's full Arguments list with
 bracket/paren-aware splitting and compares normalized ``udf(args)``
 call strings (result ids stripped) ACROSS nodes.
 
+A flag means "this udf call is evaluated by >1 node", NOT "apply
+asNondeterministic": when the UDF column has MULTIPLE references per
+node (fts_stemmed_topk: 3 in the match filter + 6 in the rank
+projection), the marker blocks the CSE that was collapsing them —
+measured 2 eval-refs -> 9 and 0.59 -> 0.85 s at sf0.1 (r13 A/B,
+OPTIMIZATION_r13.md). Adjudicate each flag: single-reference consumers
+(the r12 chunker/shingle family) want the marker; multi-reference
+consumers with a memoized UDF are often already optimal. Known
+adjudicated-KEEP flags are listed in KNOWN_OK below and do not fail
+the sweep.
+
 Usage: python scripts/sweep_udf_duplication.py [sf_dir]
-Exit: 0 clean, 1 flags found.
+Exit: 0 clean, 1 unadjudicated flags found.
 """
 
 from __future__ import annotations
@@ -86,6 +97,18 @@ def duplicated_calls(plan: str) -> list[str]:
     return sorted(c for c, n in seen.items() if n > 1)
 
 
+#: (entry, udf-name-prefix) pairs adjudicated KEEP-AS-IS — reported but
+#: not sweep-failing. Each needs a ledger entry with the measurement.
+KNOWN_OK: frozenset[tuple[str, str]] = frozenset({
+    # r13: filter+rank both consume the stemmed-tokens column; CSE
+    # keeps each node at ONE eval and the per-task stem memo makes the
+    # second node cheap. asNondeterministic measured 0.59 -> 0.85 s
+    # (blocks CSE: 9 eval-refs), a filter barrier 0.59 -> 0.67 s —
+    # both rejected (OPTIMIZATION_r13.md).
+    ("fts_stemmed_topk", "stem_tokens_udf"),
+})
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 
@@ -102,9 +125,14 @@ def main() -> int:
             print(f"{name}: EXPLAIN ERROR {type(e).__name__}: {e}")
             continue
         dups = duplicated_calls(plan)
-        if dups:
-            flagged.append((name, dups))
-            print(f"FLAG {name}: {dups}")
+        known = [d for d in dups if any(
+            name == n and d.startswith(p) for n, p in KNOWN_OK)]
+        new = [d for d in dups if d not in known]
+        for d in known:
+            print(f"KNOWN-OK {name}: {d}")
+        if new:
+            flagged.append((name, new))
+            print(f"FLAG {name}: {new}")
     print(f"swept {len(all_queries())} entries; {len(flagged)} flagged")
     return 1 if flagged else 0
 
